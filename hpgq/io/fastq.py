@@ -1,0 +1,245 @@
+"""FASTQ file handling: streaming record-block reader and writers.
+
+TPU-native replacement for the reference's ``fastq_file`` layer
+(``fastq_fopen`` / ``fastq_fread_se`` / ``fastq_fwrite``, call sites
+``src/stats_fastq.c:183,425,503``, ``src/filter_fastq.c:114,165-169,186-192``).
+Instead of one heap object per read, a :class:`RecordBlock` keeps the raw
+bytes of up to ``batch_size`` records plus numpy line-offset arrays; the
+packer (``hpgq.io.packer``) turns a block into padded ``[B, L]`` tensors with
+zero per-read Python work, and writers re-slice the original bytes so
+filter/edit outputs are byte-exact copies of the input records.
+
+Supports plain and gzip inputs (gzip detected by magic, like a
+gzip-capable ``fastq_fopen``).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+_CHUNK = 16 * 1024 * 1024
+
+
+def open_maybe_gzip(path: str, mode: str = "rb"):
+    """Open a file, transparently decompressing gzip (magic-sniffed)."""
+    if "r" in mode:
+        with open(path, "rb") as probe:
+            magic = probe.read(2)
+        if magic == b"\x1f\x8b":
+            return gzip.open(path, mode)
+        return open(path, mode)
+    if path.endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+class RecordBlock:
+    """A batch of FASTQ records backed by one contiguous byte buffer.
+
+    ``starts``/``ends`` are ``[N, 4]`` int64 arrays of line byte-offsets into
+    ``buf`` (lines: header, sequence, separator, quality), newline excluded.
+    """
+
+    __slots__ = ("buf", "starts", "ends", "arr")
+
+    def __init__(self, buf: bytes, starts: np.ndarray, ends: np.ndarray):
+        self.buf = buf
+        self.starts = starts
+        self.ends = ends
+        self.arr = np.frombuffer(buf, dtype=np.uint8)
+
+    @property
+    def num_reads(self) -> int:
+        return self.starts.shape[0]
+
+    @property
+    def seq_lens(self) -> np.ndarray:
+        return (self.ends[:, 1] - self.starts[:, 1]).astype(np.int32)
+
+    def max_len(self) -> int:
+        return int(self.seq_lens.max()) if self.num_reads else 0
+
+    def record_bytes(self, i: int) -> bytes:
+        s, e = self.starts[i], self.ends[i]
+        return b"%s\n%s\n%s\n%s\n" % (
+            self.buf[s[0] : e[0]],
+            self.buf[s[1] : e[1]],
+            self.buf[s[2] : e[2]],
+            self.buf[s[3] : e[3]],
+        )
+
+    def sequence(self, i: int) -> bytes:
+        return self.buf[self.starts[i, 1] : self.ends[i, 1]]
+
+    def quality(self, i: int) -> bytes:
+        return self.buf[self.starts[i, 3] : self.ends[i, 3]]
+
+    def write_selected(self, out, select: np.ndarray) -> int:
+        """Append records where ``select`` is True, preserving input order."""
+        idx = np.flatnonzero(select)
+        buf = self.buf
+        starts, ends = self.starts, self.ends
+        chunks = []
+        for i in idx:
+            s, e = starts[i], ends[i]
+            chunks.append(buf[s[0] : e[3]])
+            chunks.append(b"\n")
+        if chunks:
+            out.write(b"".join(chunks))
+        return len(idx)
+
+    def write_trimmed(
+        self,
+        out,
+        ltrim: np.ndarray,
+        rtrim: np.ndarray,
+        select: Optional[np.ndarray] = None,
+    ) -> int:
+        """Append records with per-read head/tail trims applied to the
+        sequence and quality lines (the ``edit.fq`` writer)."""
+        idx = np.flatnonzero(select) if select is not None else range(self.num_reads)
+        buf = self.buf
+        starts, ends = self.starts, self.ends
+        chunks = []
+        n = 0
+        for i in idx:
+            s, e = starts[i], ends[i]
+            lt, rt = int(ltrim[i]), int(rtrim[i])
+            seq_s, seq_e = s[1] + lt, e[1] - rt
+            q_s, q_e = s[3] + lt, e[3] - rt
+            if seq_e < seq_s:
+                seq_e = seq_s
+                q_e = q_s
+            chunks.append(
+                b"%s\n%s\n%s\n%s\n"
+                % (buf[s[0] : e[0]], buf[seq_s:seq_e], buf[s[2] : e[2]], buf[q_s:q_e])
+            )
+            n += 1
+        if chunks:
+            out.write(b"".join(chunks))
+        return n
+
+
+def _index_lines(chunk: bytes, nl: np.ndarray, nrec: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Build [nrec,4] line start/end offset arrays from newline positions."""
+    line_ends = nl[: nrec * 4].reshape(nrec, 4)
+    line_starts = np.empty_like(line_ends)
+    flat_e = line_ends.ravel()
+    flat_s = line_starts.ravel()
+    flat_s[0] = 0
+    flat_s[1:] = flat_e[:-1] + 1
+    return line_starts, line_ends
+
+
+class FastqReader:
+    """Streaming FASTQ reader yielding :class:`RecordBlock` batches.
+
+    ``batch_size`` is in reads, like the reference's producer
+    (``fastq_fread_se(fq_reads, max_num_reads, file)``, src/stats_fastq.c:183).
+    """
+
+    def __init__(self, path: str, batch_size: int = 10000, start_offset: int = 0):
+        self.path = path
+        self.batch_size = int(batch_size)
+        self._fh = open_maybe_gzip(path, "rb")
+        if start_offset:
+            self._fh.seek(start_offset)
+        self._tail = b""
+        self._pending: list[RecordBlock] = []
+        self._eof = False
+        self.bytes_consumed = start_offset  # logical (decompressed) offset
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _load_chunk(self) -> Optional[RecordBlock]:
+        while True:
+            data = self._fh.read(_CHUNK)
+            if not data:
+                self._eof = True
+                if self._tail:
+                    chunk, self._tail = self._tail, b""
+                    if not chunk.endswith(b"\n"):
+                        chunk += b"\n"
+                    return self._block_from(chunk)
+                return None
+            chunk = self._tail + data
+            arr = np.frombuffer(chunk, dtype=np.uint8)
+            nl = np.flatnonzero(arr == 0x0A)
+            nrec = len(nl) // 4
+            if nrec == 0:
+                self._tail = chunk
+                continue
+            cut = int(nl[nrec * 4 - 1]) + 1
+            self._tail = chunk[cut:]
+            return self._block_from(chunk[:cut], nl[: nrec * 4])
+
+    def _block_from(self, chunk: bytes, nl: Optional[np.ndarray] = None) -> RecordBlock:
+        if nl is None:
+            arr = np.frombuffer(chunk, dtype=np.uint8)
+            nl = np.flatnonzero(arr == 0x0A)
+        nrec = len(nl) // 4
+        starts, ends = _index_lines(chunk, np.asarray(nl, dtype=np.int64), nrec)
+        self.bytes_consumed += len(chunk)
+        return RecordBlock(chunk, starts, ends)
+
+    def _slice_block(self, block: RecordBlock, lo: int, hi: int) -> RecordBlock:
+        sub = RecordBlock.__new__(RecordBlock)
+        sub.buf = block.buf
+        sub.arr = block.arr
+        sub.starts = block.starts[lo:hi]
+        sub.ends = block.ends[lo:hi]
+        return sub
+
+    def __iter__(self) -> Iterator[RecordBlock]:
+        carry: Optional[RecordBlock] = None
+        carry_pos = 0
+        while True:
+            if carry is None:
+                carry = self._load_chunk()
+                carry_pos = 0
+                if carry is None:
+                    return
+            n = carry.num_reads - carry_pos
+            if n >= self.batch_size:
+                yield self._slice_block(carry, carry_pos, carry_pos + self.batch_size)
+                carry_pos += self.batch_size
+                if carry_pos >= carry.num_reads:
+                    carry = None
+            else:
+                # batch boundary falls inside the chunk tail: emit the remainder
+                # as a (short) block — merging is accumulation-invariant.
+                if n > 0:
+                    yield self._slice_block(carry, carry_pos, carry.num_reads)
+                carry = None
+
+
+class FastqWriter:
+    """Buffered FASTQ output file (the ``fastq_fopen_mode(name, "w")`` analog)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._fh = open_maybe_gzip(path, "wb")
+
+    def write(self, data: bytes):
+        self._fh.write(data)
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

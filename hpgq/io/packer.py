@@ -1,0 +1,76 @@
+"""Record-block → padded tensor packer.
+
+Turns a :class:`~hpgq.io.fastq.RecordBlock` into the engine's batch layout:
+
+* ``codes`` int8 ``[N, L]`` — base codes (A=0 C=1 G=2 T=3 N=4 other=5,
+  case-insensitive, LUT semantics from ``old/chaos_game.c:51-72``), padded
+  with ``BASE_OTHER`` beyond each read's length.
+* ``quals`` uint8 ``[N, L]`` — raw ASCII quality bytes (offset *included*,
+  matching the reference's raw accumulation, ``src/stats_fastq.c:353-355``),
+  zero-padded.
+* ``lens`` int32 ``[N]``.
+
+Fully vectorized numpy (one fancy-gather per field); a native C++ packer can
+replace this transparently (see ``hpgq/io/native``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import BASE_A, BASE_C, BASE_G, BASE_N, BASE_OTHER, BASE_T
+
+BASE_LUT = np.full(256, BASE_OTHER, dtype=np.int8)
+for ch, code in (
+    ("A", BASE_A), ("a", BASE_A),
+    ("C", BASE_C), ("c", BASE_C),
+    ("G", BASE_G), ("g", BASE_G),
+    ("T", BASE_T), ("t", BASE_T),
+    ("N", BASE_N), ("n", BASE_N),
+):
+    BASE_LUT[ord(ch)] = code
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_block(block, max_len: int = 0, pad_reads_to: int = 0):
+    """Pack a RecordBlock into (codes, quals, lens, valid).
+
+    ``max_len``: pad/clip length (0 = block max, rounded up to 128 lanes).
+    ``pad_reads_to``: pad the read dimension (0 = no padding); padded rows
+    have ``valid`` False and length 0.
+    """
+    n = block.num_reads
+    lens = block.seq_lens
+    lmax = int(max_len) if max_len else round_up(max(int(lens.max(initial=1)), 1), 128)
+    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    arr = block.arr
+    seq_start = block.starts[:, 1]
+    q_start = block.starts[:, 3]
+    col = np.arange(lmax, dtype=np.int64)
+
+    clip = np.minimum(lens.astype(np.int64), lmax)
+    pos_mask = col[None, :] < clip[:, None]
+
+    limit = arr.shape[0] - 1
+    seq_idx = np.minimum(seq_start[:, None] + col[None, :], limit)
+    q_idx = np.minimum(q_start[:, None] + col[None, :], limit)
+
+    codes = np.where(pos_mask, BASE_LUT[arr[seq_idx]], np.int8(BASE_OTHER))
+    quals = np.where(pos_mask, arr[q_idx], np.uint8(0))
+
+    if nrows > n:
+        codes = np.concatenate(
+            [codes, np.full((nrows - n, lmax), BASE_OTHER, dtype=np.int8)], axis=0
+        )
+        quals = np.concatenate(
+            [quals, np.zeros((nrows - n, lmax), dtype=np.uint8)], axis=0
+        )
+        out_lens = np.concatenate([lens, np.zeros(nrows - n, dtype=np.int32)])
+    else:
+        out_lens = lens
+    valid = np.arange(nrows) < n
+    return codes, quals, out_lens.astype(np.int32), valid

@@ -1,0 +1,107 @@
+import numpy as np
+import pytest
+
+from hpgq.io import FastqReader, pack_block
+from hpgq.io.packer import BASE_LUT
+
+from gen import make_fastq, make_records, write_fastq
+
+
+def _read_all(path, batch_size):
+    blocks = []
+    with FastqReader(path, batch_size=batch_size) as rd:
+        for b in rd:
+            blocks.append(b)
+    return blocks
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("batch_size", [7, 100, 10000])
+def test_reader_roundtrip(tmp_path, gz, batch_size):
+    path = str(tmp_path / ("a.fq" + (".gz" if gz else "")))
+    records = make_fastq(path, 253, min_len=20, max_len=90, seed=1, n_prob=0.02)
+    blocks = _read_all(path, batch_size)
+    got = []
+    for b in blocks:
+        for i in range(b.num_reads):
+            got.append((b.sequence(i), b.quality(i)))
+    assert len(got) == len(records)
+    for (seq, qual), (_, rseq, rqual) in zip(got, records):
+        assert seq == rseq
+        assert qual == rqual
+
+
+def test_reader_no_trailing_newline(tmp_path):
+    path = str(tmp_path / "a.fq")
+    records = make_records(3, min_len=10, max_len=10)
+    write_fastq(path, records)
+    with open(path, "rb") as f:
+        data = f.read()
+    with open(path, "wb") as f:
+        f.write(data[:-1])  # strip final newline
+    blocks = _read_all(path, 100)
+    assert sum(b.num_reads for b in blocks) == 3
+    assert blocks[-1].quality(blocks[-1].num_reads - 1) == records[-1][2]
+
+
+def test_record_bytes_roundtrip(tmp_path):
+    path = str(tmp_path / "a.fq")
+    make_fastq(path, 11, min_len=5, max_len=30, seed=3)
+    with open(path, "rb") as f:
+        raw = f.read()
+    blocks = _read_all(path, 4)
+    rebuilt = b"".join(
+        b.record_bytes(i) for b in blocks for i in range(b.num_reads)
+    )
+    assert rebuilt == raw
+
+
+def test_pack_block(tmp_path):
+    path = str(tmp_path / "a.fq")
+    records = make_fastq(
+        path, 37, min_len=10, max_len=130, seed=2, n_prob=0.05, lowercase_prob=0.1
+    )
+    (block,) = _read_all(path, 10000)
+    codes, quals, lens, valid = pack_block(block, pad_reads_to=64)
+    assert codes.shape == quals.shape == (64, 256)
+    assert valid.sum() == 37
+    for i, (_, seq, qual) in enumerate(records):
+        n = len(seq)
+        assert lens[i] == n
+        np.testing.assert_array_equal(
+            codes[i, :n], BASE_LUT[np.frombuffer(seq, dtype=np.uint8)]
+        )
+        np.testing.assert_array_equal(
+            quals[i, :n], np.frombuffer(qual, dtype=np.uint8)
+        )
+        assert (codes[i, n:] == 5).all()
+        assert (quals[i, n:] == 0).all()
+    assert (lens[37:] == 0).all()
+
+
+def test_write_selected_and_trimmed(tmp_path):
+    path = str(tmp_path / "a.fq")
+    records = make_fastq(path, 9, min_len=12, max_len=20, seed=4)
+    (block,) = _read_all(path, 100)
+    sel = np.array([i % 2 == 0 for i in range(9)])
+    import io
+
+    out = io.BytesIO()
+    n = block.write_selected(out, sel)
+    assert n == 5
+    expected = b"".join(
+        name + b"\n" + seq + b"\n+\n" + q + b"\n"
+        for i, (name, seq, q) in enumerate(records)
+        if sel[i]
+    )
+    assert out.getvalue() == expected
+
+    out = io.BytesIO()
+    lt = np.full(9, 3)
+    rt = np.full(9, 2)
+    block.write_trimmed(out, lt, rt)
+    expected = b"".join(
+        name + b"\n" + seq[3:-2] + b"\n+\n" + q[3:-2] + b"\n"
+        for (name, seq, q) in records
+    )
+    assert out.getvalue() == expected
