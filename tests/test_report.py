@@ -1,0 +1,140 @@
+import os
+
+import numpy as np
+import pytest
+
+from hpgq.io import FastqReader, pack_block
+from hpgq.options import FilterCriteria, StatsOptions
+from hpgq.oracle import baseline, spec
+from hpgq.report.stats_report import sorted_kmers, stats_report
+
+from gen import make_fastq
+
+
+def _counters(tmp_path, n=200, **kw):
+    path = str(tmp_path / "reads.fq")
+    make_fastq(path, n, **kw)
+    pairs = list(spec.iter_seq_qual(path))
+    return path, pairs
+
+
+def test_summary_and_data_files(tmp_path):
+    path, pairs = _counters(tmp_path, min_len=40, max_len=60, n_prob=0.02, seed=21)
+    counters = spec.stats_of_file(pairs, kmers_on=True)
+    opts = StatsOptions(in_filename=path, out_dirname=str(tmp_path), kmers_on=True)
+    stats_report(counters, opts)
+
+    base = str(tmp_path / "reads.fq")
+    summary = open(base + ".summary.txt").read()
+    assert summary.startswith(
+        "-----------------------------------\n"
+        "      FastQ quality report\n"
+        "-----------------------------------\n"
+        "FastQ filename: reads.fq\n"
+    )
+    assert "Filter         : Disabled\n" in summary
+    assert "Number of reads: 200\n" in summary
+    assert "Read length (min., mean, max.): (%i, " % counters.min_length in summary
+    # percent lines keep the literal '%' like glibc's handling of "%0.2f %\n"
+    assert "\tA: " in summary and " %\n" in summary
+    # k-mer top-20 table has the reference's 21-row quirk
+    kmer_rows = summary.split("K-mers (top 20)\n\tSequence\tCount\n")[1]
+    assert len([l for l in kmer_rows.strip("\n").split("\n") if l]) == 21
+
+    # length histogram covers 1..max_length inclusive with zeros
+    lh = open(base + ".length.histogram.data").read().strip("\n").split("\n")
+    assert len(lh) == counters.max_length
+    assert lh[0].startswith("1\t")
+    total = sum(int(r.split("\t")[1]) for r in lh)
+    assert total == counters.num_reads
+
+    # GC histogram rows only non-zero, bins 1..99
+    for row in open(base + ".GC.histogram.data").read().strip("\n").split("\n"):
+        b, v = map(int, row.split("\t"))
+        assert 1 <= b <= 99 and v > 0
+
+    # quality.per.nt.data final state is the int-format (nt_content) variant
+    qrows = open(base + ".quality.per.nt.data").read().strip("\n").split("\n")
+    assert len(qrows) == counters.max_length
+    for row in qrows:
+        k, v = row.split("\t")
+        int(k), int(v)  # both plain ints
+
+    # nucleotides.data: 5 percentage columns summing ~100
+    for row in open(base + ".nucleotides.data").read().strip("\n").split("\n"):
+        cols = row.split("\t")
+        assert len(cols) == 6
+        assert abs(sum(float(x) for x in cols[1:]) - 100.0) < 0.2
+
+    # kmers.txt has all 1024 rows sorted by count desc
+    krows = open(base + ".kmers.txt").read().strip("\n").split("\n")[1:]
+    assert len(krows) == 1024
+    counts = [int(r.split("\t")[1]) for r in krows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(counts) == int(counters.kmer_counts.sum())
+
+    # kmers.per.nt.data row count = max_length - 4
+    prows = open(base + ".kmers.per.nt.data").read().strip("\n").split("\n")
+    assert len(prows) == counters.max_length - 4
+
+    # gnuplot scripts exist for all seven plots
+    for suffix in (
+        ".length.histogram", ".read.quality.histogram", ".quality.per.nt",
+        ".GC.histogram", ".GC.per.nt", ".nucleotides", ".kmers.per.nt",
+    ):
+        assert os.path.exists(base + suffix + ".gnuplot"), suffix
+
+
+def test_summary_filtered(tmp_path):
+    path, pairs = _counters(tmp_path, min_len=40, max_len=60, seed=22)
+    crit = FilterCriteria(min_read_quality=20, max_read_quality=40)
+    counters = spec.stats_of_file(pairs, criteria=crit)
+    opts = StatsOptions(
+        in_filename=path,
+        out_dirname=str(tmp_path),
+        read_quality_range="20,40",
+        criteria=crit.substituted(),
+    )
+    opts.filter_on = True
+    stats_report(counters, opts)
+    summary = open(str(tmp_path / "reads.fq.summary.txt")).read()
+    assert "Filter options:\n" in summary
+    assert "\tRead quality range  : 20,40\n" in summary
+    assert (
+        "Number of reads in file  : %d\n" % (counters.num_passed + counters.num_failed)
+        in summary
+    )
+    assert "(%0.2f %%)" % (100.0 * counters.num_reads / 200) in summary.replace(
+        "%)", "%%)"
+    ) or " %)" in summary
+
+
+def test_read_quality_histogram_keys(tmp_path):
+    path, pairs = _counters(tmp_path, min_len=30, max_len=30, seed=23)
+    counters = spec.stats_of_file(pairs)
+    opts = StatsOptions(in_filename=path, out_dirname=str(tmp_path))
+    stats_report(counters, opts)
+    rows = (
+        open(str(tmp_path / "reads.fq.read.quality.histogram.data"))
+        .read().strip("\n").split("\n")
+    )
+    keys = [int(r.split("\t")[0]) for r in rows]
+    # keys are phred-normalized and contiguous
+    assert keys == list(range(keys[0], keys[0] + len(keys)))
+    assert sum(int(r.split("\t")[1]) for r in rows) == counters.num_reads
+    # raw keys span [min,max] observed
+    nz = np.flatnonzero(counters.quality_hist)
+    assert keys[0] == int(nz.min()) - counters.phred
+    assert keys[-1] == int(nz.max()) - counters.phred
+
+
+def test_sorted_kmers_tiebreak(tmp_path):
+    from hpgq.core.counters import StatsCounters
+
+    c = StatsCounters(kmers_on=True)
+    c.kmer_counts[5] = 10
+    c.kmer_counts[3] = 10
+    c.kmer_counts[100] = 50
+    km = sorted_kmers(c)
+    assert km[0][0] == 100
+    assert km[1][0] == 3 and km[2][0] == 5  # ties by id ascending
