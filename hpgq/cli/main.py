@@ -1,0 +1,370 @@
+"""hpgq command-line interface.
+
+Flag-compatible with the reference's commands and option tables
+(``src/hpg-fastq.c:36-127``; argtable defs ``src/stats_options.c:262-287``,
+``src/filter_options.c:235-258``, ``src/edit_options.c:267-290``), with the
+legacy capabilities promoted to first-class flags:
+
+* paired-end inputs ``--fq1/--fastq1`` + ``--fq2/--fastq2``
+  (``old/main_hpg_fastq_old.c:167-172``)
+* ``cgr`` subcommand (legacy ``--cg/--k/--gs-filename``,
+  ``old/main_hpg_fastq_old.c:186-190``)
+* ``--conf`` key=value option file (``old/hpg-fastq.conf``; file overrides
+  CLI like the legacy doc, ``old/README:63-64``)
+* ``--t/--time`` per-stage timing block (``old/main_hpg_fastq_old.c:741-763``)
+* ``--log-level`` 1..5 scale (``old/README:197``)
+
+Console PARAMETERS/RESULTS blocks mirror the reference
+(``src/stats_options.c:166-225``, ``src/stats_fastq.c:486-498``,
+``src/filter_fastq.c:229-234``, ``src/edit_fastq.c:263-273``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from .. import __version__
+from ..options import (
+    CgrOptions,
+    EditOptions,
+    FilterOptions,
+    OptionsError,
+    StatsOptions,
+    display,
+    validate_common,
+)
+from ..utils.timers import StageTimers
+
+_LOG_LEVELS = {1: logging.DEBUG, 2: logging.INFO, 3: logging.WARNING,
+               4: logging.ERROR, 5: logging.CRITICAL}
+
+
+def usage(exec_name: str) -> str:
+    return (
+        "Program: %s (TPU-native high-performance tools for handling FastQ files)\n"
+        "Version: %s\n"
+        "\n"
+        "Usage: %s <command> [options]\n"
+        "\n"
+        "Command: stats\t\tstatistics summary\n"
+        "         filter\t\tfilter a FastQ file by using advanced criteria\n"
+        "         edit\t\tedit a FastQ file according the specified options\n"
+        "         cgr\t\tchaos-game-representation genomic signature\n"
+        "\n"
+        "For more information about a certain command, type %s <command> --help\n"
+        % (exec_name, __version__, exec_name, exec_name)
+    )
+
+
+def _add_common(p: argparse.ArgumentParser, with_windows=True, with_encoding=False):
+    p.add_argument("-f", "--fastq-file", dest="in_filename",
+                   help="Input file name (FastQ format)")
+    p.add_argument("--fq1", "--fastq1", dest="in_filename1",
+                   help="Paired-end input, mate 1")
+    p.add_argument("--fq2", "--fastq2", dest="in_filename2",
+                   help="Paired-end input, mate 2")
+    p.add_argument("-o", "--outdir", dest="out_dirname",
+                   help="Output directory name")
+    p.add_argument("--num-threads", type=int, default=2, help="Number of threads")
+    p.add_argument("--batch-size", type=int, default=10000,
+                   help="Batch size (in number of alignments)")
+    if with_encoding:
+        p.add_argument("--quality-encoding", dest="quality_encoding_name",
+                       help="Encoding for quality scores: phred33, phred64")
+    p.add_argument("--read-length-range",
+                   help="Read length range, eg. 80,110")
+    p.add_argument("--read-quality-range",
+                   help="Read quality range, eg. 20,40")
+    p.add_argument("--left-length", type=int, default=-1,
+                   help="Number of leftmost nucleotides to take into account "
+                        "to filter or trim")
+    p.add_argument("--left-quality-range",
+                   help="Quality range for the leftmost nucleotides, eg. 15,45")
+    p.add_argument("--right-length", type=int, default=-1,
+                   help="Number of rightmost nucleotides to take into account "
+                        "to filter or trim")
+    p.add_argument("--right-quality-range",
+                   help="Quality range for the rightmost nucleotides, eg. 10,60")
+    p.add_argument("--max-N", type=int, default=-1, dest="max_N",
+                   help="Maximum number of Ns in the sequences")
+    p.add_argument("--max-out-of-quality", type=int, default=-1,
+                   help="Maximum number of nucleotides out of the read quality range")
+    # engine / observability knobs (new)
+    p.add_argument("--t", "--time", dest="time_on", action="store_true",
+                   help="Print per-stage timing report")
+    p.add_argument("--log-level", type=int, default=2,
+                   help="Log level 1 (debug) .. 5 (fatal)")
+    p.add_argument("--log-file", default=None, help="Log file path")
+    p.add_argument("--conf", default=None,
+                   help="key=value option file; file overrides command line")
+    p.add_argument("--device-batch-reads", type=int, default=0,
+                   help="Device batch rows (0 = auto from --batch-size)")
+    p.add_argument("--checkpoint", dest="checkpoint_path", default=None,
+                   help="Checkpoint file for resumable streaming")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="Batches between checkpoints (0 = off)")
+    p.add_argument("--profile-dir", default=None,
+                   help="Write a jax.profiler trace to this directory")
+    p.add_argument("--no-pallas", dest="use_pallas", action="store_false",
+                   help="Disable Pallas kernels (use the XLA-fused jnp path)")
+
+
+def _parse_conf(path: str) -> dict:
+    """Legacy ``--conf`` support: ``key = value ;`` / ``key=value`` lines
+    (``old/hpg-fastq.conf``); flags may appear alone on a line."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip().rstrip(";").strip()
+            if not line or line.startswith("#") or line.endswith("{") or line == "};":
+                continue
+            if line.endswith(":"):
+                continue
+            if "=" in line:
+                k, v = line.split("=", 1)
+                out[k.strip().lstrip("-")] = v.strip().strip('"')
+            else:
+                out[line.lstrip("-")] = True
+    return out
+
+
+def _apply_conf(ns: argparse.Namespace, conf: dict):
+    """File overrides command line (old/README:63-64)."""
+    mapping = {
+        "outdir": "out_dirname",
+        "fastq-file": "in_filename",
+        "fq": "in_filename",
+        "fastq": "in_filename",
+        "fq1": "in_filename1",
+        "fq2": "in_filename2",
+        "num-threads": "num_threads",
+        "cpu-num-threads": "num_threads",
+        "batch-size": "batch_size",
+        "quality-encoding": "quality_encoding_name",
+        "read-length-range": "read_length_range",
+        "read-quality-range": "read_quality_range",
+        "left-length": "left_length",
+        "left-quality-range": "left_quality_range",
+        "right-length": "right_length",
+        "right-quality-range": "right_quality_range",
+        "max-N": "max_N",
+        "max-out-of-quality": "max_out_of_quality",
+        "kmers": "kmers_on",
+        "k": "k",
+        "gs-filename": "gs_filename",
+        "log-level": "log_level",
+        "log-file": "log_file",
+        "t": "time_on",
+        "time": "time_on",
+    }
+    for key, val in conf.items():
+        attr = mapping.get(key)
+        if attr is None or not hasattr(ns, attr):
+            continue
+        cur = getattr(ns, attr)
+        if isinstance(cur, bool) or val is True:
+            setattr(ns, attr, bool(val))
+        elif isinstance(cur, int) or (cur is None and str(val).lstrip("-").isdigit()):
+            try:
+                setattr(ns, attr, int(val))
+            except ValueError:
+                setattr(ns, attr, val)
+        else:
+            setattr(ns, attr, val)
+
+
+def _ns_to_opts(ns: argparse.Namespace, cls):
+    opts = cls()
+    if ns.conf:
+        _apply_conf(ns, _parse_conf(ns.conf))
+    if getattr(ns, "in_filename1", None) and not ns.in_filename:
+        opts.in_filename = ns.in_filename1
+        opts.in_filename2 = ns.in_filename2
+        if not ns.in_filename2:
+            raise OptionsError(
+                "Both pair ends files are mandatory, use both --fastq1 and "
+                "--fastq2 options"
+            )
+    else:
+        opts.in_filename = ns.in_filename
+        if ns.in_filename and (
+            getattr(ns, "in_filename1", None) or getattr(ns, "in_filename2", None)
+        ):
+            raise OptionsError(
+                "single-end and paired-end options are exclusive, use --fastq "
+                "OR --fastq1/--fastq2 options, not both"
+            )
+    opts.out_dirname = ns.out_dirname
+    opts.num_threads = ns.num_threads
+    opts.batch_size = ns.batch_size
+    opts.quality_encoding_name = getattr(ns, "quality_encoding_name", None)
+    opts.read_length_range = ns.read_length_range
+    opts.read_quality_range = ns.read_quality_range
+    opts.left_quality_range = ns.left_quality_range
+    opts.right_quality_range = ns.right_quality_range
+    opts.criteria.left_length = ns.left_length
+    opts.criteria.right_length = ns.right_length
+    opts.criteria.max_N = ns.max_N
+    opts.criteria.max_out_of_quality = ns.max_out_of_quality
+    opts.time_on = ns.time_on
+    opts.log_level = ns.log_level
+    opts.device_batch_reads = ns.device_batch_reads
+    opts.checkpoint_path = ns.checkpoint_path
+    opts.checkpoint_every = ns.checkpoint_every
+    opts.profile_dir = ns.profile_dir
+    opts.use_pallas = ns.use_pallas
+
+    logging.basicConfig(
+        filename=ns.log_file or "hpg-fastq.log",
+        filemode="w",
+        level=_LOG_LEVELS.get(ns.log_level, logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    return opts
+
+
+def _results_banner(lines):
+    print("\n")
+    print("RESULTS")
+    print("=================================================")
+    for line in lines:
+        print(line)
+    print("=================================================")
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    exec_name = "hpgq"
+    if not argv or argv[0] in ("-h", "--help"):
+        print(usage(exec_name), end="")
+        return -1
+    command, rest = argv[0], argv[1:]
+
+    parser = argparse.ArgumentParser(prog="%s %s" % (exec_name, command))
+    if command == "stats":
+        _add_common(parser, with_encoding=True)
+        parser.add_argument("--kmers", dest="kmers_on", action="store_true",
+                            help="Enable k-mers analysis (5-mer)")
+        ns = parser.parse_args(rest)
+        opts = _ns_to_opts(ns, StatsOptions)
+        opts.kmers_on = ns.kmers_on
+        validate_common(opts)
+        display(opts)
+        timers = StageTimers()
+        from ..pipeline.run import run_stats
+
+        result = run_stats(opts, timers)
+        lines = [
+            "Report files and images were stored in '%s' directory" % opts.out_dirname
+        ]
+        counters = result[0] if isinstance(result, tuple) else result
+        if counters.filter_on:
+            lines += [
+                "\nFiltering: enabled",
+                "\tSo, statistics were computed for %d of %d reads."
+                % (counters.num_passed, counters.num_passed + counters.num_failed),
+            ]
+        else:
+            lines += [
+                "\nFiltering: disabled",
+                "\tSo, statistics were computed for the whole input file.",
+            ]
+        _results_banner(lines)
+        if opts.time_on:
+            timers.report()
+    elif command == "filter":
+        _add_common(parser)
+        ns = parser.parse_args(rest)
+        opts = _ns_to_opts(ns, FilterOptions)
+        validate_common(opts)
+        display(opts)
+        timers = StageTimers()
+        from ..pipeline.run import run_filter
+
+        res = run_filter(opts, timers)
+        if opts.paired_end:
+            _results_banner([
+                "Num. passed pairs: %d (%s, %s)"
+                % (res["num_passed"], res["passed_1"], res["passed_2"]),
+                "Num. failed pairs: %d (%s, %s)"
+                % (res["num_failed"], res["failed_1"], res["failed_2"]),
+            ])
+        else:
+            _results_banner([
+                "Num. passed reads: %d (%s)" % (res["num_passed"], res["passed_filename"]),
+                "Num. failed reads: %d (%s)" % (res["num_failed"], res["failed_filename"]),
+            ])
+        if opts.time_on:
+            timers.report()
+    elif command == "edit":
+        _add_common(parser)
+        ns = parser.parse_args(rest)
+        opts = _ns_to_opts(ns, EditOptions)
+        validate_common(opts)
+        display(opts)
+        timers = StageTimers()
+        from ..pipeline.run import run_edit
+
+        res = run_edit(opts, timers)
+        lines = ["Num. edited reads : %d" % res["num_edited"]]
+        if opts.paired_end:
+            lines.append("Output files      : %s, %s" % (res["edit_1"], res["edit_2"]))
+            if opts.filter_on:
+                lines += [
+                    "\nFiltering : Enabled",
+                    "\tNum. passed pairs : %d" % res["num_passed"],
+                    "\tNum. failed pairs : %d" % res["num_failed"],
+                ]
+        else:
+            lines.append("Output file       : %s" % res["edit_filename"])
+            if opts.filter_on:
+                lines += [
+                    "\nFiltering : Enabled",
+                    "\tNum. passed reads : %d (%s)"
+                    % (res["num_passed"], res["edit_filename"]),
+                    "\tNum. failed reads : %d (%s)"
+                    % (res["num_failed"], res["failed_filename"]),
+                ]
+        _results_banner(lines)
+        if opts.time_on:
+            timers.report()
+    elif command == "cgr":
+        _add_common(parser, with_encoding=True)
+        parser.add_argument("--k", type=int, default=7,
+                            help="Word size of the Chaos Game (default 7)")
+        parser.add_argument("--gs-filename", default=None,
+                            help="Reference genomic-signature file for the given k")
+        parser.add_argument("--write-gs", action="store_true",
+                            help="Also write this file's signature in .gs format")
+        ns = parser.parse_args(rest)
+        opts = _ns_to_opts(ns, CgrOptions)
+        opts.k = ns.k
+        opts.gs_filename = ns.gs_filename
+        opts.write_gs = ns.write_gs
+        validate_common(opts)
+        display(opts)
+        timers = StageTimers()
+        from ..pipeline.cgr_run import run_cgr
+
+        res = run_cgr(opts, timers)
+        lines = ["Words read: %d" % res["fq_word_count"]]
+        lines += ["PGM: %s" % p for p in res["pgm_files"]]
+        if res.get("mean_dif") is not None:
+            lines += [
+                "Diff matrix mean   : %0.6f" % res["mean_dif"],
+                "Diff matrix stddev : %0.6f" % res["std_dif"],
+            ]
+        _results_banner(lines)
+        if opts.time_on:
+            timers.report()
+    else:
+        print(usage(exec_name), end="")
+        return -1
+    logging.getLogger("hpgq").info("Done !")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

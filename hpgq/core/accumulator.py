@@ -1,0 +1,107 @@
+"""Device-side stats accumulation with overflow-safe host folding.
+
+Device accumulators are int32 (fast TPU vector adds).  The host folds them
+into the int64 :class:`~hpgq.core.counters.StatsCounters` every
+``flush_every`` batches — chosen so no int32 counter can overflow within a
+flush window (worst case is ``acc_length``/``qual_per_nt`` at
+``reads_per_flush * Lcap * 126 < 2**31``).  This replaces the reference's
+serial consumer thread (SURVEY §2.3 P5): merging is a vector add here and a
+``psum``/host-sum across shards at the end of the run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..constants import NUM_KMERS
+from .counters import StatsCounters
+from ..kernels.stats_jnp import MIN_LENGTH_INIT, make_stats_step, zero_partials
+
+
+def safe_flush_every(batch_reads: int, lcap: int) -> int:
+    """Max batches between flushes with no int32 overflow possible."""
+    per_batch = max(1, batch_reads) * max(lcap, 1) * 130  # qual bytes < 130
+    return max(1, (2**30) // per_batch)
+
+
+class DeviceAccumulator:
+    """Streaming stats accumulator: jitted device update + periodic host fold."""
+
+    def __init__(
+        self,
+        lcap: int,
+        phred: int,
+        kmers_on: bool = False,
+        crit=None,
+        batch_reads: int = 16384,
+        device=None,
+        jit: bool = True,
+    ):
+        self.lcap = lcap
+        self.phred = phred
+        self.kmers_on = kmers_on
+        self.filter_on = crit is not None
+        self.device = device
+        self.counters = StatsCounters(phred=phred, kmers_on=kmers_on)
+        self.counters.filter_on = self.filter_on
+        self.counters.ensure_length(lcap)
+        self._step = make_stats_step(lcap, phred, kmers_on, crit, jit=jit)
+        self._acc = zero_partials(lcap, kmers_on)
+        if device is not None:
+            self._acc = jax.device_put(self._acc, device)
+        self.flush_every = safe_flush_every(batch_reads, lcap)
+        self._since_flush = 0
+
+    def update(self, codes, quals, lens, valid) -> None:
+        self._acc = self._step(self._acc, codes, quals, lens, valid)
+        self._since_flush += 1
+        if self._since_flush >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._since_flush == 0:
+            return
+        host = jax.device_get(self._acc)
+        fold_partials(self.counters, host)
+        self._acc = zero_partials(self.lcap, self.kmers_on)
+        if self.device is not None:
+            self._acc = jax.device_put(self._acc, self.device)
+        self._since_flush = 0
+
+    def finish(self) -> StatsCounters:
+        self.flush()
+        return self.counters
+
+
+def fold_partials(c: StatsCounters, host: dict) -> None:
+    """Fold a host copy of the device partials pytree into int64 counters."""
+    c.ensure_length(len(np.asarray(host["cov_per_nt"])))
+    c.num_reads += int(host["num_reads"])
+    c.num_passed += int(host.get("num_passed", 0))
+    c.num_failed += int(host.get("num_failed", 0))
+    c.acc_length += int(host["acc_length"])
+    ml = int(host["min_length"])
+    if ml != MIN_LENGTH_INIT or int(host["num_reads"]) > 0:
+        c.min_length = min(c.min_length, ml) if ml != MIN_LENGTH_INIT else c.min_length
+    c.max_length = max(c.max_length, int(host["max_length"]))
+    c.acc_quality += float(host["acc_quality"])
+    bt = np.asarray(host["base_totals"], dtype=np.int64)
+    c.num_As += int(bt[0])
+    c.num_Cs += int(bt[1])
+    c.num_Gs += int(bt[2])
+    c.num_Ts += int(bt[3])
+    c.num_Ns += int(bt[4])
+    lh = np.asarray(host["length_hist"], dtype=np.int64)
+    c.length_hist[: lh.shape[0]] += lh
+    c.quality_hist += np.asarray(host["quality_hist"], dtype=np.int64)
+    c.gc_hist += np.asarray(host["gc_hist"], dtype=np.int64)
+    lcap = np.asarray(host["cov_per_nt"]).shape[0]
+    c.count_quality_per_nt[:lcap] += np.asarray(host["cov_per_nt"], dtype=np.int64)
+    c.acc_quality_per_nt[:lcap] += np.asarray(host["qual_per_nt"], dtype=np.int64)
+    c.base_per_nt[:, :lcap] += np.asarray(host["base_per_nt"], dtype=np.int64)
+    if "kmer_counts" in host:
+        c.kmer_counts += np.asarray(host["kmer_counts"], dtype=np.int64)
+        c.kmer_counts_by_pos[:, :lcap] += np.asarray(
+            host["kmer_per_nt"], dtype=np.int64
+        )

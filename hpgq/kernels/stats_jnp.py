@@ -1,0 +1,359 @@
+"""JAX (jnp) compute kernels: per-batch stats partials, filter verdicts, trims.
+
+This is the XLA-fused reference compute path of the engine; the Pallas
+kernels (``hpgq.kernels.stats_pallas``) implement the same contracts with an
+explicitly tiled single pass and are differentially tested against this
+module, which in turn is tested against the numpy baseline and the per-read
+oracle spec (decision tags [D1]..[D6] in ``hpgq.oracle.spec``).
+
+Everything here is trace-safe: static shapes ``[B, L]``, no data-dependent
+Python control flow, int32 device arithmetic (host folds into int64 before
+overflow — see ``hpgq.core.accumulator``).
+
+Replaces the reference's serial consumer merge (``src/stats_fastq.c:257-417``)
+with vectorized one-hot reductions + scatter-adds, and the ``fastq_filter`` /
+``fastq_edit`` per-read loops with masked reductions (SURVEY §2.2-2.3 P2/P5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    BASE_C,
+    BASE_G,
+    BASE_N,
+    KMER_K,
+    MAX_VALUE,
+    MIN_VALUE,
+    NUM_KMERS,
+    PHRED33,
+)
+from ..core.counters import GC_BINS, QUAL_BINS
+from ..options import FilterCriteria
+
+MIN_LENGTH_INIT = 100000  # reference init, src/stats_fastq.c:24
+
+
+# ---------------------------------------------------------------------------
+# partials pytree
+# ---------------------------------------------------------------------------
+
+def zero_partials(lcap: int, kmers_on: bool = False):
+    """Zero-initialized device accumulator pytree (all int32 except noted)."""
+    p = {
+        "num_reads": jnp.zeros((), jnp.int32),
+        "num_passed": jnp.zeros((), jnp.int32),
+        "num_failed": jnp.zeros((), jnp.int32),
+        "acc_length": jnp.zeros((), jnp.int32),
+        "min_length": jnp.full((), MIN_LENGTH_INIT, jnp.int32),
+        "max_length": jnp.zeros((), jnp.int32),
+        # Kahan-compensated f32 sum of per-read mean raw qualities [D1]
+        "acc_quality": jnp.zeros((), jnp.float32),
+        "acc_quality_comp": jnp.zeros((), jnp.float32),
+        "base_totals": jnp.zeros((5,), jnp.int32),  # A C G T N
+        "length_hist": jnp.zeros((lcap + 1,), jnp.int32),
+        "quality_hist": jnp.zeros((QUAL_BINS,), jnp.int32),
+        "gc_hist": jnp.zeros((GC_BINS,), jnp.int32),
+        "cov_per_nt": jnp.zeros((lcap,), jnp.int32),
+        "qual_per_nt": jnp.zeros((lcap,), jnp.int32),
+        "base_per_nt": jnp.zeros((5, lcap), jnp.int32),
+    }
+    if kmers_on:
+        p["kmer_counts"] = jnp.zeros((NUM_KMERS,), jnp.int32)
+        p["kmer_per_nt"] = jnp.zeros((NUM_KMERS, lcap), jnp.int32)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# shared masked reductions
+# ---------------------------------------------------------------------------
+
+def _pos_iota(B: int, L: int):
+    return jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+
+def read_reductions(codes, quals, lens):
+    """(mask, qsum[B], nG+nC[B], nN[B]) masked per-read reductions."""
+    B, L = codes.shape
+    mask = _pos_iota(B, L) < lens[:, None]
+    q = quals.astype(jnp.int32)
+    qsum = jnp.where(mask, q, 0).sum(axis=1)
+    gc = ((codes == BASE_G) | (codes == BASE_C)) & mask
+    ngc = gc.sum(axis=1, dtype=jnp.int32)
+    nn = ((codes == BASE_N) & mask).sum(axis=1, dtype=jnp.int32)
+    return mask, qsum, ngc, nn
+
+
+def _window_sums(quals, lens, left_len: int, right_len: int, mask):
+    """Left/right window quality sums and widths [D3]."""
+    B, L = quals.shape
+    q = jnp.where(mask, quals.astype(jnp.int32), 0)
+    pos = _pos_iota(B, L)
+    out = {}
+    if left_len > 0:
+        w = jnp.minimum(lens, left_len)
+        lmask = pos < w[:, None]
+        out["left"] = (jnp.where(lmask, q, 0).sum(axis=1), w)
+    if right_len > 0:
+        w = jnp.minimum(lens, right_len)
+        rmask = pos >= (lens - w)[:, None]
+        out["right"] = (jnp.where(rmask & mask, q, 0).sum(axis=1), w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# filter / edit kernels
+# ---------------------------------------------------------------------------
+
+def verdicts(codes, quals, lens, crit: FilterCriteria, phred: int = PHRED33):
+    """fastq_filter predicate, vectorized — bool [B].  [D2][D3]
+
+    ``crit`` values are Python ints (static under jit via closure).
+    """
+    crit = crit.substituted()
+    B, L = codes.shape
+    mask, qsum, ngc, nn = read_reductions(codes, quals, lens)
+    del ngc
+    lens32 = lens.astype(jnp.int32)
+
+    ok = (lens32 >= crit.min_read_length) & (lens32 <= crit.max_read_length)
+
+    qn = qsum - phred * lens32
+    ok &= (crit.min_read_quality * lens32 <= qn) & (qn <= crit.max_read_quality * lens32)
+
+    if crit.max_out_of_quality != MAX_VALUE:
+        nq = quals.astype(jnp.int32) - phred
+        out_of = (
+            ((nq < crit.min_read_quality) | (nq > crit.max_read_quality)) & mask
+        ).sum(axis=1, dtype=jnp.int32)
+        ok &= out_of <= crit.max_out_of_quality
+
+    wins = _window_sums(
+        quals, lens32,
+        crit.left_length if crit.left_length > MIN_VALUE else 0,
+        crit.right_length if crit.right_length > MIN_VALUE else 0,
+        mask,
+    )
+    if "left" in wins:
+        ls, w = wins["left"]
+        lqn = ls - phred * w
+        ok &= (crit.min_left_quality * w <= lqn) & (lqn <= crit.max_left_quality * w)
+    if "right" in wins:
+        rs, w = wins["right"]
+        rqn = rs - phred * w
+        ok &= (crit.min_right_quality * w <= rqn) & (rqn <= crit.max_right_quality * w)
+
+    ok &= nn <= crit.max_N
+    return ok
+
+
+def trims(quals, lens, crit: FilterCriteria, phred: int = PHRED33):
+    """fastq_edit trim decision — (ltrim, rtrim) int32 [B].  [D4]"""
+    crit = crit.substituted()
+    B, L = quals.shape
+    mask = _pos_iota(B, L) < lens[:, None]
+    lens32 = lens.astype(jnp.int32)
+    lt = jnp.zeros((B,), jnp.int32)
+    rt = jnp.zeros((B,), jnp.int32)
+    wins = _window_sums(
+        quals, lens32,
+        crit.left_length if crit.left_length > MIN_VALUE else 0,
+        crit.right_length if crit.right_length > MIN_VALUE else 0,
+        mask,
+    )
+    if "left" in wins:
+        ls, w = wins["left"]
+        lqn = ls - phred * w
+        bad = (lqn < crit.min_left_quality * w) | (lqn > crit.max_left_quality * w)
+        lt = jnp.where(bad, w, 0)
+    if "right" in wins:
+        rs, w = wins["right"]
+        rqn = rs - phred * w
+        bad = (rqn < crit.min_right_quality * w) | (rqn > crit.max_right_quality * w)
+        rt = jnp.where(bad, w, 0)
+    rt = jnp.minimum(rt, lens32 - lt)
+    return lt, rt
+
+
+def apply_trims(codes, quals, lens, lt, rt):
+    """Shift-trim packed arrays on device (gather; edit re-stats path)."""
+    B, L = codes.shape
+    new_lens = lens - lt - rt
+    pos = _pos_iota(B, L)
+    src = jnp.minimum(pos + lt[:, None], L - 1)
+    nc = jnp.take_along_axis(codes, src, axis=1)
+    nq = jnp.take_along_axis(quals, src, axis=1)
+    keep = pos < new_lens[:, None]
+    nc = jnp.where(keep, nc, jnp.int8(5))
+    nq = jnp.where(keep, nq, jnp.uint8(0))
+    return nc, nq, new_lens
+
+
+# ---------------------------------------------------------------------------
+# stats partials
+# ---------------------------------------------------------------------------
+
+def kmer_codes(codes, lens):
+    """[D5] per-window 5-mer codes and validity — ([B, W], [B, W])."""
+    B, L = codes.shape
+    W = L - KMER_K + 1
+    kc = jnp.zeros((B, W), jnp.int32)
+    ok = jnp.ones((B, W), jnp.bool_)
+    for i in range(KMER_K):
+        part = codes[:, i : i + W].astype(jnp.int32)
+        kc = kc * 4 + jnp.minimum(part, 3)
+        ok &= part < 4
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    ok &= (pos + KMER_K) <= lens[:, None]
+    return kc, ok
+
+
+def kmer_hist2d(kc, ok, lcap: int, bin_chunk: int = 64):
+    """2D (kmer, position) histogram via chunked one-hot compare-reduce.
+
+    Avoids XLA scatter (serialized on TPU for colliding indices): for each
+    chunk of ``bin_chunk`` kmer ids, a fused compare+sum over the batch dim.
+    Cost B*W*1024 VPU ops — acceptable for the optional kmers mode; the CGR
+    kernel uses the separable-matmul trick instead (hpgq.kernels.cgr).
+    """
+    B, W = kc.shape
+    kcm = jnp.where(ok, kc, -1)
+
+    def chunk(i, acc):
+        bins = i * bin_chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, bin_chunk), 2
+        )
+        eq = kcm[:, :, None] == bins  # [B, W, C]
+        part = eq.sum(axis=0, dtype=jnp.int32)  # [W, C]
+        return jax.lax.dynamic_update_slice(acc, part.T, (i * bin_chunk, 0))
+
+    out = jnp.zeros((NUM_KMERS, W), jnp.int32)
+    out = jax.lax.fori_loop(0, NUM_KMERS // bin_chunk, chunk, out)
+    if W < lcap:
+        out = jnp.pad(out, ((0, 0), (0, lcap - W)))
+    else:
+        out = out[:, :lcap]
+    return out
+
+
+def batch_partials(codes, quals, lens, valid, lcap: int, phred: int,
+                   kmers_on: bool = False):
+    """All per-batch statistics → partials pytree (no min/max init fields)."""
+    B, L = codes.shape
+    assert L <= lcap
+    mask, qsum, ngc, nn = read_reductions(codes, quals, lens)
+    lens32 = lens.astype(jnp.int32)
+    v32 = valid.astype(jnp.int32)
+
+    base_counts = jnp.stack(
+        [((codes == c) & mask).sum(axis=1, dtype=jnp.int32) for c in range(5)]
+    )  # [5, B]
+
+    mean_q = jnp.where(
+        lens32 > 0, qsum.astype(jnp.float32) / lens32.astype(jnp.float32), 0.0
+    )
+
+    p = {}
+    p["num_reads"] = v32.sum()
+    p["acc_length"] = (lens32 * v32).sum()
+    p["min_length"] = jnp.where(valid, lens32, MIN_LENGTH_INIT).min()
+    p["max_length"] = jnp.where(valid, lens32, 0).max()
+    p["acc_quality"] = jnp.where(valid, mean_q, 0.0).sum()
+    p["base_totals"] = (base_counts * v32[None, :]).sum(axis=1)
+
+    lh = jnp.zeros((lcap + 1,), jnp.int32)
+    p["length_hist"] = lh.at[jnp.clip(lens32, 0, lcap)].add(v32)
+
+    qkey = jnp.clip(jnp.floor(mean_q + 0.5).astype(jnp.int32), 0, QUAL_BINS - 1)
+    p["quality_hist"] = jnp.zeros((QUAL_BINS,), jnp.int32).at[qkey].add(v32)
+
+    # zero-length reads take no GC key (the reference would divide by zero)
+    gkey = (100 * (base_counts[BASE_G] + base_counts[BASE_C])) // jnp.maximum(lens32, 1)
+    gkey = jnp.clip(gkey, 0, GC_BINS - 1)
+    gweight = v32 * (lens32 > 0).astype(jnp.int32)
+    p["gc_hist"] = jnp.zeros((GC_BINS,), jnp.int32).at[gkey].add(gweight)
+
+    vmask = mask & valid[:, None]
+    cov = vmask.sum(axis=0, dtype=jnp.int32)
+    qpn = jnp.where(vmask, quals.astype(jnp.int32), 0).sum(axis=0)
+    bpn = jnp.stack(
+        [((codes == c) & vmask).sum(axis=0, dtype=jnp.int32) for c in range(5)]
+    )
+    pad = lcap - L
+    p["cov_per_nt"] = jnp.pad(cov, (0, pad))
+    p["qual_per_nt"] = jnp.pad(qpn, (0, pad))
+    p["base_per_nt"] = jnp.pad(bpn, ((0, 0), (0, pad)))
+
+    if kmers_on:
+        if L >= KMER_K:
+            kc, ok = kmer_codes(codes, lens32)
+            ok &= valid[:, None]
+            k2d = kmer_hist2d(kc, ok, lcap)
+        else:
+            k2d = jnp.zeros((NUM_KMERS, lcap), jnp.int32)
+        p["kmer_per_nt"] = k2d
+        p["kmer_counts"] = k2d.sum(axis=1)
+    return p
+
+
+def merge_into(acc, p):
+    """Accumulate batch partials into the running accumulator pytree."""
+    out = dict(acc)
+    out["num_reads"] = acc["num_reads"] + p["num_reads"]
+    out["acc_length"] = acc["acc_length"] + p["acc_length"]
+    out["min_length"] = jnp.minimum(acc["min_length"], p["min_length"])
+    out["max_length"] = jnp.maximum(acc["max_length"], p["max_length"])
+    # Kahan step for the f32 mean-quality sum
+    y = p["acc_quality"] - acc["acc_quality_comp"]
+    t = acc["acc_quality"] + y
+    out["acc_quality_comp"] = (t - acc["acc_quality"]) - y
+    out["acc_quality"] = t
+    for k in (
+        "base_totals", "length_hist", "quality_hist", "gc_hist",
+        "cov_per_nt", "qual_per_nt", "base_per_nt", "kmer_counts", "kmer_per_nt",
+    ):
+        if k in acc and k in p:
+            out[k] = acc[k] + p[k]
+    return out
+
+
+def make_stats_step(
+    lcap: int,
+    phred: int,
+    kmers_on: bool = False,
+    crit: Optional[FilterCriteria] = None,
+    jit: bool = True,
+    donate: bool = True,
+):
+    """Build the fused per-batch stats update:
+
+    step(acc, codes, quals, lens, valid) -> acc'
+
+    With ``crit`` set, stats are computed over passing reads only and
+    num_passed/num_failed are tracked (the `stats --filter` inline-filter
+    path, src/stats_fastq.c:205-248).
+    """
+
+    def step(acc, codes, quals, lens, valid):
+        lens32 = lens.astype(jnp.int32)
+        if crit is not None:
+            ok = verdicts(codes, quals, lens32, crit, phred)
+            passed = valid & ok
+            np_ = passed.astype(jnp.int32).sum()
+            nf = (valid & ~ok).astype(jnp.int32).sum()
+            p = batch_partials(codes, quals, lens32, passed, lcap, phred, kmers_on)
+            out = merge_into(acc, p)
+            out["num_passed"] = acc["num_passed"] + np_
+            out["num_failed"] = acc["num_failed"] + nf
+            return out
+        p = batch_partials(codes, quals, lens32, valid, lcap, phred, kmers_on)
+        return merge_into(acc, p)
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step

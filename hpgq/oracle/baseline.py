@@ -72,9 +72,9 @@ def block_stats(
     np.add.at(c.length_hist, lens, 1)
     qkey = np.floor(mean_q32.astype(np.float64) + 0.5).astype(np.int64)
     np.add.at(c.quality_hist, np.clip(qkey, 0, QUAL_BINS - 1), 1)
-    gckey = np.zeros(n, dtype=np.int64)
+    # zero-length reads take no GC key (the reference would divide by zero)
     nz = lens > 0
-    gckey[nz] = (100 * (base_counts[BASE_G][nz] + base_counts[BASE_C][nz])) // lens[nz]
+    gckey = (100 * (base_counts[BASE_G][nz] + base_counts[BASE_C][nz])) // lens[nz]
     np.add.at(c.gc_hist, np.clip(gckey, 0, GC_BINS - 1), 1)
 
     c.count_quality_per_nt[:L] = mask.sum(axis=0, dtype=np.int64)

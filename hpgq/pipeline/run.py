@@ -1,0 +1,302 @@
+"""Command pipelines: stats / filter / edit, single-end and paired-end.
+
+The TPU-native reshaping of the reference's producer→worker→consumer
+workflows (``src/stats_fastq.c:423-504``, ``src/filter_fastq.c:180-247``,
+``src/edit_fastq.c:212-286``): the host streams packed batches to jitted
+device kernels; stats accumulate on device (flushed in O(1) syncs), while
+filter/edit fetch per-read verdict/trim vectors back and re-slice the
+original record bytes in input order (order preservation is trivial because
+records never leave the host).
+
+Paired-end (reference capability via the legacy engine,
+``old/main_hpg_fastq_old.c:726-728``): mates stream in lockstep and a pair is
+discarded when *either* mate fails (pair-consistent discard — both mates
+dropped together); outputs are written per mate.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..io.fastq import FastqReader, FastqWriter
+from ..io.packer import pack_block, round_up
+from ..kernels import stats_jnp
+from ..options import EditOptions, FilterOptions, StatsOptions
+from ..report.stats_report import stats_report
+from ..utils.timers import StageTimers
+from .session import ShapeCachedFn, StatsSession
+
+
+def _batch_reads(opts) -> int:
+    return int(opts.device_batch_reads) or max(256, round_up(opts.batch_size, 256))
+
+
+def _iter_blocks(reader, timers):
+    it = iter(reader)
+    while True:
+        with timers.stage("read"):
+            block = next(it, None)
+        if block is None:
+            return
+        timers.num_batches += 1
+        timers.total_reads += block.num_reads
+        timers.total_bytes += len(block.buf) if block.num_reads else 0
+        yield block
+
+
+def _iter_blocks_paired(r1, r2, timers):
+    """Lockstep paired iteration; mates must pair up 1:1."""
+    i1, i2 = iter(r1), iter(r2)
+    pend1, pend2 = [], []  # (block, lo) queues flattened by slicing
+
+    def refill(it, buf):
+        b = next(it, None)
+        if b is not None:
+            buf.append(b)
+        return b is not None
+
+    while True:
+        with timers.stage("read"):
+            b1 = next(i1, None)
+            b2 = next(i2, None)
+        if b1 is None and b2 is None:
+            return
+        if (b1 is None) != (b2 is None) or b1.num_reads != b2.num_reads:
+            raise ValueError(
+                "paired-end inputs have mismatched record counts; "
+                "both mates must pair up 1:1"
+            )
+        timers.num_batches += 1
+        timers.total_reads += b1.num_reads + b2.num_reads
+        timers.total_bytes += len(b1.buf) + len(b2.buf)
+        yield b1, b2
+
+
+# ---------------------------------------------------------------------------
+# stats
+# ---------------------------------------------------------------------------
+
+def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
+    """The `stats` command (single- or paired-end). Returns counters
+    (a (counters1, counters2) tuple when paired)."""
+    timers = timers or StageTimers()
+    crit = opts.criteria if opts.filter_on else None
+    br = _batch_reads(opts)
+
+    if not opts.paired_end:
+        sess = StatsSession(
+            opts.quality_encoding_value, opts.kmers_on, crit, batch_reads=br
+        )
+        with FastqReader(opts.in_filename, batch_size=opts.batch_size) as rd:
+            for block in _iter_blocks(rd, timers):
+                with timers.stage("compute"):
+                    sess.feed_block(block)
+        with timers.stage("compute"):
+            counters = sess.finish()
+        with timers.stage("reporting"):
+            stats_report(counters, opts)
+        return counters
+
+    # paired-end: two accumulators; with filtering, stats cover pairs where
+    # BOTH mates pass (pair-consistent), counted per pair.
+    phred = opts.quality_encoding_value
+    sess1 = StatsSession(phred, opts.kmers_on, None, batch_reads=br)
+    sess2 = StatsSession(phred, opts.kmers_on, None, batch_reads=br)
+    vfn = (
+        ShapeCachedFn(
+            lambda: (
+                lambda c, q, l, v: stats_jnp.verdicts(c, q, l, crit, phred) & v
+            ),
+            br,
+        )
+        if crit is not None
+        else None
+    )
+    num_passed = num_failed = 0
+    with FastqReader(opts.in_filename, batch_size=opts.batch_size) as r1, \
+         FastqReader(opts.in_filename2, batch_size=opts.batch_size) as r2:
+        for b1, b2 in _iter_blocks_paired(r1, r2, timers):
+            with timers.stage("compute"):
+                if vfn is not None:
+                    both = vfn(b1) & vfn(b2)
+                    num_passed += int(both.sum())
+                    num_failed += int(b1.num_reads - both.sum())
+                    sel = both
+                else:
+                    sel = None
+                for sess, blk in ((sess1, b1), (sess2, b2)):
+                    lmax = round_up(max(blk.max_len(), 1), 128)
+                    codes, quals, lens, valid = pack_block(
+                        blk, max_len=max(lmax, sess.lcap), pad_reads_to=br
+                    )
+                    if sel is not None:
+                        valid = valid.copy()
+                        valid[: len(sel)] &= sel
+                    sess.feed_packed(codes, quals, lens, valid)
+    with timers.stage("compute"):
+        c1, c2 = sess1.finish(), sess2.finish()
+    for c in (c1, c2):
+        c.filter_on = crit is not None
+        c.num_passed, c.num_failed = num_passed, num_failed
+    with timers.stage("reporting"):
+        import dataclasses
+
+        stats_report(c1, opts)
+        opts2 = dataclasses.replace(opts, in_filename=opts.in_filename2)
+        stats_report(c2, opts2)
+    return c1, c2
+
+
+# ---------------------------------------------------------------------------
+# filter
+# ---------------------------------------------------------------------------
+
+def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
+    """The `filter` command → passed/failed FASTQ files. Returns counts."""
+    timers = timers or StageTimers()
+    crit = opts.criteria
+    phred = opts.quality_encoding_value
+    br = _batch_reads(opts)
+    vfn = ShapeCachedFn(
+        lambda: (lambda c, q, l, v: stats_jnp.verdicts(c, q, l, crit, phred) & v), br
+    )
+    out = {"num_passed": 0, "num_failed": 0}
+
+    if not opts.paired_end:
+        passed_path = os.path.join(opts.out_dirname, "passed.fq")
+        failed_path = os.path.join(opts.out_dirname, "failed.fq")
+        with FastqReader(opts.in_filename, batch_size=opts.batch_size) as rd, \
+             FastqWriter(passed_path) as pw, FastqWriter(failed_path) as fw:
+            for block in _iter_blocks(rd, timers):
+                with timers.stage("compute"):
+                    ok = vfn(block)
+                with timers.stage("write"):
+                    out["num_passed"] += block.write_selected(pw, ok)
+                    out["num_failed"] += block.write_selected(fw, ~ok)
+        out["passed_filename"] = passed_path
+        out["failed_filename"] = failed_path
+        return out
+
+    paths = {
+        "passed_1": os.path.join(opts.out_dirname, "passed_1.fq"),
+        "passed_2": os.path.join(opts.out_dirname, "passed_2.fq"),
+        "failed_1": os.path.join(opts.out_dirname, "failed_1.fq"),
+        "failed_2": os.path.join(opts.out_dirname, "failed_2.fq"),
+    }
+    with FastqReader(opts.in_filename, batch_size=opts.batch_size) as r1, \
+         FastqReader(opts.in_filename2, batch_size=opts.batch_size) as r2, \
+         FastqWriter(paths["passed_1"]) as p1, FastqWriter(paths["passed_2"]) as p2, \
+         FastqWriter(paths["failed_1"]) as f1, FastqWriter(paths["failed_2"]) as f2:
+        for b1, b2 in _iter_blocks_paired(r1, r2, timers):
+            with timers.stage("compute"):
+                both = vfn(b1) & vfn(b2)  # pair-consistent discard
+            with timers.stage("write"):
+                out["num_passed"] += b1.write_selected(p1, both)
+                b2.write_selected(p2, both)
+                out["num_failed"] += b1.write_selected(f1, ~both)
+                b2.write_selected(f2, ~both)
+    out.update(paths)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# edit
+# ---------------------------------------------------------------------------
+
+def _make_edit_fn(opts: EditOptions, br: int):
+    crit = opts.criteria
+    phred = opts.quality_encoding_value
+    filter_on = opts.filter_on
+    post_crit = crit.without_windows()
+
+    def build():
+        def fn(codes, quals, lens, valid):
+            lens32 = lens.astype(np.int32)
+            lt, rt = stats_jnp.trims(quals, lens32, crit, phred)
+            if filter_on:
+                nc, nq, nl = stats_jnp.apply_trims(codes, quals, lens32, lt, rt)
+                ok = stats_jnp.verdicts(nc, nq, nl, post_crit, phred) & valid
+            else:
+                ok = valid
+            return lt, rt, ok
+
+        return fn
+
+    return ShapeCachedFn(build, br)
+
+
+def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
+    """The `edit` command → edit.fq (+ failed.fq when filtering)."""
+    timers = timers or StageTimers()
+    br = _batch_reads(opts)
+    efn = _make_edit_fn(opts, br)
+    out = {"num_edited": 0, "num_passed": 0, "num_failed": 0}
+
+    def process(block, ew, fw):
+        with timers.stage("compute"):
+            lt, rt, ok = efn(block)
+        with timers.stage("write"):
+            out["num_edited"] += int(((lt > 0) | (rt > 0)).sum())
+            if opts.filter_on:
+                out["num_passed"] += block.write_trimmed(ew, lt, rt, select=ok)
+                out["num_failed"] += block.write_trimmed(fw, lt, rt, select=~ok)
+            else:
+                block.write_trimmed(ew, lt, rt)
+
+    if not opts.paired_end:
+        edit_path = os.path.join(opts.out_dirname, "edit.fq")
+        failed_path = os.path.join(opts.out_dirname, "failed.fq")
+        out["edit_filename"] = edit_path
+        out["failed_filename"] = failed_path if opts.filter_on else None
+        with FastqReader(opts.in_filename, batch_size=opts.batch_size) as rd, \
+             FastqWriter(edit_path) as ew:
+            fw = FastqWriter(failed_path) if opts.filter_on else None
+            try:
+                for block in _iter_blocks(rd, timers):
+                    process(block, ew, fw)
+            finally:
+                if fw:
+                    fw.close()
+        return out
+
+    # paired-end edit: trim mates independently; pair-consistent post-filter
+    paths = {
+        "edit_1": os.path.join(opts.out_dirname, "edit_1.fq"),
+        "edit_2": os.path.join(opts.out_dirname, "edit_2.fq"),
+    }
+    if opts.filter_on:
+        paths["failed_1"] = os.path.join(opts.out_dirname, "failed_1.fq")
+        paths["failed_2"] = os.path.join(opts.out_dirname, "failed_2.fq")
+    writers = {k: FastqWriter(v) for k, v in paths.items()}
+    try:
+        with FastqReader(opts.in_filename, batch_size=opts.batch_size) as r1, \
+             FastqReader(opts.in_filename2, batch_size=opts.batch_size) as r2:
+            for b1, b2 in _iter_blocks_paired(r1, r2, timers):
+                with timers.stage("compute"):
+                    lt1, rt1, ok1 = efn(b1)
+                    lt2, rt2, ok2 = efn(b2)
+                    both = ok1 & ok2
+                with timers.stage("write"):
+                    out["num_edited"] += int(
+                        ((lt1 > 0) | (rt1 > 0)).sum() + ((lt2 > 0) | (rt2 > 0)).sum()
+                    )
+                    if opts.filter_on:
+                        out["num_passed"] += b1.write_trimmed(
+                            writers["edit_1"], lt1, rt1, select=both
+                        )
+                        b2.write_trimmed(writers["edit_2"], lt2, rt2, select=both)
+                        out["num_failed"] += b1.write_trimmed(
+                            writers["failed_1"], lt1, rt1, select=~both
+                        )
+                        b2.write_trimmed(writers["failed_2"], lt2, rt2, select=~both)
+                    else:
+                        b1.write_trimmed(writers["edit_1"], lt1, rt1)
+                        b2.write_trimmed(writers["edit_2"], lt2, rt2)
+    finally:
+        for w in writers.values():
+            w.close()
+    out.update(paths)
+    return out

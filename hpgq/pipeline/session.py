@@ -1,0 +1,83 @@
+"""Engine session: shape management + jit caching for the streaming pipeline.
+
+The streaming loop feeds fixed-shape ``[B, Lbucket]`` batches to jitted device
+functions (XLA requires static shapes): read lengths are bucketed to
+multiples of 128 lanes, the read dimension is padded to the configured batch
+size, and a grown length bucket transparently rebuilds the device accumulator
+(host counters carry over — merging is associative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..core.accumulator import DeviceAccumulator
+from ..io.packer import pack_block, round_up
+
+
+class StatsSession:
+    """Streaming stats accumulation with automatic length growth."""
+
+    def __init__(self, phred, kmers_on=False, crit=None, batch_reads=16384,
+                 device=None, lcap: int = 128):
+        self.phred = phred
+        self.kmers_on = kmers_on
+        self.crit = crit
+        self.batch_reads = batch_reads
+        self.device = device
+        self.acc = DeviceAccumulator(
+            lcap, phred, kmers_on, crit, batch_reads=batch_reads, device=device
+        )
+
+    @property
+    def lcap(self):
+        return self.acc.lcap
+
+    def _grow(self, lcap: int):
+        old = self.acc.finish()
+        self.acc = DeviceAccumulator(
+            lcap, self.phred, self.kmers_on, self.crit,
+            batch_reads=self.batch_reads, device=self.device,
+        )
+        self.acc.counters = old
+        old.ensure_length(lcap)
+
+    def feed_block(self, block, timers=None):
+        lmax = round_up(max(block.max_len(), 1), 128)
+        if lmax > self.lcap:
+            self._grow(lmax)
+        codes, quals, lens, valid = pack_block(
+            block, max_len=self.lcap, pad_reads_to=self.batch_reads
+        )
+        self.feed_packed(codes, quals, lens, valid)
+
+    def feed_packed(self, codes, quals, lens, valid):
+        if codes.shape[1] > self.lcap:
+            self._grow(codes.shape[1])
+        self.acc.update(codes, quals, lens, valid)
+
+    def finish(self):
+        return self.acc.finish()
+
+
+class ShapeCachedFn:
+    """jit wrapper dispatching on padded batch shapes (one compile per bucket)."""
+
+    def __init__(self, build_fn, batch_reads: int):
+        self._build = build_fn
+        self._cache = {}
+        self.batch_reads = batch_reads
+
+    def __call__(self, block):
+        lmax = round_up(max(block.max_len(), 1), 128)
+        codes, quals, lens, valid = pack_block(
+            block, max_len=lmax, pad_reads_to=self.batch_reads
+        )
+        key = codes.shape
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = self._cache[key] = jax.jit(self._build())
+        out = fn(codes, quals, lens, valid)
+        n = block.num_reads
+        return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)

@@ -3,13 +3,21 @@
 Tests run on CPU with 8 virtual devices so the multi-chip sharding paths
 (shard_map + psum over a 1-D data mesh) execute without TPU hardware —
 the TPU analog of a fake backend (SURVEY.md §4).
+
+Note: this environment's sitecustomize registers a remote TPU PJRT plugin at
+interpreter startup and pins ``jax_platforms``; plain env vars in conftest
+are too late, so we override via ``jax.config`` before any backend is used
+(remote compiles through the TPU tunnel would make the suite minutes-slow).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
+        _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

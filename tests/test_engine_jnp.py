@@ -1,0 +1,134 @@
+"""Differential tests: jnp engine kernels vs numpy baseline / oracle spec."""
+
+import numpy as np
+import pytest
+
+from hpgq.core.accumulator import DeviceAccumulator
+from hpgq.io import FastqReader, pack_block
+from hpgq.kernels import stats_jnp
+from hpgq.options import FilterCriteria
+from hpgq.oracle import baseline, spec
+
+from gen import make_fastq
+
+CRIT = FilterCriteria(
+    min_read_length=20,
+    max_read_length=80,
+    min_read_quality=20,
+    max_read_quality=40,
+    max_out_of_quality=30,
+    left_length=10,
+    min_left_quality=15,
+    max_left_quality=45,
+    right_length=8,
+    min_right_quality=10,
+    max_right_quality=60,
+    max_N=2,
+)
+
+
+def _load(tmp_path, n=400, **kw):
+    path = str(tmp_path / "a.fq")
+    make_fastq(path, n, **kw)
+    with FastqReader(path, batch_size=10**9) as rd:
+        (block,) = list(rd)
+    pairs = [(block.sequence(i), block.quality(i)) for i in range(block.num_reads)]
+    return pairs, pack_block(block, pad_reads_to=512)
+
+
+@pytest.mark.parametrize("kmers_on", [False, True])
+def test_stats_accumulator_matches_spec(tmp_path, kmers_on):
+    pairs, (codes, quals, lens, valid) = _load(
+        tmp_path, min_len=8, max_len=70, n_prob=0.03, seed=31, lowercase_prob=0.05
+    )
+    lcap = codes.shape[1]
+    acc = DeviceAccumulator(lcap, phred=33, kmers_on=kmers_on, batch_reads=512)
+    # two chunks to exercise merge
+    h = codes.shape[0] // 2
+    acc.update(codes[:h], quals[:h], lens[:h], valid[:h])
+    acc.update(codes[h:], quals[h:], lens[h:], valid[h:])
+    got = acc.finish()
+    ref = spec.stats_of_file(pairs, kmers_on=kmers_on)
+    assert got.equals(ref)
+
+
+def test_stats_with_inline_filter(tmp_path):
+    pairs, (codes, quals, lens, valid) = _load(
+        tmp_path, min_len=8, max_len=90, n_prob=0.03, seed=32
+    )
+    lcap = codes.shape[1]
+    acc = DeviceAccumulator(lcap, phred=33, crit=CRIT, batch_reads=512)
+    acc.update(codes, quals, lens, valid)
+    got = acc.finish()
+    ref = spec.stats_of_file(pairs, criteria=CRIT)
+    assert got.equals(ref)
+    assert got.num_passed == ref.num_passed
+    assert got.num_failed == ref.num_failed
+    assert 0 < got.num_passed < len(pairs)
+
+
+def test_verdicts_vs_baseline(tmp_path):
+    pairs, (codes, quals, lens, valid) = _load(
+        tmp_path, min_len=8, max_len=90, n_prob=0.05, seed=33
+    )
+    ref = baseline.block_verdicts(codes, quals, lens, CRIT)
+    got = np.asarray(stats_jnp.verdicts(codes, quals, lens, CRIT))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_trims_vs_baseline(tmp_path):
+    pairs, (codes, quals, lens, valid) = _load(
+        tmp_path, min_len=5, max_len=60, seed=34
+    )
+    crit = FilterCriteria(
+        left_length=12, min_left_quality=22, max_left_quality=90,
+        right_length=6, min_right_quality=25, max_right_quality=90,
+    )
+    rl, rr = baseline.block_trims(quals, lens, crit)
+    gl, gr = stats_jnp.trims(quals, lens, crit)
+    np.testing.assert_array_equal(np.asarray(gl), rl)
+    np.testing.assert_array_equal(np.asarray(gr), rr)
+    assert rl.sum() > 0 and rr.sum() > 0
+
+
+def test_apply_trims_and_restats(tmp_path):
+    """Edit path: trim on device then re-stats matches oracle on trimmed reads."""
+    pairs, (codes, quals, lens, valid) = _load(
+        tmp_path, min_len=10, max_len=50, seed=35
+    )
+    crit = FilterCriteria(
+        left_length=5, min_left_quality=25, max_left_quality=90,
+        right_length=5, min_right_quality=25, max_right_quality=90,
+    )
+    sub = crit.substituted()
+    lt, rt = stats_jnp.trims(quals, lens, crit)
+    nc, nq, nl = stats_jnp.apply_trims(codes, quals, lens.astype(np.int32),
+                                       np.asarray(lt), np.asarray(rt))
+    lcap = codes.shape[1]
+    acc = DeviceAccumulator(lcap, phred=33, batch_reads=512)
+    acc.update(np.asarray(nc), np.asarray(nq), np.asarray(nl), valid)
+    got = acc.finish()
+
+    trimmed_pairs = []
+    for s, q in pairs:
+        a, b = spec.trim_lengths(s, q, sub)
+        trimmed_pairs.append((s[a : len(s) - b], q[a : len(q) - b]))
+    ref = spec.stats_of_file(trimmed_pairs)
+    assert got.equals(ref)
+
+
+def test_flush_interval_invariance(tmp_path):
+    pairs, (codes, quals, lens, valid) = _load(
+        tmp_path, min_len=8, max_len=40, seed=36
+    )
+    lcap = codes.shape[1]
+    a1 = DeviceAccumulator(lcap, phred=33, batch_reads=512)
+    a1.flush_every = 1
+    a2 = DeviceAccumulator(lcap, phred=33, batch_reads=512)
+    a2.flush_every = 1000
+    for lo in range(0, codes.shape[0], 128):
+        sl = slice(lo, lo + 128)
+        a1.update(codes[sl], quals[sl], lens[sl], valid[sl])
+        a2.update(codes[sl], quals[sl], lens[sl], valid[sl])
+    c1, c2 = a1.finish(), a2.finish()
+    assert c1.equals(c2)
