@@ -1,0 +1,217 @@
+"""End-to-end CLI tests: run commands in-process and compare against the oracle."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hpgq.cli.main import main
+from hpgq.options import FilterCriteria, StatsOptions
+from hpgq.oracle import spec
+from hpgq.report.stats_report import stats_report
+
+from gen import make_fastq
+
+
+def _fastq(tmp_path, name="in.fq", n=500, **kw):
+    path = str(tmp_path / name)
+    make_fastq(path, n, **kw)
+    return path
+
+
+def test_cli_stats_matches_oracle_report(tmp_path, capsys):
+    path = _fastq(tmp_path, n=400, min_len=40, max_len=60, n_prob=0.01, seed=41)
+    out1 = tmp_path / "cli_out"
+    out2 = tmp_path / "oracle_out"
+    out1.mkdir()
+    out2.mkdir()
+    rc = main(["stats", "-f", path, "-o", str(out1), "--kmers"])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "PARAMETERS CONFIGURATION" in stdout
+    assert "RESULTS" in stdout
+    assert "Filtering: disabled" in stdout
+
+    counters = spec.stats_of_file(spec.iter_seq_qual(path), kmers_on=True)
+    opts = StatsOptions(in_filename=path, out_dirname=str(out2), kmers_on=True)
+    stats_report(counters, opts)
+
+    names = sorted(os.listdir(out2))
+    assert sorted(os.listdir(out1)) == names
+    for name in names:
+        if name.endswith(".gnuplot"):
+            continue
+        a = (out1 / name).read_bytes()
+        b = (out2 / name).read_bytes()
+        assert a == b, "mismatch in %s" % name
+
+
+def test_cli_stats_with_filter(tmp_path, capsys):
+    path = _fastq(tmp_path, n=300, min_len=40, max_len=60, seed=42)
+    out1 = tmp_path / "o1"
+    out1.mkdir()
+    rc = main(
+        ["stats", "-f", path, "-o", str(out1),
+         "--read-quality-range", "20,40", "--max-N", "3"]
+    )
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "Filtering: enabled" in stdout
+
+    crit = FilterCriteria(min_read_quality=20, max_read_quality=40, max_N=3)
+    counters = spec.stats_of_file(spec.iter_seq_qual(path), criteria=crit)
+    summary = (out1 / "in.fq.summary.txt").read_text()
+    assert "Number of reads in file  : 300\n" in summary
+    assert (
+        "Number of processed reads: %d" % counters.num_reads in summary
+    )
+
+
+def test_cli_filter_matches_oracle(tmp_path, capsys):
+    path = _fastq(tmp_path, n=400, min_len=30, max_len=70, n_prob=0.03, seed=43)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(
+        ["filter", "-f", path, "-o", str(out),
+         "--read-length-range", "35,65",
+         "--read-quality-range", "20,40",
+         "--max-N", "1",
+         "--batch-size", "64"]
+    )
+    assert rc == 0
+
+    crit = FilterCriteria(
+        min_read_length=35, max_read_length=65,
+        min_read_quality=20, max_read_quality=40, max_N=1,
+    ).substituted()
+    passed, failed = [], []
+    with open(path, "rb") as f:
+        raw = f.read().split(b"\n")
+    for i in range(0, len(raw) - 1, 4):
+        rec = b"\n".join(raw[i : i + 4]) + b"\n"
+        seq, qual = raw[i + 1], raw[i + 3]
+        (passed if spec.filter_verdict(seq, qual, crit) else failed).append(rec)
+    assert (out / "passed.fq").read_bytes() == b"".join(passed)
+    assert (out / "failed.fq").read_bytes() == b"".join(failed)
+    stdout = capsys.readouterr().out
+    assert "Num. passed reads: %d" % len(passed) in stdout
+    assert "Num. failed reads: %d" % len(failed) in stdout
+
+
+def test_cli_filter_requires_criteria(tmp_path, capsys):
+    path = _fastq(tmp_path, n=10, seed=44)
+    with pytest.raises(SystemExit):
+        main(["filter", "-f", path, "-o", str(tmp_path)])
+
+
+def test_cli_edit_matches_oracle(tmp_path, capsys):
+    path = _fastq(tmp_path, n=300, min_len=30, max_len=60, seed=45)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(
+        ["edit", "-f", path, "-o", str(out),
+         "--left-length", "8", "--left-quality-range", "25,90",
+         "--right-length", "5", "--right-quality-range", "25,90",
+         "--batch-size", "77"]
+    )
+    assert rc == 0
+
+    crit = FilterCriteria(
+        left_length=8, min_left_quality=25, max_left_quality=90,
+        right_length=5, min_right_quality=25, max_right_quality=90,
+    ).substituted()
+    expected = []
+    n_edited = 0
+    with open(path, "rb") as f:
+        raw = f.read().split(b"\n")
+    for i in range(0, len(raw) - 1, 4):
+        name, seq, plus, qual = raw[i : i + 4]
+        lt, rt = spec.trim_lengths(seq, qual, crit)
+        n_edited += int(lt > 0 or rt > 0)
+        expected.append(
+            name + b"\n" + seq[lt : len(seq) - rt] + b"\n" + plus + b"\n"
+            + qual[lt : len(qual) - rt] + b"\n"
+        )
+    assert (out / "edit.fq").read_bytes() == b"".join(expected)
+    assert n_edited > 0
+    stdout = capsys.readouterr().out
+    assert "Num. edited reads : %d" % n_edited in stdout
+
+
+def test_cli_edit_with_postfilter(tmp_path, capsys):
+    path = _fastq(tmp_path, n=300, min_len=30, max_len=60, seed=46)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(
+        ["edit", "-f", path, "-o", str(out),
+         "--left-length", "8", "--left-quality-range", "25,90",
+         "--read-quality-range", "22,40"]
+    )
+    assert rc == 0
+    crit = FilterCriteria(
+        left_length=8, min_left_quality=25, max_left_quality=90,
+        min_read_quality=22, max_read_quality=40,
+    )
+    sub = crit.substituted()
+    post = sub.without_windows()
+    epassed, efailed = [], []
+    with open(path, "rb") as f:
+        raw = f.read().split(b"\n")
+    for i in range(0, len(raw) - 1, 4):
+        name, seq, plus, qual = raw[i : i + 4]
+        lt, rt = spec.trim_lengths(seq, qual, sub)
+        ts, tq = seq[lt : len(seq) - rt], qual[lt : len(qual) - rt]
+        rec = name + b"\n" + ts + b"\n" + plus + b"\n" + tq + b"\n"
+        (epassed if spec.filter_verdict(ts, tq, post) else efailed).append(rec)
+    assert (out / "edit.fq").read_bytes() == b"".join(epassed)
+    assert (out / "failed.fq").read_bytes() == b"".join(efailed)
+    assert len(epassed) > 0 and len(efailed) > 0
+
+
+def test_cli_paired_filter(tmp_path, capsys):
+    p1 = _fastq(tmp_path, name="r1.fq", n=200, min_len=40, max_len=40, seed=47)
+    p2 = _fastq(tmp_path, name="r2.fq", n=200, min_len=40, max_len=40, seed=48)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(
+        ["filter", "--fq1", p1, "--fq2", p2, "-o", str(out),
+         "--read-quality-range", "21,40"]
+    )
+    assert rc == 0
+    crit = FilterCriteria(min_read_quality=21, max_read_quality=40).substituted()
+
+    def verdicts(path):
+        with open(path, "rb") as f:
+            raw = f.read().split(b"\n")
+        return [
+            spec.filter_verdict(raw[i + 1], raw[i + 3], crit)
+            for i in range(0, len(raw) - 1, 4)
+        ]
+
+    v1, v2 = verdicts(p1), verdicts(p2)
+    both = [a and b for a, b in zip(v1, v2)]
+    assert sum(both) < 200 and sum(both) > 0
+    # pair-consistent: passed_1 count == passed_2 count == both count
+    n1 = (out / "passed_1.fq").read_bytes().count(b"\n@read_") + 1
+    n2 = (out / "passed_2.fq").read_bytes().count(b"\n@read_") + 1
+    assert n1 == n2 == sum(both)
+    stdout = capsys.readouterr().out
+    assert "Num. passed pairs: %d" % sum(both) in stdout
+
+
+def test_cli_usage(capsys):
+    assert main([]) == -1
+    assert "Usage:" in capsys.readouterr().out
+
+
+def test_cli_conf_file(tmp_path, capsys):
+    path = _fastq(tmp_path, n=50, seed=49)
+    conf = tmp_path / "run.conf"
+    conf.write_text('# conf\nmax-N = 2 ;\nread-quality-range = "20,45" ;\n')
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(["stats", "-f", path, "-o", str(out), "--conf", str(conf)])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "Max. number of Ns   : 2" in stdout
+    assert "Read quality range  : 20,45" in stdout
