@@ -1,0 +1,191 @@
+"""Distribution layer: 1-D data mesh, sharded stats step, collective merge.
+
+The reference is single-node (SURVEY §2.3, §5: no MPI/NCCL anywhere); its
+multi-device story is CUDA ``--gpu-num-devices`` (P3/P4) and its merge step
+is a serial consumer thread (P5).  Here:
+
+* reads are **data-parallel** over a 1-D ``('data',)`` mesh: each device gets
+  a ``[B, L]`` shard of the packed batch (P4),
+* each device accumulates its own partials locally inside ``shard_map`` —
+  zero per-batch collectives,
+* the merge is one ``psum``/``pmin``/``pmax`` over ICI at the end of the run
+  (P5 as a collective instead of a thread), and across hosts rides the same
+  collective via ``jax.distributed``.
+
+Multi-host input: each process reads its own byte range of the FASTQ file
+(realigned to record boundaries) and writes its own output shard; the final
+stats merge is the collective above.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels import stats_jnp
+from ..core.accumulator import fold_partials
+from ..core.counters import StatsCounters
+
+try:  # jax>=0.4.35 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # noqa: F401
+
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def data_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over all local (or given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, axis_names=("data",))
+
+
+def initialize_distributed() -> int:
+    """Multi-host bootstrap (jax.distributed) when launched under a
+    coordinator (JAX_COORDINATOR_ADDRESS / megascale env); returns
+    process_index."""
+    if (
+        "JAX_COORDINATOR_ADDRESS" in os.environ
+        or "COORDINATOR_ADDRESS" in os.environ
+    ) and jax.process_count() == 1:
+        jax.distributed.initialize()
+    return jax.process_index()
+
+
+# ---------------------------------------------------------------------------
+# sharded accumulation
+# ---------------------------------------------------------------------------
+
+def zero_sharded_partials(mesh: Mesh, lcap: int, kmers_on: bool = False):
+    """Per-device accumulator pytree: leaves [ndev, ...] sharded on axis 0."""
+    ndev = mesh.devices.size
+    base = stats_jnp.zero_partials(lcap, kmers_on)
+
+    def expand(x):
+        return jnp.broadcast_to(x[None], (ndev,) + x.shape)
+
+    acc = jax.tree_util.tree_map(expand, base)
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.device_put(acc, sharding)
+
+
+def make_sharded_stats_step(
+    mesh: Mesh,
+    lcap: int,
+    phred: int,
+    kmers_on: bool = False,
+    crit=None,
+    donate: bool = True,
+):
+    """Jitted SPMD stats update over the data mesh.
+
+    acc leaves: [ndev, ...] sharded on 'data'; batch arrays: [ndev*B, L]
+    sharded on 'data'.  Each device runs the same fused per-batch kernel on
+    its shard and updates its own accumulator slice — no collectives in the
+    steady state.
+    """
+    step = stats_jnp.make_stats_step(lcap, phred, kmers_on, crit, jit=False)
+
+    def device_fn(acc, codes, quals, lens, valid):
+        inner = jax.tree_util.tree_map(lambda x: x[0], acc)
+        out = step(inner, codes, quals, lens, valid)
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    acc_spec = jax.tree_util.tree_map(lambda _: P("data"), stats_jnp.zero_partials(lcap, kmers_on))
+    fn = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(acc_spec, P("data"), P("data"), P("data"), P("data")),
+        out_specs=acc_spec,
+    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_collective_merge(mesh: Mesh, lcap: int, kmers_on: bool = False):
+    """psum/pmin/pmax the sharded accumulator into replicated totals —
+    the reference's consumer merge (src/stats_fastq.c:257-417) as one
+    collective over ICI/DCN."""
+
+    def device_fn(acc):
+        def merge_leaf(path, x):
+            name = path[-1].key if path else ""
+            v = x[0]
+            if name == "min_length":
+                return jax.lax.pmin(v, "data")
+            if name == "max_length":
+                return jax.lax.pmax(v, "data")
+            return jax.lax.psum(v, "data")
+
+        return jax.tree_util.tree_map_with_path(merge_leaf, acc)
+
+    acc_spec = jax.tree_util.tree_map(
+        lambda _: P("data"), stats_jnp.zero_partials(lcap, kmers_on)
+    )
+    out_spec = jax.tree_util.tree_map(lambda _: P(), stats_jnp.zero_partials(lcap, kmers_on))
+    fn = shard_map(device_fn, mesh=mesh, in_specs=(acc_spec,), out_specs=out_spec)
+    return jax.jit(fn)
+
+
+def sharded_counters(
+    acc, mesh: Mesh, lcap: int, phred: int, kmers_on: bool = False
+) -> StatsCounters:
+    """Collective-merge the sharded accumulator and fold into host counters."""
+    merged = make_collective_merge(mesh, lcap, kmers_on)(acc)
+    host = jax.device_get(merged)
+    c = StatsCounters(phred=phred, kmers_on=kmers_on)
+    c.ensure_length(lcap)
+    fold_partials(c, host)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# multi-host input splitting
+# ---------------------------------------------------------------------------
+
+def _align_to_record(f, pos: int, scan_limit: int = 1 << 20) -> int:
+    """Scan forward from byte ``pos`` to the next FASTQ record start.
+
+    A '@' line is a record start iff the line 2 lines below starts with '+'
+    (quality lines may begin with '@', so the lookahead disambiguates).
+    """
+    if pos == 0:
+        return 0
+    f.seek(pos)
+    f.readline()  # skip the (possibly partial) current line
+    while True:
+        start = f.tell()
+        line = f.readline()
+        if not line:
+            return start
+        if line.startswith(b"@"):
+            f.readline()  # sequence
+            plus = f.readline()
+            if plus.startswith(b"+"):
+                return start
+        if f.tell() - pos > scan_limit:
+            raise ValueError("could not find a FASTQ record boundary")
+
+
+def split_byte_ranges(path: str, n_shards: int):
+    """[(start, end)] byte ranges, record-aligned, covering a plain FASTQ file.
+
+    gzip inputs are not byte-seekable; multi-host gzip uses
+    ``shard_records`` striping instead (each host decodes and keeps every
+    n-th batch).
+    """
+    size = os.path.getsize(path)
+    cuts = [0]
+    with open(path, "rb") as f:
+        for i in range(1, n_shards):
+            cuts.append(_align_to_record(f, size * i // n_shards))
+    cuts.append(size)
+    # ensure monotonicity (tiny files may collapse some shards to empty)
+    for i in range(1, len(cuts)):
+        cuts[i] = max(cuts[i], cuts[i - 1])
+    return [(cuts[i], cuts[i + 1]) for i in range(n_shards)]

@@ -142,16 +142,26 @@ class FastqReader:
     (``fastq_fread_se(fq_reads, max_num_reads, file)``, src/stats_fastq.c:183).
     """
 
-    def __init__(self, path: str, batch_size: int = 10000, start_offset: int = 0):
+    def __init__(
+        self,
+        path: str,
+        batch_size: int = 10000,
+        start_offset: int = 0,
+        end_offset: Optional[int] = None,
+    ):
+        """``start_offset``/``end_offset`` bound the byte range read — used
+        for multi-host sharding of a plain FASTQ file (offsets must be
+        record-aligned, see ``hpgq.dist.mesh.split_byte_ranges``)."""
         self.path = path
         self.batch_size = int(batch_size)
         self._fh = open_maybe_gzip(path, "rb")
         if start_offset:
             self._fh.seek(start_offset)
+        self._end = end_offset
         self._tail = b""
-        self._pending: list[RecordBlock] = []
         self._eof = False
         self.bytes_consumed = start_offset  # logical (decompressed) offset
+        self._raw_read = start_offset
 
     def close(self):
         self._fh.close()
@@ -164,7 +174,11 @@ class FastqReader:
 
     def _load_chunk(self) -> Optional[RecordBlock]:
         while True:
-            data = self._fh.read(_CHUNK)
+            want = _CHUNK
+            if self._end is not None:
+                want = min(want, self._end - self._raw_read)
+            data = self._fh.read(want) if want > 0 else b""
+            self._raw_read += len(data)
             if not data:
                 self._eof = True
                 if self._tail:

@@ -1,0 +1,117 @@
+"""Multi-device tests on the 8-device CPU mesh: sharded accumulation equals
+single-device results; byte-range shard-merge invariance (SURVEY §4)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hpgq.core.accumulator import DeviceAccumulator
+from hpgq.core.counters import StatsCounters
+from hpgq.dist.mesh import (
+    data_mesh,
+    make_sharded_stats_step,
+    sharded_counters,
+    split_byte_ranges,
+    zero_sharded_partials,
+)
+from hpgq.io import FastqReader, pack_block
+from hpgq.options import FilterCriteria
+from hpgq.oracle import spec
+
+from gen import make_fastq
+
+CRIT = FilterCriteria(min_read_quality=20, max_read_quality=40, max_N=2)
+
+
+def _packed(tmp_path, n=512, **kw):
+    path = str(tmp_path / "a.fq")
+    make_fastq(path, n, **kw)
+    with FastqReader(path, batch_size=10**9) as rd:
+        (block,) = list(rd)
+    return path, pack_block(block, pad_reads_to=n)
+
+
+@pytest.mark.parametrize("with_filter", [False, True])
+def test_sharded_equals_single_device(tmp_path, with_filter):
+    path, (codes, quals, lens, valid) = _packed(
+        tmp_path, min_len=30, max_len=60, n_prob=0.02, seed=51
+    )
+    lcap = codes.shape[1]
+    crit = CRIT if with_filter else None
+    mesh = data_mesh()
+    ndev = mesh.devices.size
+    assert ndev == 8
+
+    sharding = NamedSharding(mesh, P("data"))
+    batch = [jax.device_put(x, sharding) for x in (codes, quals, lens, valid)]
+    acc = zero_sharded_partials(mesh, lcap)
+    step = make_sharded_stats_step(mesh, lcap, phred=33, crit=crit)
+    acc = step(acc, *batch)
+    got = sharded_counters(acc, mesh, lcap, phred=33)
+    got.filter_on = with_filter
+
+    single = DeviceAccumulator(lcap, phred=33, crit=crit, batch_reads=512)
+    single.update(codes, quals, lens, valid)
+    ref = single.finish()
+    assert got.equals(ref)
+    assert got.num_passed == ref.num_passed
+    assert got.num_failed == ref.num_failed
+
+
+def test_byte_range_shard_invariance(tmp_path):
+    """stats(file) == merge(stats(byte-range shard_i)) for any sharding."""
+    path = str(tmp_path / "a.fq")
+    make_fastq(path, 1001, min_len=30, max_len=70, n_prob=0.02, seed=52)
+
+    whole = spec.stats_of_file(spec.iter_seq_qual(path))
+
+    for n_shards in (2, 5):
+        ranges = split_byte_ranges(path, n_shards)
+        assert ranges[0][0] == 0
+        merged = StatsCounters()
+        total = 0
+        for start, end in ranges:
+            part = StatsCounters()
+            with FastqReader(path, batch_size=100,
+                             start_offset=start, end_offset=end) as rd:
+                for block in rd:
+                    total += block.num_reads
+                    for i in range(block.num_reads):
+                        spec.accumulate_read(part, block.sequence(i), block.quality(i))
+            merged.merge(part)
+        assert total == 1001
+        assert merged.equals(whole)
+
+
+def test_split_ranges_cover_and_align(tmp_path):
+    path = str(tmp_path / "a.fq")
+    make_fastq(path, 100, min_len=20, max_len=40, seed=53)
+    import os
+
+    size = os.path.getsize(path)
+    ranges = split_byte_ranges(path, 4)
+    assert ranges[0][0] == 0 and ranges[-1][1] == size
+    for (s0, e0), (s1, e1) in zip(ranges, ranges[1:]):
+        assert e0 == s1
+    with open(path, "rb") as f:
+        for s, e in ranges:
+            if s < size and s > 0:
+                f.seek(s)
+                assert f.readline().startswith(b"@")
+
+
+def test_graft_entry_single():
+    import importlib.util, os
+
+    spec_ = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert int(out["num_reads"]) >= 0
+
+    mod.dryrun_multichip(8)
