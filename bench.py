@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""hpgq headline benchmark: stats+filter pass throughput (reads/s).
+
+BASELINE.md protocol: the reference publishes no numbers, so the baseline is
+the single-CPU oracle (numpy implementation of the SURVEY §2.2 contracts)
+measured in-process on the same corpus; the driver target is >=10x on one
+TPU chip.  Prints ONE JSON line:
+
+    {"metric": "stats_filter_reads_per_sec", "value": N, "unit": "reads/s",
+     "vs_baseline": N}
+
+where value is the end-to-end engine throughput (file read -> pack ->
+device stats+filter accumulate -> counters) and vs_baseline is the ratio to
+the oracle doing the identical end-to-end work on one CPU core.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hpgq.io.fastq import FastqReader
+from hpgq.io.packer import pack_block, round_up
+from hpgq.options import FilterCriteria
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+CRIT = FilterCriteria(
+    min_read_length=50, max_read_length=200,
+    min_read_quality=20, max_read_quality=60, max_N=2,
+)
+PHRED = 33
+
+
+def corpus(n_reads: int, read_len: int) -> str:
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, "bench_%d_%d.fq" % (n_reads, read_len))
+    if not os.path.exists(path):
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from gen import make_fastq
+
+        make_fastq(path, n_reads, min_len=read_len, max_len=read_len,
+                   n_prob=0.005, seed=7)
+    return path
+
+
+def run_oracle(path: str, batch_size: int) -> "tuple[float, int]":
+    """Single-CPU end-to-end oracle pass (the reference-semantics baseline)."""
+    from hpgq.core.counters import StatsCounters
+    from hpgq.oracle import baseline as ob
+
+    t0 = time.perf_counter()
+    total = 0
+    acc = StatsCounters(phred=PHRED)
+    with FastqReader(path, batch_size=batch_size) as rd:
+        for block in rd:
+            codes, quals, lens, valid = pack_block(block)
+            ok = ob.block_verdicts(codes, quals, lens, CRIT, PHRED) & valid
+            acc = acc.merge(ob.block_stats(codes, quals, lens, ok, phred=PHRED))
+            total += block.num_reads
+    dt = time.perf_counter() - t0
+    assert acc.num_reads > 0
+    return total / dt, total
+
+
+def run_engine(path: str, batch_size: int, batch_reads: int) -> "tuple[float, int]":
+    """End-to-end engine pass; one warmup pass to amortize jit compilation
+    (production runs are long streams — compile cost is not the metric)."""
+    from hpgq.pipeline.session import StatsSession
+
+    def one_pass():
+        sess = StatsSession(PHRED, kmers_on=False, crit=CRIT, batch_reads=batch_reads)
+        total = 0
+        with FastqReader(path, batch_size=batch_size) as rd:
+            for block in rd:
+                sess.feed_block(block)
+                total += block.num_reads
+        counters = sess.finish()
+        assert counters.num_reads >= 0
+        return total
+
+    one_pass()  # warmup: jit compile + file cache
+    t0 = time.perf_counter()
+    total = one_pass()
+    dt = time.perf_counter() - t0
+    return total / dt, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=400_000)
+    ap.add_argument("--len", dest="read_len", type=int, default=100)
+    ap.add_argument("--batch-size", type=int, default=65_536)
+    ap.add_argument("--batch-reads", type=int, default=65_536)
+    ap.add_argument("--oracle-reads", type=int, default=100_000,
+                    help="oracle pass size (throughput extrapolates linearly)")
+    args = ap.parse_args()
+
+    path = corpus(args.reads, args.read_len)
+    opath = (path if args.oracle_reads >= args.reads
+             else corpus(args.oracle_reads, args.read_len))
+
+    oracle_rps, _ = run_oracle(opath, args.batch_size)
+    engine_rps, total = run_engine(path, args.batch_size,
+                                   round_up(args.batch_reads, 256))
+
+    print(json.dumps({
+        "metric": "stats_filter_reads_per_sec",
+        "value": round(engine_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(engine_rps / oracle_rps, 3),
+    }))
+    print(json.dumps({
+        "oracle_reads_per_sec": round(oracle_rps, 1),
+        "engine_reads": total,
+        "read_len": args.read_len,
+        "platform": _platform(),
+    }), file=sys.stderr)
+
+
+def _platform() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].platform
+    except Exception:
+        return "unknown"
+
+
+if __name__ == "__main__":
+    main()

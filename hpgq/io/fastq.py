@@ -24,6 +24,16 @@ import numpy as np
 _CHUNK = 16 * 1024 * 1024
 
 
+def _find_newlines(chunk) -> np.ndarray:
+    """Newline offsets; native memchr when built, numpy scan otherwise."""
+    from . import native
+
+    if native.available():
+        return native.find_newlines(chunk)
+    arr = np.frombuffer(chunk, dtype=np.uint8)
+    return np.flatnonzero(arr == 0x0A).astype(np.int64)
+
+
 def open_maybe_gzip(path: str, mode: str = "rb"):
     """Open a file, transparently decompressing gzip (magic-sniffed)."""
     if "r" in mode:
@@ -188,8 +198,7 @@ class FastqReader:
                     return self._block_from(chunk)
                 return None
             chunk = self._tail + data
-            arr = np.frombuffer(chunk, dtype=np.uint8)
-            nl = np.flatnonzero(arr == 0x0A)
+            nl = _find_newlines(chunk)
             nrec = len(nl) // 4
             if nrec == 0:
                 self._tail = chunk
@@ -200,8 +209,7 @@ class FastqReader:
 
     def _block_from(self, chunk: bytes, nl: Optional[np.ndarray] = None) -> RecordBlock:
         if nl is None:
-            arr = np.frombuffer(chunk, dtype=np.uint8)
-            nl = np.flatnonzero(arr == 0x0A)
+            nl = _find_newlines(chunk)
         nrec = len(nl) // 4
         starts, ends = _index_lines(chunk, np.asarray(nl, dtype=np.int64), nrec)
         self.bytes_consumed += len(chunk)

@@ -1,0 +1,150 @@
+"""Native (C++) packer: build-on-demand + ctypes bindings.
+
+The shared library is compiled from ``packer.cpp`` on first use (g++ -O3
+-fopenmp) and cached next to the source; if no compiler is available the
+callers fall back to the pure-numpy packer transparently
+(``hpgq.io.packer.pack_block``).  Bindings use ctypes — this toolchain has
+no pybind11 (see repo environment notes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "packer.cpp")
+_SO = os.path.join(_HERE, "_packer.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str:
+    """Compile packer.cpp -> _packer.so (atomic rename, race-safe)."""
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    os.close(fd)
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
+        "-march=native", _SRC, "-o", tmp,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        # -march=native can be unsupported on exotic hosts; retry plain
+        subprocess.run(
+            [a for a in cmd if a != "-march=native"],
+            check=True, capture_output=True, timeout=120,
+        )
+    os.replace(tmp, _SO)
+    return _SO
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("HPGQ_NO_NATIVE"):
+            return None
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                _build()
+            lib = ctypes.CDLL(_SO)
+        except Exception as e:  # no compiler / load failure -> numpy fallback
+            log.info("native packer unavailable (%s); using numpy packer", e)
+            return None
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.hpgq_find_newlines.restype = ctypes.c_int64
+        lib.hpgq_find_newlines.argtypes = [
+            u8p, ctypes.c_int64, i64p, ctypes.c_int64,
+        ]
+        lib.hpgq_pack.restype = None
+        lib.hpgq_pack.argtypes = [
+            u8p, i64p, i64p, i32p,
+            ctypes.c_int64, ctypes.c_int64, i8p, i8p, u8p, ctypes.c_int,
+        ]
+        lib.hpgq_line_table.restype = None
+        lib.hpgq_line_table.argtypes = [i64p, ctypes.c_int64, i64p, i64p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def find_newlines(buf) -> np.ndarray:
+    """All newline offsets in buf via native memchr.
+
+    Capacity-doubling continuation keeps allocation ~#lines, not #bytes
+    (FASTQ lines average >=16 bytes; start at len/16)."""
+    lib = get_lib()
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    n = arr.shape[0]
+    cap = max(64, n // 16)
+    chunks = []
+    off = 0
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        got = lib.hpgq_find_newlines(arr[off:], n - off, out, cap)
+        if got:
+            chunks.append(out[:got] + off)
+        if got < cap:
+            break
+        off = int(chunks[-1][-1]) + 1
+        cap *= 2
+    if not chunks:
+        return np.empty(0, dtype=np.int64)
+    return chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+
+
+def line_table(nl: np.ndarray, nrec: int):
+    lib = get_lib()
+    starts = np.empty((nrec, 4), dtype=np.int64)
+    ends = np.empty((nrec, 4), dtype=np.int64)
+    lib.hpgq_line_table(np.ascontiguousarray(nl[: nrec * 4]), nrec,
+                        starts.reshape(-1), ends.reshape(-1))
+    return starts, ends
+
+
+def pack_rows(buf, seq_starts, q_starts, lens, lmax: int, nrows: int,
+              num_threads: int = 0):
+    """codes/quals [nrows, lmax] from per-read offsets (rows >= len(lens)
+    are padding: codes=5/quals=0/len=0)."""
+    lib = get_lib()
+    n = len(lens)
+    codes = np.empty((nrows, lmax), dtype=np.int8)
+    quals = np.empty((nrows, lmax), dtype=np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    from ..packer import BASE_LUT
+
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    lib.hpgq_pack(
+        arr,
+        np.ascontiguousarray(seq_starts, dtype=np.int64),
+        np.ascontiguousarray(q_starts, dtype=np.int64),
+        np.ascontiguousarray(lens, dtype=np.int32),
+        n, lmax, BASE_LUT, codes.reshape(-1), quals.reshape(-1), num_threads,
+    )
+    if nrows > n:
+        codes[n:] = 5
+        quals[n:] = 0
+    return codes, quals

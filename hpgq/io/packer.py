@@ -41,11 +41,28 @@ def pack_block(block, max_len: int = 0, pad_reads_to: int = 0):
     ``max_len``: pad/clip length (0 = block max, rounded up to 128 lanes).
     ``pad_reads_to``: pad the read dimension (0 = no padding); padded rows
     have ``valid`` False and length 0.
+
+    Uses the native C++ packer (``hpgq.io.native``) when available; the
+    numpy gather below is the portable fallback and the differential oracle
+    for it (tests/test_native.py).
     """
     n = block.num_reads
     lens = block.seq_lens
     lmax = int(max_len) if max_len else round_up(max(int(lens.max(initial=1)), 1), 128)
     nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    from . import native
+
+    if n and native.available():
+        codes, quals = native.pack_rows(
+            block.arr, block.starts[:, 1], block.starts[:, 3], lens, lmax, nrows
+        )
+        if nrows > n:
+            out_lens = np.concatenate([lens, np.zeros(nrows - n, dtype=np.int32)])
+        else:
+            out_lens = lens
+        valid = np.arange(nrows) < n
+        return codes, quals, out_lens.astype(np.int32), valid
 
     arr = block.arr
     seq_start = block.starts[:, 1]

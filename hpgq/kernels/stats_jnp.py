@@ -322,6 +322,29 @@ def merge_into(acc, p):
     return out
 
 
+# Compiled-step cache: jax.jit caches traces per function *object*, so a
+# fresh closure per pipeline run would recompile every time (expensive over
+# a remote-TPU tunnel).  Key = full static config.
+_STEP_CACHE: dict = {}
+
+
+def _crit_key(crit):
+    import dataclasses
+
+    return None if crit is None else dataclasses.astuple(crit)
+
+
+def resolve_engine(engine: Optional[str] = None) -> str:
+    """'pallas' | 'jnp' | 'pallas_interpret'. Auto: pallas on TPU, else jnp.
+    Overridable via HPGQ_ENGINE."""
+    import os
+
+    engine = engine or os.environ.get("HPGQ_ENGINE") or "auto"
+    if engine == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return engine
+
+
 def make_stats_step(
     lcap: int,
     phred: int,
@@ -329,6 +352,7 @@ def make_stats_step(
     crit: Optional[FilterCriteria] = None,
     jit: bool = True,
     donate: bool = True,
+    engine: Optional[str] = None,
 ):
     """Build the fused per-batch stats update:
 
@@ -337,23 +361,49 @@ def make_stats_step(
     With ``crit`` set, stats are computed over passing reads only and
     num_passed/num_failed are tracked (the `stats --filter` inline-filter
     path, src/stats_fastq.c:205-248).
-    """
 
-    def step(acc, codes, quals, lens, valid):
-        lens32 = lens.astype(jnp.int32)
-        if crit is not None:
-            ok = verdicts(codes, quals, lens32, crit, phred)
-            passed = valid & ok
-            np_ = passed.astype(jnp.int32).sum()
-            nf = (valid & ~ok).astype(jnp.int32).sum()
-            p = batch_partials(codes, quals, lens32, passed, lcap, phred, kmers_on)
+    ``engine`` selects the partials implementation: 'jnp' (XLA-fused, this
+    module) or 'pallas' (single-pass tiled kernel, hpgq.kernels.stats_pallas);
+    default auto (pallas on TPU).
+    """
+    engine = resolve_engine(engine)
+    cache_key = (lcap, phred, kmers_on, _crit_key(crit), engine, donate)
+    if jit and cache_key in _STEP_CACHE:
+        return _STEP_CACHE[cache_key]
+    if engine.startswith("pallas"):
+        from .stats_pallas import make_batch_partials
+
+        pfn = make_batch_partials(
+            lcap, phred, kmers_on, crit, interpret=engine == "pallas_interpret"
+        )
+
+        def step(acc, codes, quals, lens, valid):
+            p = pfn(codes, quals, lens.astype(jnp.int32), valid)
+            np_ = p.pop("_num_passed", None)
+            nf = p.pop("_num_failed", None)
             out = merge_into(acc, p)
-            out["num_passed"] = acc["num_passed"] + np_
-            out["num_failed"] = acc["num_failed"] + nf
+            if np_ is not None:
+                out["num_passed"] = acc["num_passed"] + np_
+                out["num_failed"] = acc["num_failed"] + nf
             return out
-        p = batch_partials(codes, quals, lens32, valid, lcap, phred, kmers_on)
-        return merge_into(acc, p)
+
+    else:
+        def step(acc, codes, quals, lens, valid):
+            lens32 = lens.astype(jnp.int32)
+            if crit is not None:
+                ok = verdicts(codes, quals, lens32, crit, phred)
+                passed = valid & ok
+                np_ = passed.astype(jnp.int32).sum()
+                nf = (valid & ~ok).astype(jnp.int32).sum()
+                p = batch_partials(codes, quals, lens32, passed, lcap, phred, kmers_on)
+                out = merge_into(acc, p)
+                out["num_passed"] = acc["num_passed"] + np_
+                out["num_failed"] = acc["num_failed"] + nf
+                return out
+            p = batch_partials(codes, quals, lens32, valid, lcap, phred, kmers_on)
+            return merge_into(acc, p)
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        _STEP_CACHE[cache_key] = step
     return step

@@ -22,6 +22,7 @@ from typing import Optional
 import numpy as np
 
 from ..io.fastq import FastqReader, FastqWriter
+from ..kernels.stats_jnp import _crit_key
 from ..io.packer import pack_block, round_up
 from ..kernels import stats_jnp
 from ..options import EditOptions, FilterOptions, StatsOptions
@@ -111,6 +112,7 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
                 lambda c, q, l, v: stats_jnp.verdicts(c, q, l, crit, phred) & v
             ),
             br,
+            cache_key=("verdict", _crit_key(crit), phred, br),
         )
         if crit is not None
         else None
@@ -161,7 +163,9 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
     phred = opts.quality_encoding_value
     br = _batch_reads(opts)
     vfn = ShapeCachedFn(
-        lambda: (lambda c, q, l, v: stats_jnp.verdicts(c, q, l, crit, phred) & v), br
+        lambda: (lambda c, q, l, v: stats_jnp.verdicts(c, q, l, crit, phred) & v),
+        br,
+        cache_key=("verdict", _crit_key(crit), phred, br),
     )
     out = {"num_passed": 0, "num_failed": 0}
 
@@ -225,7 +229,10 @@ def _make_edit_fn(opts: EditOptions, br: int):
 
         return fn
 
-    return ShapeCachedFn(build, br)
+    return ShapeCachedFn(
+        build, br,
+        cache_key=("edit", _crit_key(crit), phred, filter_on, br),
+    )
 
 
 def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):

@@ -61,23 +61,40 @@ class StatsSession:
         return self.acc.finish()
 
 
-class ShapeCachedFn:
-    """jit wrapper dispatching on padded batch shapes (one compile per bucket)."""
+_FN_CACHE = {}  # global so compiled fns survive across pipeline runs
 
-    def __init__(self, build_fn, batch_reads: int):
+
+class ShapeCachedFn:
+    """jit wrapper dispatching on padded batch shapes (one compile per bucket).
+
+    ``cache_key`` (when hashable and non-None) keys a process-global compile
+    cache, so repeated runs with identical static config reuse the jitted
+    executable instead of recompiling (jax.jit caches per function object).
+    """
+
+    def __init__(self, build_fn, batch_reads: int, cache_key=None):
         self._build = build_fn
         self._cache = {}
+        self._key = cache_key
         self.batch_reads = batch_reads
+
+    def _fn_for(self, shape):
+        if self._key is not None:
+            key = (self._key, shape)
+            fn = _FN_CACHE.get(key)
+            if fn is None:
+                fn = _FN_CACHE[key] = jax.jit(self._build())
+            return fn
+        fn = self._cache.get(shape)
+        if fn is None:
+            fn = self._cache[shape] = jax.jit(self._build())
+        return fn
 
     def __call__(self, block):
         lmax = round_up(max(block.max_len(), 1), 128)
         codes, quals, lens, valid = pack_block(
             block, max_len=lmax, pad_reads_to=self.batch_reads
         )
-        key = codes.shape
-        fn = self._cache.get(key)
-        if fn is None:
-            fn = self._cache[key] = jax.jit(self._build())
-        out = fn(codes, quals, lens, valid)
+        out = self._fn_for(codes.shape)(codes, quals, lens, valid)
         n = block.num_reads
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)

@@ -1,0 +1,80 @@
+"""Native C++ packer vs the numpy fallback (differential) + reader parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gen import make_fastq
+
+from hpgq.io import native
+from hpgq.io.fastq import FastqReader
+from hpgq.io.packer import pack_block
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native packer not built (no g++?)"
+)
+
+
+def _np_pack(block, max_len=0, pad_reads_to=0):
+    """Force the numpy path regardless of native availability."""
+    import hpgq.io.native as n
+
+    saved = n.available
+    n.available = lambda: False
+    try:
+        return pack_block(block, max_len=max_len, pad_reads_to=pad_reads_to)
+    finally:
+        n.available = saved
+
+
+def test_find_newlines_matches_numpy():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=100_000, dtype=np.uint8)
+    buf = data.tobytes()
+    got = native.find_newlines(buf)
+    want = np.flatnonzero(data == 0x0A)
+    np.testing.assert_array_equal(got, want)
+    assert native.find_newlines(b"").shape == (0,)
+    assert list(native.find_newlines(b"\n\n")) == [0, 1]
+
+
+@pytest.mark.parametrize("varlen", [False, True])
+def test_pack_block_matches_numpy(tmp_path, varlen):
+    path = tmp_path / "r.fq"
+    kw = dict(min_len=40, max_len=150) if varlen else dict(min_len=90, max_len=90)
+    make_fastq(str(path), 3000, n_prob=0.01, lowercase_prob=0.1, seed=4, **kw)
+    with FastqReader(str(path), batch_size=1024) as rd:
+        for block in rd:
+            for ml, pr in ((0, 0), (256, 4096)):
+                a = pack_block(block, max_len=ml, pad_reads_to=pr)
+                b = _np_pack(block, max_len=ml, pad_reads_to=pr)
+                for x, y, name in zip(a, b, ("codes", "quals", "lens", "valid")):
+                    np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+def test_reader_native_vs_numpy(tmp_path):
+    path = tmp_path / "big.fq"
+    make_fastq(str(path), 5000, min_len=60, max_len=200, seed=8)
+    with FastqReader(str(path), batch_size=999) as rd:
+        native_blocks = [
+            (b.buf, b.starts.copy(), b.ends.copy()) for b in rd
+        ]
+    os.environ["HPGQ_NO_NATIVE"] = "1"
+    try:
+        import hpgq.io.native as n
+
+        saved = n.available
+        n.available = lambda: False
+        try:
+            with FastqReader(str(path), batch_size=999) as rd:
+                np_blocks = [(b.buf, b.starts.copy(), b.ends.copy()) for b in rd]
+        finally:
+            n.available = saved
+    finally:
+        del os.environ["HPGQ_NO_NATIVE"]
+    assert len(native_blocks) == len(np_blocks)
+    for (b1, s1, e1), (b2, s2, e2) in zip(native_blocks, np_blocks):
+        assert b1 == b2
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(e1, e2)
