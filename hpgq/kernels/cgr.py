@@ -1,0 +1,172 @@
+"""Chaos-game-representation kernel: windowed bit codes + MXU outer-product
+histogram.
+
+The reference fills its ``2^k x 2^k`` CGR tables with a sequential f64
+iterated-function-system per nucleotide (``old/chaos_game.c:165-267``).  That
+recurrence has a closed form: each step is ``f <- (f + bit*dim)/2`` with
+``bit_x = 1`` for A/T and ``bit_y = 1`` for G/T, so after the k bases
+``b_1..b_k`` (oldest first) of a completed word
+
+    f = f_prior / 2^k  +  sum_m bit(b_m) * 2^(m-1)          (dim = 2^k)
+
+and since ``0 <= f_prior < dim`` in exact arithmetic, ``floor(f)`` is exactly
+the k-bit window code (oldest base weight 1, newest 2^(k-1)) independent of
+all history — including the reference's coordinate carry-over across reads
+and its N-reset (which resets the word counter, not the point,
+``old/chaos_game.c:229-233``).  The EPSILON boundary clamp (``:243-251``)
+only fires where f64 rounding saturates ``f_prior`` to ``dim`` (a >=53-long
+single-letter A/T (x) or G/T (y) run immediately before the window), and in
+the all-ones window where it fires the clamp restores the window code — the
+sole true divergence is an off-by-one cell for a non-all-ones window right
+after such a run; we take the exact-math cell (documented deviation,
+verified against the loop oracle ``hpgq.oracle.cgr`` in tests/test_cgr.py).
+
+So per batch the kernel is: sliding-window x/y bit codes (valid iff all k
+bases in {A,C,G,T} and the window fits in the read), then a 2-D histogram
+accumulated as ``onehot_x^T @ onehot_y`` chunked matmuls — the TPU-native
+scatter-add: the MXU does 2*N*dim^2 flops instead of N serialized scatters.
+The quality table uses the same matmul with the x one-hot scaled by the
+window's quality sum minus ``phred*k`` (``old/chaos_game.c:253-257``).
+
+f32 exactness: one-hot entries are 0/1 and per-chunk per-cell sums stay
+below 2^24 for chunk <= 16384 windows (worst-case quality weight < 93*k),
+so every matmul partial is integer-exact in f32; chunks accumulate in i32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import BASE_A, BASE_G, BASE_T, DEFAULT_CGR_K
+
+CHUNK = 16384  # windows per matmul chunk (f32-exactness bound, see above)
+
+
+def window_cells(codes, lens, k: int):
+    """(ix, iy, ok) int32/bool ``[B, W]`` window codes for W = L-k+1.
+
+    ix/iy bit weights: window base at offset t (0 = oldest) has weight 2^t
+    (the IFS closed form above); ok marks windows fully inside the read with
+    no N/other base.
+    """
+    B, L = codes.shape
+    W = L - k + 1
+    assert W >= 1
+    ix = jnp.zeros((B, W), jnp.int32)
+    iy = jnp.zeros((B, W), jnp.int32)
+    ok = jnp.ones((B, W), jnp.bool_)
+    for t in range(k):
+        part = codes[:, t : t + W]
+        xb = ((part == BASE_A) | (part == BASE_T)).astype(jnp.int32)
+        yb = ((part == BASE_G) | (part == BASE_T)).astype(jnp.int32)
+        ix += xb << t
+        iy += yb << t
+        ok &= part < 4
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    ok &= (pos + k) <= lens[:, None]
+    return ix, iy, ok
+
+
+def window_qsums(quals, k: int):
+    """Sliding sum of k raw quality bytes — int32 ``[B, W]``."""
+    B, L = quals.shape
+    W = L - k + 1
+    q = quals.astype(jnp.int32)
+    s = jnp.zeros((B, W), jnp.int32)
+    for t in range(k):
+        s += q[:, t : t + W]
+    return s
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
+                     chunk: int = CHUNK):
+    """(table_seq i32 [dim, dim], table_q i32 [dim, dim], words i32) for one
+    packed batch — exact-integer chunked MXU accumulation."""
+    dim = 1 << k
+    B, L = codes.shape
+    lens = lens.astype(jnp.int32)
+    ix, iy, ok = window_cells(codes, lens, k)
+    ok &= valid[:, None]
+    wq = window_qsums(quals, k) - phred * k
+
+    W = ix.shape[1]
+    N = B * W
+    Np = _round_up(N, chunk)
+    pad = Np - N
+
+    def flat(a, fill=0):
+        f = a.reshape(-1)
+        return jnp.pad(f, (0, pad), constant_values=fill) if pad else f
+
+    fx = flat(ix)
+    fy = flat(iy)
+    fok = flat(ok.astype(jnp.float32))
+    fwq = flat(wq)
+
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
+
+    def body(i, carry):
+        ts, tq = carry
+        sl = i * chunk
+        cx = jax.lax.dynamic_slice(fx, (sl,), (chunk,))[:, None]
+        cy = jax.lax.dynamic_slice(fy, (sl,), (chunk,))[:, None]
+        cok = jax.lax.dynamic_slice(fok, (sl,), (chunk,))[:, None]
+        cwq = jax.lax.dynamic_slice(fwq, (sl,), (chunk,))[:, None]
+        ohx = (cx == bins).astype(jnp.float32) * cok          # [chunk, dim]
+        ohy = (cy == bins).astype(jnp.float32)                # [chunk, dim]
+        seq = jax.lax.dot_general(
+            ohx, ohy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qtw = ohx * cwq.astype(jnp.float32)
+        qt = jax.lax.dot_general(
+            qtw, ohy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return ts + seq.astype(jnp.int32), tq + qt.astype(jnp.int32)
+
+    ts0 = jnp.zeros((dim, dim), jnp.int32)
+    tq0 = jnp.zeros((dim, dim), jnp.int32)
+    ts, tq = jax.lax.fori_loop(0, Np // chunk, body, (ts0, tq0))
+    words = ok.astype(jnp.int32).sum()
+    return ts, tq, words
+
+
+_CGR_STEP_CACHE: dict = {}
+
+
+def make_cgr_step(k: int = DEFAULT_CGR_K, phred: int = 33, jit: bool = True):
+    """step(acc, codes, quals, lens, valid) -> acc for
+    acc = {"table_seq", "table_q", "words"} (device i32)."""
+    key = (k, phred)
+    if jit and key in _CGR_STEP_CACHE:
+        return _CGR_STEP_CACHE[key]
+
+    def step(acc, codes, quals, lens, valid):
+        ts, tq, w = cgr_batch_tables(codes, quals, lens, valid, k, phred)
+        return {
+            "table_seq": acc["table_seq"] + ts,
+            "table_q": acc["table_q"] + tq,
+            "words": acc["words"] + w,
+        }
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+        _CGR_STEP_CACHE[key] = step
+    return step
+
+
+def zero_cgr_acc(k: int):
+    dim = 1 << k
+    return {
+        "table_seq": jnp.zeros((dim, dim), jnp.int32),
+        "table_q": jnp.zeros((dim, dim), jnp.int32),
+        "words": jnp.zeros((), jnp.int32),
+    }

@@ -1,0 +1,127 @@
+"""The `cgr` command pipeline: chaos-game genomic signature of a FASTQ.
+
+Streams packed batches through the MXU outer-product histogram kernel
+(``hpgq.kernels.cgr``), folds per-batch int32 tables into host int64 every
+batch (the tables are only ``4^k`` cells — a 128 KB transfer — and per-batch
+folding keeps any cell overflow window smaller than the reference's own
+``unsigned int`` accumulators, ``old/chaos_game.h:77-79``), then emits the
+reference's outputs (``chaos_game_write_table_images``,
+``old/chaos_game.c:407-465``):
+
+* ``<fq>_k=<k>_FG.pgm``   — sequence-word signature image
+* ``<fq>_k=<k>_QQ.pgm``   — quality signature image
+* ``<fq>_k=<k>_FG_dif.pgm`` + mean/std — iff a reference signature is given
+* ``<fq>_k=<k>.gs``       — this file's signature (``--write-gs``)
+
+Paired-end inputs accumulate BOTH mates into one signature (the signature
+is a property of the sample, not the mate; legacy ran CGR within its
+paired-end prepro kernel, ``old/main_hpg_fastq_old.c:726-728``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..constants import CGR_FASTQ_PGM_SUFFIX # noqa: F401  (re-export convenience)
+from ..constants import (
+    CGR_DIFF_PGM_SUFFIX,
+    CGR_K_VALUE_INFIX,
+    CGR_MAX_QUALITY_IN_TABLE,
+    CGR_QUALITY_PGM_SUFFIX,
+)
+from ..io.fastq import FastqReader
+from ..io.packer import pack_block, round_up
+from ..kernels.cgr import make_cgr_step, zero_cgr_acc
+from ..options import CgrOptions
+from ..report import pgm
+from ..utils.timers import StageTimers
+from .run import _batch_reads, _iter_blocks
+
+
+class CgrSession:
+    """Streaming CGR accumulation (host int64 tables, device batch kernel)."""
+
+    def __init__(self, k: int, phred: int, batch_reads: int):
+        self.k = k
+        self.phred = phred
+        self.batch_reads = batch_reads
+        dim = 1 << k
+        self.table_seq = np.zeros((dim, dim), dtype=np.int64)
+        self.table_q = np.zeros((dim, dim), dtype=np.int64)
+        self.word_count = 0
+        self._step = make_cgr_step(k, phred)
+
+    def feed_block(self, block):
+        lmax = round_up(max(block.max_len(), self.k), 128)
+        codes, quals, lens, valid = pack_block(
+            block, max_len=lmax, pad_reads_to=self.batch_reads
+        )
+        self.feed_packed(codes, quals, lens, valid)
+
+    def feed_packed(self, codes, quals, lens, valid):
+        acc = self._step(zero_cgr_acc(self.k), codes, quals, lens, valid)
+        host = jax.device_get(acc)
+        self.table_seq += np.asarray(host["table_seq"], dtype=np.int64)
+        self.table_q += np.asarray(host["table_q"], dtype=np.int64)
+        self.word_count += int(host["words"])
+
+
+def run_cgr(opts: CgrOptions, timers: Optional[StageTimers] = None) -> dict:
+    timers = timers or StageTimers()
+    k = int(opts.k)
+    phred = opts.quality_encoding_value
+    sess = CgrSession(k, phred, _batch_reads(opts))
+
+    inputs = [opts.in_filename]
+    if opts.paired_end:
+        inputs = [opts.in_filename, opts.in_filename2]
+    for path in inputs:
+        with FastqReader(path, batch_size=opts.batch_size) as rd:
+            for block in _iter_blocks(rd, timers):
+                with timers.stage("compute"):
+                    sess.feed_block(block)
+
+    out: dict = {"fq_word_count": sess.word_count, "pgm_files": []}
+    base = os.path.join(
+        opts.out_dirname,
+        "%s%s%d" % (os.path.basename(opts.in_filename), CGR_K_VALUE_INFIX, k),
+    )
+
+    with timers.stage("reporting"):
+        fq_norm = pgm.fq_norm_value(sess.word_count, k)
+        fg = base + CGR_FASTQ_PGM_SUFFIX
+        pgm.write_pgm(fg, sess.table_seq, k, fq_norm)
+        out["pgm_files"].append(fg)
+
+        qn = pgm.normalize_quality_table(sess.table_q, sess.table_seq, k)
+        q_norm = 256.0 / CGR_MAX_QUALITY_IN_TABLE
+        qq = base + CGR_QUALITY_PGM_SUFFIX
+        pgm.write_pgm(qq, qn, k, q_norm)
+        out["pgm_files"].append(qq)
+
+        if opts.write_gs:
+            gs_path = base + ".gs"
+            pgm.write_gs(gs_path, sess.table_seq, k, sess.word_count)
+            out["gs_file"] = gs_path
+
+        out["mean_dif"] = out["std_dif"] = None
+        if opts.gs_filename:
+            table_gs, _, ref_words = pgm.read_gs(opts.gs_filename, expect_k=k)
+            dif, stats = pgm.diff_table(
+                sess.table_seq, table_gs, sess.word_count, ref_words, k
+            )
+            clamped = pgm.abs_clamp_diff(dif)
+            dp = base + CGR_DIFF_PGM_SUFFIX
+            pgm.write_pgm(dp, clamped, k, 1.0)
+            out["pgm_files"].append(dp)
+            out["mean_dif"] = stats["mean"]
+            out["std_dif"] = stats["std"]
+            out["dif_stats"] = stats
+
+    out["table_seq"] = sess.table_seq
+    out["table_q"] = sess.table_q
+    return out
