@@ -37,6 +37,7 @@ class DeviceAccumulator:
         batch_reads: int = 16384,
         device=None,
         jit: bool = True,
+        engine=None,
     ):
         self.lcap = lcap
         self.phred = phred
@@ -46,7 +47,9 @@ class DeviceAccumulator:
         self.counters = StatsCounters(phred=phred, kmers_on=kmers_on)
         self.counters.filter_on = self.filter_on
         self.counters.ensure_length(lcap)
-        self._step = make_stats_step(lcap, phred, kmers_on, crit, jit=jit)
+        self.engine = engine
+        self._step = make_stats_step(lcap, phred, kmers_on, crit, jit=jit,
+                                     engine=engine)
         self._acc = zero_partials(lcap, kmers_on)
         if device is not None:
             self._acc = jax.device_put(self._acc, device)

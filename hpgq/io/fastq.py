@@ -54,13 +54,23 @@ class RecordBlock:
     ``buf`` (lines: header, sequence, separator, quality), newline excluded.
     """
 
-    __slots__ = ("buf", "starts", "ends", "arr")
+    __slots__ = ("buf", "starts", "ends", "arr", "base_offset")
 
-    def __init__(self, buf: bytes, starts: np.ndarray, ends: np.ndarray):
+    def __init__(self, buf: bytes, starts: np.ndarray, ends: np.ndarray,
+                 base_offset: int = 0):
         self.buf = buf
         self.starts = starts
         self.ends = ends
         self.arr = np.frombuffer(buf, dtype=np.uint8)
+        self.base_offset = base_offset
+
+    @property
+    def end_offset(self) -> int:
+        """Logical file offset just past this block's last record — a valid
+        resume point for ``FastqReader(start_offset=...)`` (checkpointing)."""
+        if self.starts.shape[0] == 0:
+            return self.base_offset
+        return self.base_offset + int(self.ends[-1, 3]) + 1
 
     @property
     def num_reads(self) -> int:
@@ -212,8 +222,9 @@ class FastqReader:
             nl = _find_newlines(chunk)
         nrec = len(nl) // 4
         starts, ends = _index_lines(chunk, np.asarray(nl, dtype=np.int64), nrec)
+        base = self.bytes_consumed
         self.bytes_consumed += len(chunk)
-        return RecordBlock(chunk, starts, ends)
+        return RecordBlock(chunk, starts, ends, base_offset=base)
 
     def _slice_block(self, block: RecordBlock, lo: int, hi: int) -> RecordBlock:
         sub = RecordBlock.__new__(RecordBlock)
@@ -221,6 +232,7 @@ class FastqReader:
         sub.arr = block.arr
         sub.starts = block.starts[lo:hi]
         sub.ends = block.ends[lo:hi]
+        sub.base_offset = block.base_offset
         return sub
 
     def __iter__(self) -> Iterator[RecordBlock]:

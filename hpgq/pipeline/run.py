@@ -35,8 +35,12 @@ def _batch_reads(opts) -> int:
     return int(opts.device_batch_reads) or max(256, round_up(opts.batch_size, 256))
 
 
-def _iter_blocks(reader, timers):
-    it = iter(reader)
+def _iter_blocks(reader, timers, prefetch_depth: int = 3):
+    """Blocks via the background producer thread (read/index run ahead of
+    compute; 'read' time below is queue-wait, i.e. non-overlapped read)."""
+    from .prefetch import prefetched
+
+    it = prefetched(iter(reader), depth=prefetch_depth)
     while True:
         with timers.stage("read"):
             block = next(it, None)
@@ -80,6 +84,43 @@ def _iter_blocks_paired(r1, r2, timers):
 # stats
 # ---------------------------------------------------------------------------
 
+def _engine_of(opts):
+    return None if getattr(opts, "use_pallas", True) else "jnp"
+
+
+def _stats_config_key(opts, crit) -> str:
+    import dataclasses
+    import json
+
+    return json.dumps({
+        "cmd": "stats",
+        "in": os.path.abspath(opts.in_filename),
+        "phred": opts.quality_encoding_value,
+        "kmers": opts.kmers_on,
+        "crit": dataclasses.astuple(crit) if crit is not None else None,
+    }, sort_keys=True)
+
+
+class _Profiler:
+    """jax.profiler trace around the streaming loop (--profile-dir)."""
+
+    def __init__(self, profile_dir):
+        self.dir = profile_dir
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+
+            jax.profiler.start_trace(self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            import jax
+
+            jax.profiler.stop_trace()
+
+
 def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
     """The `stats` command (single- or paired-end). Returns counters
     (a (counters1, counters2) tuple when paired)."""
@@ -88,15 +129,47 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
     br = _batch_reads(opts)
 
     if not opts.paired_end:
-        sess = StatsSession(
-            opts.quality_encoding_value, opts.kmers_on, crit, batch_reads=br
+        from ..utils.checkpoint import (
+            load_counters_checkpoint,
+            save_counters_checkpoint,
         )
-        with FastqReader(opts.in_filename, batch_size=opts.batch_size) as rd:
+
+        ck_path = opts.checkpoint_path
+        ck_every = opts.checkpoint_every or 50
+        ck_key = _stats_config_key(opts, crit) if ck_path else None
+        start = 0
+        resumed = None
+        if ck_path:
+            loaded = load_counters_checkpoint(ck_path, ck_key)
+            if loaded:
+                resumed, start, _ = loaded
+
+        sess = StatsSession(
+            opts.quality_encoding_value, opts.kmers_on, crit, batch_reads=br,
+            lcap=max(128, resumed.lcap) if resumed else 128,
+            engine=_engine_of(opts),
+        )
+        if resumed:
+            resumed.ensure_length(sess.lcap)
+            sess.acc.counters = resumed
+        nb = 0
+        with FastqReader(
+            opts.in_filename, batch_size=opts.batch_size, start_offset=start
+        ) as rd, _Profiler(opts.profile_dir):
             for block in _iter_blocks(rd, timers):
                 with timers.stage("compute"):
                     sess.feed_block(block)
+                nb += 1
+                if ck_path and nb % ck_every == 0:
+                    with timers.stage("checkpoint"):
+                        sess.acc.flush()
+                        save_counters_checkpoint(
+                            ck_path, sess.acc.counters, block.end_offset, ck_key
+                        )
         with timers.stage("compute"):
             counters = sess.finish()
+        if ck_path and os.path.exists(ck_path):
+            os.unlink(ck_path)  # run completed; stale resume would re-read
         with timers.stage("reporting"):
             stats_report(counters, opts)
         return counters

@@ -20,14 +20,16 @@ class StatsSession:
     """Streaming stats accumulation with automatic length growth."""
 
     def __init__(self, phred, kmers_on=False, crit=None, batch_reads=16384,
-                 device=None, lcap: int = 128):
+                 device=None, lcap: int = 128, engine=None):
         self.phred = phred
         self.kmers_on = kmers_on
         self.crit = crit
         self.batch_reads = batch_reads
         self.device = device
+        self.engine = engine
         self.acc = DeviceAccumulator(
-            lcap, phred, kmers_on, crit, batch_reads=batch_reads, device=device
+            lcap, phred, kmers_on, crit, batch_reads=batch_reads, device=device,
+            engine=engine,
         )
 
     @property
@@ -39,6 +41,7 @@ class StatsSession:
         self.acc = DeviceAccumulator(
             lcap, self.phred, self.kmers_on, self.crit,
             batch_reads=self.batch_reads, device=self.device,
+            engine=self.engine,
         )
         self.acc.counters = old
         old.ensure_length(lcap)

@@ -1,0 +1,117 @@
+"""Checkpoint / resume for streaming runs.
+
+The reference has no checkpointing (single streaming pass; SURVEY §5) — for
+multi-GB multi-host runs the new framework persists, per host shard, the
+exact restart state: the int64 counter snapshot plus the input's logical
+byte offset.  Resume = load counters, seek the reader, continue; merging is
+associative so the result is identical to an uninterrupted run
+(tests/test_checkpoint.py proves equality).
+
+Format: a single .npz (atomic tmp+rename) holding the counters' arrays,
+scalars, and a JSON meta blob (command config fingerprint — a resume with a
+different config is refused).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+from ..core.counters import StatsCounters
+
+FORMAT_VERSION = 1
+
+_SCALARS = (
+    "num_reads", "num_passed", "num_failed", "acc_length", "min_length",
+    "max_length", "acc_quality", "num_As", "num_Cs", "num_Gs", "num_Ts",
+    "num_Ns", "phred",
+)
+_ARRAYS = (
+    "length_hist", "quality_hist", "gc_hist", "count_quality_per_nt",
+    "acc_quality_per_nt", "base_per_nt", "kmer_counts", "kmer_counts_by_pos",
+)
+
+
+def save_counters_checkpoint(
+    path: str,
+    counters: StatsCounters,
+    offset: int,
+    config_key: str,
+    extra: Optional[dict] = None,
+) -> str:
+    """Atomically persist counters + input offset (+ arbitrary extra arrays)."""
+    payload = {
+        "__meta__": np.frombuffer(
+            json.dumps({
+                "version": FORMAT_VERSION,
+                "offset": int(offset),
+                "config_key": config_key,
+                "kmers_on": counters.kmers_on,
+                "filter_on": counters.filter_on,
+                "scalars": {k: _py(getattr(counters, k)) for k in _SCALARS},
+            }).encode(),
+            dtype=np.uint8,
+        ),
+    }
+    for k in _ARRAYS:
+        v = getattr(counters, k, None)
+        if v is not None:
+            payload[k] = v
+    for k, v in (extra or {}).items():
+        payload["x_" + k] = np.asarray(v)
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(suffix=".npz.tmp", dir=d)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def _py(v):
+    return v.item() if hasattr(v, "item") else v
+
+
+def load_counters_checkpoint(path: str, config_key: str):
+    """(counters, offset, extra) — None if absent. Raises on config mismatch."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        if meta.get("version") != FORMAT_VERSION:
+            raise ValueError("unsupported checkpoint version in %s" % path)
+        if meta["config_key"] != config_key:
+            raise ValueError(
+                "checkpoint %s was written by a different configuration "
+                "(%s != %s); refusing to resume" % (path, meta["config_key"],
+                                                    config_key)
+            )
+        c = StatsCounters(
+            phred=int(meta["scalars"]["phred"]), kmers_on=meta["kmers_on"]
+        )
+        c.filter_on = meta["filter_on"]
+        for k, v in meta["scalars"].items():
+            setattr(c, k, type(getattr(c, k))(v))
+        lcap = int(z["count_quality_per_nt"].shape[0])
+        c.ensure_length(lcap)
+        for k in _ARRAYS:
+            if k in z.files:
+                arr = z[k]
+                cur = getattr(c, k)
+                if cur is None or cur.shape != arr.shape:
+                    setattr(c, k, arr.copy())
+                else:
+                    cur[...] = arr
+        extra = {
+            k[2:]: z[k].copy() for k in z.files if k.startswith("x_")
+        }
+    return c, int(meta["offset"]), extra

@@ -1,0 +1,99 @@
+"""Checkpoint/resume: interrupted stats run == uninterrupted run."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gen import make_fastq
+
+from hpgq.options import StatsOptions
+from hpgq.pipeline.run import run_stats
+from hpgq.utils.checkpoint import (
+    load_counters_checkpoint,
+    save_counters_checkpoint,
+)
+from hpgq.core.counters import StatsCounters
+
+
+def _opts(fq, out, **kw):
+    o = StatsOptions()
+    o.in_filename = str(fq)
+    o.out_dirname = str(out)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    for k, v in kw.items():
+        setattr(o, k, v)
+    return o
+
+
+def test_roundtrip(tmp_path):
+    c = StatsCounters(phred=33)
+    c.ensure_length(128)
+    c.num_reads = 42
+    c.acc_quality = 1234.5
+    c.length_hist[100] = 42
+    c.min_length = 80
+    p = str(tmp_path / "ck.npz")
+    save_counters_checkpoint(p, c, offset=9999, config_key="k1",
+                             extra={"t": np.arange(6)})
+    c2, off, extra = load_counters_checkpoint(p, "k1")
+    assert off == 9999
+    assert c2.num_reads == 42 and c2.min_length == 80
+    assert c2.acc_quality == pytest.approx(1234.5)
+    assert c2.length_hist[100] == 42
+    np.testing.assert_array_equal(extra["t"], np.arange(6))
+    with pytest.raises(ValueError):
+        load_counters_checkpoint(p, "other-config")
+    assert load_counters_checkpoint(str(tmp_path / "none.npz"), "k1") is None
+
+
+def test_resume_equals_uninterrupted(tmp_path):
+    fq = str(tmp_path / "in.fq")
+    make_fastq(fq, 4000, min_len=60, max_len=100, n_prob=0.01, seed=3)
+
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    out_a.mkdir()
+    out_b.mkdir()
+
+    full = run_stats(_opts(fq, out_a, batch_size=512))
+
+    # interrupted run: checkpoint every batch, stop after 3 batches
+    ck = str(tmp_path / "ck.npz")
+    opts_b = _opts(fq, out_b, batch_size=512, checkpoint_path=ck,
+                   checkpoint_every=1)
+
+    from hpgq.pipeline import run as run_mod
+
+    real_iter = run_mod._iter_blocks
+    calls = {"n": 0}
+
+    def limited(rd, timers):
+        for b in real_iter(rd, timers):
+            if calls["n"] >= 3:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            yield b
+
+    run_mod._iter_blocks = limited
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_stats(opts_b)
+    finally:
+        run_mod._iter_blocks = real_iter
+
+    assert os.path.exists(ck)
+    _, off, _ = load_counters_checkpoint(
+        ck, run_mod._stats_config_key(opts_b, None)
+    )
+    assert 0 < off < os.path.getsize(fq)
+
+    resumed = run_stats(opts_b)  # resumes from ck, finishes the file
+    assert not os.path.exists(ck)  # completed runs clear their checkpoint
+
+    assert resumed.equals(full), "resumed counters != uninterrupted counters"
+    # report bytes identical too
+    sa = (out_a / "in.fq.summary.txt").read_bytes()
+    sb = (out_b / "in.fq.summary.txt").read_bytes()
+    assert sa == sb
