@@ -47,46 +47,61 @@ def corpus(n_reads: int, read_len: int) -> str:
     return path
 
 
-def run_oracle(path: str, batch_size: int) -> "tuple[float, int]":
-    """Single-CPU end-to-end oracle pass (the reference-semantics baseline)."""
+def run_oracle(path: str, batch_size: int, passes: int = 2) -> "tuple[float, int]":
+    """Single-CPU end-to-end oracle pass (the reference-semantics baseline).
+    Best of ``passes`` (first pass also warms the file cache)."""
     from hpgq.core.counters import StatsCounters
     from hpgq.oracle import baseline as ob
 
-    t0 = time.perf_counter()
+    best = 0.0
     total = 0
-    acc = StatsCounters(phred=PHRED)
-    with FastqReader(path, batch_size=batch_size) as rd:
-        for block in rd:
-            codes, quals, lens, valid = pack_block(block)
-            ok = ob.block_verdicts(codes, quals, lens, CRIT, PHRED) & valid
-            acc = acc.merge(ob.block_stats(codes, quals, lens, ok, phred=PHRED))
-            total += block.num_reads
-    dt = time.perf_counter() - t0
-    assert acc.num_reads > 0
-    return total / dt, total
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        total = 0
+        acc = StatsCounters(phred=PHRED)
+        with FastqReader(path, batch_size=batch_size) as rd:
+            for block in rd:
+                codes, quals, lens, valid = pack_block(block)
+                ok = ob.block_verdicts(codes, quals, lens, CRIT, PHRED) & valid
+                acc = acc.merge(ob.block_stats(codes, quals, lens, ok, phred=PHRED))
+                total += block.num_reads
+        dt = time.perf_counter() - t0
+        assert acc.num_reads > 0
+        best = max(best, total / dt)
+    return best, total
 
 
-def run_engine(path: str, batch_size: int, batch_reads: int) -> "tuple[float, int]":
-    """End-to-end engine pass; one warmup pass to amortize jit compilation
-    (production runs are long streams — compile cost is not the metric)."""
+def run_engine(path: str, batch_size: int, batch_reads: int,
+               passes: int = 3) -> "tuple[float, int]":
+    """End-to-end engine throughput: one warmup pass amortizes jit
+    compilation (production runs are long streams — compile cost is not the
+    metric), then best of ``passes`` timed passes (host<->device link
+    bandwidth fluctuates heavily in tunneled environments)."""
     from hpgq.pipeline.session import StatsSession
+    from hpgq.pipeline.run import _iter_packed
+    from hpgq.utils.timers import StageTimers
 
     def one_pass():
         sess = StatsSession(PHRED, kmers_on=False, crit=CRIT, batch_reads=batch_reads)
         total = 0
+        timers = StageTimers()
         with FastqReader(path, batch_size=batch_size) as rd:
-            for block in rd:
-                sess.feed_block(block)
+            for block, arrs in _iter_packed(rd, sess, batch_reads, timers):
+                sess.feed_packed(*arrs)
                 total += block.num_reads
         counters = sess.finish()
         assert counters.num_reads >= 0
         return total
 
     one_pass()  # warmup: jit compile + file cache
-    t0 = time.perf_counter()
-    total = one_pass()
-    dt = time.perf_counter() - t0
-    return total / dt, total
+    best = 0.0
+    total = 0
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        total = one_pass()
+        dt = time.perf_counter() - t0
+        best = max(best, total / dt)
+    return best, total
 
 
 def main():

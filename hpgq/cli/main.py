@@ -107,6 +107,9 @@ def _add_common(p: argparse.ArgumentParser, with_windows=True, with_encoding=Fal
                    help="Batches between checkpoints (0 = off)")
     p.add_argument("--profile-dir", default=None,
                    help="Write a jax.profiler trace to this directory")
+    p.add_argument("--sharded", action="store_true",
+                   help="Data-parallel over all devices (multi-chip/multi-host "
+                        "mesh; stats single-end only)")
     p.add_argument("--no-pallas", dest="use_pallas", action="store_false",
                    help="Disable Pallas kernels (use the XLA-fused jnp path)")
 
@@ -215,6 +218,7 @@ def _ns_to_opts(ns: argparse.Namespace, cls):
     opts.checkpoint_every = ns.checkpoint_every
     opts.profile_dir = ns.profile_dir
     opts.use_pallas = ns.use_pallas
+    opts.sharded = getattr(ns, "sharded", False)
 
     logging.basicConfig(
         filename=ns.log_file or "hpg-fastq.log",
@@ -254,6 +258,9 @@ def main(argv=None) -> int:
         display(opts)
         timers = StageTimers()
         from ..pipeline.run import run_stats
+
+        if getattr(opts, "sharded", False) and not opts.paired_end:
+            from ..dist.run_dist import run_stats_sharded as run_stats  # noqa: F811
 
         result = run_stats(opts, timers)
         lines = [

@@ -1,0 +1,226 @@
+"""Distributed stats pipeline: data-parallel over a device mesh, multi-host
+over byte-range shards.
+
+Topology (SURVEY §2.3 P4/P5, §5 'distributed communication backend'):
+
+* every process reads its own slice of the input — a record-aligned byte
+  range for plain FASTQ (``split_byte_ranges``), or block striping for gzip
+  (not byte-seekable: every process decodes, keeps every p-th block),
+* each step packs a global ``[B, L]`` batch whose shards live on the local
+  process's devices (``jax.make_array_from_process_local_data``), and runs
+  the fused per-device kernel inside ``shard_map`` — NO collectives in the
+  steady state,
+* hosts step in lockstep; a host whose range is exhausted feeds empty
+  (all-invalid) batches while a 1-int ``psum`` "any data left" vote keeps the
+  step counts equal (the only per-step collective, and only when
+  ``jax.process_count() > 1``),
+* the final merge is one ``psum``/``pmin``/``pmax`` over the mesh
+  (``sharded_counters``) — the reference's serial consumer merge
+  (``src/stats_fastq.c:257-417``) as a single collective; process 0 writes
+  the report.
+
+Single-process multi-device (one host, N chips — or the 8-virtual-device CPU
+test mesh) is the degenerate case with no vote and no striping.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..io.fastq import FastqReader
+from ..io.packer import pack_block, round_up
+from ..options import StatsOptions
+from ..report.stats_report import stats_report
+from ..utils.timers import StageTimers
+from .mesh import (
+    data_mesh,
+    initialize_distributed,
+    make_sharded_stats_step,
+    sharded_counters,
+    split_byte_ranges,
+    zero_sharded_partials,
+)
+
+
+def _is_gzip(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def striped_blocks(reader, stripe: int, n_stripes: int):
+    """Every n-th block of the reader — the gzip multi-host input split
+    (gzip is not byte-seekable; each host decodes the stream but computes
+    only its stripe)."""
+    for i, block in enumerate(reader):
+        if i % n_stripes == stripe:
+            yield block
+
+
+class ShardedStatsSession:
+    """Streaming stats over a data mesh: per-device accumulators inside
+    shard_map, one collective merge at the end."""
+
+    def __init__(self, mesh, phred: int, kmers_on=False, crit=None,
+                 batch_reads: int = 16384, lcap: int = 128):
+        self.mesh = mesh if mesh is not None else data_mesh()
+        self.ndev = self.mesh.devices.size
+        self.phred = phred
+        self.kmers_on = kmers_on
+        self.crit = crit
+        self.batch_reads = round_up(max(batch_reads, self.ndev), self.ndev)
+        self.lcap = lcap
+        self.carry = None  # StatsCounters folded in on lcap growth
+        self._reset(lcap)
+
+    def _reset(self, lcap: int):
+        self.lcap = lcap
+        self.acc = zero_sharded_partials(self.mesh, lcap, self.kmers_on)
+        self._step = make_sharded_stats_step(
+            self.mesh, lcap, self.phred, self.kmers_on, self.crit
+        )
+        self._sharding = NamedSharding(self.mesh, P("data"))
+
+    def _grow(self, lcap: int):
+        done = sharded_counters(
+            self.acc, self.mesh, self.lcap, self.phred, self.kmers_on
+        )
+        done.filter_on = self.crit is not None
+        if self.carry is not None:
+            done = self.carry.merge(done)
+        self.carry = done
+        self._reset(lcap)
+
+    def feed_block(self, block):
+        lmax = round_up(max(block.max_len(), 1), 128)
+        if lmax > self.lcap:
+            self._grow(lmax)
+        packed = pack_block(
+            block, max_len=self.lcap, pad_reads_to=self.batch_reads
+        )
+        self.feed_packed(*packed)
+
+    def feed_empty(self):
+        """A lockstep step with no local data (exhausted multi-host shard)."""
+        z = np.zeros((self.batch_reads, self.lcap), dtype=np.int8)
+        self.feed_packed(
+            z + np.int8(5),
+            np.zeros_like(z, dtype=np.uint8),
+            np.zeros(self.batch_reads, np.int32),
+            np.zeros(self.batch_reads, bool),
+        )
+
+    def feed_packed(self, codes, quals, lens, valid):
+        if codes.shape[1] > self.lcap:
+            self._grow(codes.shape[1])
+        batch = self._make_global((codes, quals, lens.astype(np.int32), valid))
+        self.acc = self._step(self.acc, *batch)
+
+    def _make_global(self, arrays):
+        if jax.process_count() == 1:
+            return tuple(jax.device_put(a, self._sharding) for a in arrays)
+        return tuple(
+            jax.make_array_from_process_local_data(self._sharding, a)
+            for a in arrays
+        )
+
+    def finish(self):
+        c = sharded_counters(
+            self.acc, self.mesh, self.lcap, self.phred, self.kmers_on
+        )
+        c.filter_on = self.crit is not None
+        if self.carry is not None:
+            c = self.carry.merge(c)
+            c.filter_on = self.crit is not None
+        return c
+
+
+def _vote_max(mesh, value: int) -> int:
+    """Cross-host max of a small host-local int (one tiny collective).
+
+    Used once per step in multi-host mode to agree on (a) whether any shard
+    still has input (max length 0 = everyone done) and (b) the global length
+    bucket, so every process grows its shard_map shapes in lockstep."""
+    local = np.full(jax.local_device_count(), int(value), np.int32)
+    g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local
+    )
+    return int(jax.jit(jnp.max)(g))
+
+
+def run_stats_sharded(
+    opts: StatsOptions,
+    timers: Optional[StageTimers] = None,
+    mesh=None,
+    report: bool = True,
+):
+    """Multi-device / multi-host `stats` (single-end).  Returns counters
+    (identical on every process after the collective merge)."""
+    timers = timers or StageTimers()
+    initialize_distributed()
+    mesh = mesh if mesh is not None else data_mesh()
+    crit = opts.criteria if opts.filter_on else None
+    multihost = jax.process_count() > 1
+
+    sess = ShardedStatsSession(
+        mesh, opts.quality_encoding_value, opts.kmers_on, crit,
+        batch_reads=int(opts.device_batch_reads)
+        or max(mesh.devices.size * 256, round_up(opts.batch_size, 256)),
+    )
+
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    path = opts.in_filename
+    if pcnt > 1 and not _is_gzip(path):
+        start, end = split_byte_ranges(path, pcnt)[pidx]
+        reader = FastqReader(path, batch_size=opts.batch_size,
+                             start_offset=start, end_offset=end)
+        blocks = iter(reader)
+    elif pcnt > 1:
+        reader = FastqReader(path, batch_size=opts.batch_size)
+        blocks = striped_blocks(reader, pidx, pcnt)
+    else:
+        reader = FastqReader(path, batch_size=opts.batch_size)
+        blocks = iter(reader)
+
+    try:
+        done = False
+        while True:
+            block = None if done else next(blocks, None)
+            if block is None:
+                done = True
+            if multihost:
+                # one tiny collective agrees on "anyone left" AND the global
+                # length bucket, keeping shard_map shapes in lockstep
+                lmax_local = 0 if done else round_up(max(block.max_len(), 1), 128)
+                lmax_global = _vote_max(mesh, lmax_local)
+                if lmax_global == 0:
+                    break
+                if lmax_global > sess.lcap:
+                    sess._grow(lmax_global)
+                with timers.stage("compute"):
+                    if done:
+                        sess.feed_empty()
+                    else:
+                        sess.feed_block(block)
+            else:
+                if done:
+                    break
+                with timers.stage("compute"):
+                    sess.feed_block(block)
+            if block is not None:
+                timers.num_batches += 1
+                timers.total_reads += block.num_reads
+    finally:
+        reader.close()
+
+    with timers.stage("compute"):
+        counters = sess.finish()
+    if report and jax.process_index() == 0:
+        with timers.stage("reporting"):
+            stats_report(counters, opts)
+    return counters

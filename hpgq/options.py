@@ -190,6 +190,7 @@ class CommandOptions:
     checkpoint_every: int = 0
     profile_dir: Optional[str] = None
     use_pallas: bool = True
+    sharded: bool = False
 
     @property
     def paired_end(self) -> bool:

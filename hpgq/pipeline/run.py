@@ -52,6 +52,34 @@ def _iter_blocks(reader, timers, prefetch_depth: int = 3):
         yield block
 
 
+def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 3):
+    """(block, device_arrays) with pack + host->device transfer running in
+    the producer thread — the device step of batch n overlaps the read,
+    pack, and transfer of batch n+1 (double buffering; SURVEY §2.3 P1)."""
+    import jax
+
+    from .prefetch import prefetched
+
+    def transform(block):
+        lmax = round_up(max(block.max_len(), 1), 128)
+        packed = pack_block(
+            block, max_len=max(lmax, sess.lcap), pad_reads_to=batch_reads
+        )
+        return block, jax.device_put(packed)
+
+    it = prefetched(iter(reader), depth=depth, transform=transform)
+    while True:
+        with timers.stage("read"):
+            item = next(it, None)
+        if item is None:
+            return
+        block, arrs = item
+        timers.num_batches += 1
+        timers.total_reads += block.num_reads
+        timers.total_bytes += len(block.buf) if block.num_reads else 0
+        yield block, arrs
+
+
 def _iter_blocks_paired(r1, r2, timers):
     """Lockstep paired iteration; mates must pair up 1:1."""
     i1, i2 = iter(r1), iter(r2)
@@ -156,9 +184,9 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
         with FastqReader(
             opts.in_filename, batch_size=opts.batch_size, start_offset=start
         ) as rd, _Profiler(opts.profile_dir):
-            for block in _iter_blocks(rd, timers):
+            for block, arrs in _iter_packed(rd, sess, br, timers):
                 with timers.stage("compute"):
-                    sess.feed_block(block)
+                    sess.feed_packed(*arrs)
                 nb += 1
                 if ck_path and nb % ck_every == 0:
                     with timers.stage("checkpoint"):

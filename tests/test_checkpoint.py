@@ -66,22 +66,22 @@ def test_resume_equals_uninterrupted(tmp_path):
 
     from hpgq.pipeline import run as run_mod
 
-    real_iter = run_mod._iter_blocks
+    real_iter = run_mod._iter_packed
     calls = {"n": 0}
 
-    def limited(rd, timers):
-        for b in real_iter(rd, timers):
+    def limited(*args, **kw):
+        for item in real_iter(*args, **kw):
             if calls["n"] >= 3:
                 raise KeyboardInterrupt
             calls["n"] += 1
-            yield b
+            yield item
 
-    run_mod._iter_blocks = limited
+    run_mod._iter_packed = limited
     try:
         with pytest.raises(KeyboardInterrupt):
             run_stats(opts_b)
     finally:
-        run_mod._iter_blocks = real_iter
+        run_mod._iter_packed = real_iter
 
     assert os.path.exists(ck)
     _, off, _ = load_counters_checkpoint(

@@ -115,3 +115,47 @@ def test_graft_entry_single():
     assert int(out["num_reads"]) >= 0
 
     mod.dryrun_multichip(8)
+
+
+def test_run_stats_sharded_pipeline(tmp_path):
+    """End-to-end sharded pipeline == single-device pipeline (+ report)."""
+    import os
+
+    from hpgq.dist.run_dist import run_stats_sharded
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    fq = str(tmp_path / "in.fq")
+    make_fastq(fq, 3000, min_len=40, max_len=120, n_prob=0.01, seed=9)
+
+    def opts(out):
+        o = StatsOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 700
+        return o
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir(); out_b.mkdir()
+    single = run_stats(opts(out_a))
+    sharded = run_stats_sharded(opts(out_b))
+    assert sharded.equals(single)
+    assert (out_b / "in.fq.summary.txt").read_bytes() == (
+        out_a / "in.fq.summary.txt"
+    ).read_bytes()
+
+
+def test_striped_blocks_partition(tmp_path):
+    """Striping covers every block exactly once across stripes."""
+    from hpgq.dist.run_dist import striped_blocks
+
+    fq = str(tmp_path / "s.fq.gz")
+    make_fastq(fq, 1000, min_len=50, max_len=50, seed=2)
+    seen = []
+    for stripe in range(3):
+        with FastqReader(fq, batch_size=128) as rd:
+            for b in striped_blocks(rd, stripe, 3):
+                seen.append(b.num_reads)
+    assert sum(seen) == 1000
