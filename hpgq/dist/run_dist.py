@@ -153,6 +153,154 @@ def _vote_max(mesh, value: int) -> int:
     return int(jax.jit(jnp.max)(g))
 
 
+class ShardedCgrSession:
+    """Chaos-game accumulation data-parallel over the mesh: each device
+    fills its own [dim, dim] tables inside shard_map (zero steady-state
+    collectives); the merge is one psum (tables are plain sums)."""
+
+    def __init__(self, mesh, k: int, phred: int, batch_reads: int):
+        from jax.sharding import PartitionSpec
+        from .mesh import shard_map
+        from ..kernels.cgr import cgr_batch_tables
+
+        self.mesh = mesh if mesh is not None else data_mesh()
+        self.k = k
+        self.phred = phred
+        ndev = self.mesh.devices.size
+        self.batch_reads = round_up(max(batch_reads, ndev), ndev)
+        dim = 1 << k
+        self.table_seq = np.zeros((dim, dim), dtype=np.int64)
+        self.table_q = np.zeros((dim, dim), dtype=np.int64)
+        self.word_count = 0
+        self._sharding = NamedSharding(self.mesh, P("data"))
+        self._steps = {}
+
+        def device_fn(codes, quals, lens, valid):
+            ts, tq, w = cgr_batch_tables(codes, quals, lens, valid, k, phred,
+                                         vary_axis="data")
+            return (
+                jax.lax.psum(ts, "data"),
+                jax.lax.psum(tq, "data"),
+                jax.lax.psum(w, "data"),
+            )
+
+        self._device_fn = device_fn
+        self._P = PartitionSpec
+        self._shard_map = shard_map
+
+    def _step_for(self, L: int):
+        fn = self._steps.get(L)
+        if fn is None:
+            Pp = self._P
+            fn = jax.jit(self._shard_map(
+                self._device_fn,
+                mesh=self.mesh,
+                in_specs=(Pp("data"), Pp("data"), Pp("data"), Pp("data")),
+                out_specs=(Pp(), Pp(), Pp()),
+            ))
+            self._steps[L] = fn
+        return fn
+
+    def feed_block(self, block):
+        lmax = round_up(max(block.max_len(), self.k), 128)
+        packed = pack_block(block, max_len=lmax, pad_reads_to=self.batch_reads)
+        self.feed_packed(*packed)
+
+    def feed_empty(self, L: int = 128):
+        z = np.full((self.batch_reads, L), 5, dtype=np.int8)
+        self.feed_packed(z, np.zeros_like(z, dtype=np.uint8),
+                         np.zeros(self.batch_reads, np.int32),
+                         np.zeros(self.batch_reads, bool))
+
+    def feed_packed(self, codes, quals, lens, valid):
+        if jax.process_count() == 1:
+            batch = tuple(
+                jax.device_put(a, self._sharding)
+                for a in (codes, quals, lens.astype(np.int32), valid)
+            )
+        else:
+            batch = tuple(
+                jax.make_array_from_process_local_data(self._sharding, a)
+                for a in (codes, quals, lens.astype(np.int32), valid)
+            )
+        ts, tq, w = self._step_for(codes.shape[1])(*batch)
+        host = jax.device_get((ts, tq, w))
+        self.table_seq += np.asarray(host[0], dtype=np.int64)
+        self.table_q += np.asarray(host[1], dtype=np.int64)
+        self.word_count += int(host[2])
+
+
+def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
+    """Multi-device / multi-host `cgr` — the BASELINE config #5 shape:
+    per-host input shard (byte range or gzip stripe), per-device CGR tables,
+    psum merge, process-0 PGM/report emission."""
+    from ..pipeline import cgr_run
+
+    timers = timers or StageTimers()
+    initialize_distributed()
+    mesh = mesh if mesh is not None else data_mesh()
+    multihost = jax.process_count() > 1
+    sess = ShardedCgrSession(
+        mesh, int(opts.k), opts.quality_encoding_value,
+        batch_reads=int(opts.device_batch_reads)
+        or max(mesh.devices.size * 256, round_up(opts.batch_size, 256)),
+    )
+
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    inputs = [opts.in_filename]
+    if opts.paired_end:
+        inputs.append(opts.in_filename2)
+    for path in inputs:
+        if pcnt > 1 and not _is_gzip(path):
+            start, end = split_byte_ranges(path, pcnt)[pidx]
+            reader = FastqReader(path, batch_size=opts.batch_size,
+                                 start_offset=start, end_offset=end)
+            blocks = iter(reader)
+        elif pcnt > 1:
+            reader = FastqReader(path, batch_size=opts.batch_size)
+            blocks = striped_blocks(reader, pidx, pcnt)
+        else:
+            reader = FastqReader(path, batch_size=opts.batch_size)
+            blocks = iter(reader)
+        try:
+            done = False
+            while True:
+                block = None if done else next(blocks, None)
+                if block is None:
+                    done = True
+                if multihost:
+                    lmax_local = (
+                        0 if done
+                        else round_up(max(block.max_len(), sess.k), 128)
+                    )
+                    lmax_global = _vote_max(mesh, lmax_local)
+                    if lmax_global == 0:
+                        break
+                    with timers.stage("compute"):
+                        if done:
+                            sess.feed_empty(lmax_global)
+                        else:
+                            packed = pack_block(
+                                block, max_len=lmax_global,
+                                pad_reads_to=sess.batch_reads,
+                            )
+                            sess.feed_packed(*packed)
+                else:
+                    if done:
+                        break
+                    with timers.stage("compute"):
+                        sess.feed_block(block)
+                if block is not None:
+                    timers.num_batches += 1
+                    timers.total_reads += block.num_reads
+        finally:
+            reader.close()
+
+    if jax.process_index() != 0:
+        return {"fq_word_count": sess.word_count, "pgm_files": []}
+    return cgr_run.emit_cgr_outputs(opts, sess, timers)
+
+
 def run_stats_sharded(
     opts: StatsOptions,
     timers: Optional[StageTimers] = None,

@@ -85,10 +85,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _vary(x, axis):
+    """Mark a constant as varying over a shard_map manual axis (vma typing:
+    a scan carry initialized from constants must match the varying outputs)."""
+    if axis is None:
+        return x
+    if hasattr(jax.lax, "pvary"):
+        return jax.lax.pvary(x, (axis,))
+    return jax.lax.pcast(x, (axis,), to="varying")  # pragma: no cover
+
+
 def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
-                     chunk: int = CHUNK):
+                     chunk: int = CHUNK, vary_axis=None):
     """(table_seq i32 [dim, dim], table_q i32 [dim, dim], words i32) for one
-    packed batch — exact-integer chunked MXU accumulation."""
+    packed batch — exact-integer chunked MXU accumulation.
+
+    ``vary_axis``: set to the mesh axis name when called inside shard_map."""
     dim = 1 << k
     B, L = codes.shape
     lens = lens.astype(jnp.int32)
@@ -132,8 +144,8 @@ def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
         )
         return ts + seq.astype(jnp.int32), tq + qt.astype(jnp.int32)
 
-    ts0 = jnp.zeros((dim, dim), jnp.int32)
-    tq0 = jnp.zeros((dim, dim), jnp.int32)
+    ts0 = _vary(jnp.zeros((dim, dim), jnp.int32), vary_axis)
+    tq0 = _vary(jnp.zeros((dim, dim), jnp.int32), vary_axis)
     ts, tq = jax.lax.fori_loop(0, Np // chunk, body, (ts0, tq0))
     words = ok.astype(jnp.int32).sum()
     return ts, tq, words

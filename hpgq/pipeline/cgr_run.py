@@ -72,6 +72,10 @@ class CgrSession:
 
 def run_cgr(opts: CgrOptions, timers: Optional[StageTimers] = None) -> dict:
     timers = timers or StageTimers()
+    if getattr(opts, "sharded", False):
+        from ..dist.run_dist import run_cgr_sharded
+
+        return run_cgr_sharded(opts, timers)
     k = int(opts.k)
     phred = opts.quality_encoding_value
     sess = CgrSession(k, phred, _batch_reads(opts))
@@ -85,6 +89,13 @@ def run_cgr(opts: CgrOptions, timers: Optional[StageTimers] = None) -> dict:
                 with timers.stage("compute"):
                     sess.feed_block(block)
 
+    return emit_cgr_outputs(opts, sess, timers)
+
+
+def emit_cgr_outputs(opts: CgrOptions, sess, timers: StageTimers) -> dict:
+    """PGM/gs/diff emission from accumulated tables (shared by the local and
+    sharded pipelines; reference ``chaos_game_write_table_images``)."""
+    k = int(opts.k)
     out: dict = {"fq_word_count": sess.word_count, "pgm_files": []}
     base = os.path.join(
         opts.out_dirname,

@@ -159,3 +159,35 @@ def test_striped_blocks_partition(tmp_path):
             for b in striped_blocks(rd, stripe, 3):
                 seen.append(b.num_reads)
     assert sum(seen) == 1000
+
+
+def test_run_cgr_sharded_equals_local(tmp_path):
+    from hpgq.dist.run_dist import run_cgr_sharded
+    from hpgq.options import CgrOptions
+    from hpgq.pipeline.cgr_run import run_cgr
+
+    fq = str(tmp_path / "c.fq")
+    make_fastq(fq, 1500, min_len=40, max_len=100, n_prob=0.02, seed=13)
+
+    def opts(out):
+        o = CgrOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 333
+        o.k = 4
+        o.write_gs = True
+        return o
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir(); out_b.mkdir()
+    local = run_cgr(opts(out_a))
+    sharded = run_cgr_sharded(opts(out_b))
+    assert sharded["fq_word_count"] == local["fq_word_count"]
+    fa = (out_a / "c.fq_k=4_FG.pgm").read_bytes()
+    fb = (out_b / "c.fq_k=4_FG.pgm").read_bytes()
+    assert fa == fb
+    qa = (out_a / "c.fq_k=4_QQ.pgm").read_bytes()
+    qb = (out_b / "c.fq_k=4_QQ.pgm").read_bytes()
+    assert qa == qb
