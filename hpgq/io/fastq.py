@@ -259,15 +259,35 @@ class FastqReader:
 
 
 class FastqWriter:
-    """Buffered FASTQ output file (the ``fastq_fopen_mode(name, "w")`` analog)."""
+    """Buffered FASTQ output file (the ``fastq_fopen_mode(name, "w")`` analog).
 
-    def __init__(self, path: str):
+    ``append_at``: resume support — reopen the existing file, truncate to the
+    checkpointed byte size, and continue appending (plain files only; a
+    truncated gzip stream is not valid)."""
+
+    def __init__(self, path: str, append_at: "Optional[int]" = None):
         self.path = path
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._fh = open_maybe_gzip(path, "wb")
+        if append_at is None:
+            self._fh = open_maybe_gzip(path, "wb")
+        else:
+            if path.endswith(".gz"):
+                raise ValueError("cannot resume into a gzip output: %s" % path)
+            if not os.path.exists(path):
+                open(path, "wb").close()
+            # r+b, not ab: POSIX append mode ignores seek/truncate positions
+            self._fh = open(path, "r+b")
+            self._fh.truncate(append_at)
+            self._fh.seek(append_at)
 
     def write(self, data: bytes):
         self._fh.write(data)
+
+    def flush(self):
+        self._fh.flush()
+
+    def tell(self) -> int:
+        return self._fh.tell()
 
     def close(self):
         self._fh.close()

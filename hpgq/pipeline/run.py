@@ -273,14 +273,23 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
     if not opts.paired_end:
         passed_path = os.path.join(opts.out_dirname, "passed.fq")
         failed_path = os.path.join(opts.out_dirname, "failed.fq")
-        with FastqReader(opts.in_filename, batch_size=opts.batch_size) as rd, \
-             FastqWriter(passed_path) as pw, FastqWriter(failed_path) as fw:
+        ck = _OutputCheckpointer(
+            opts, "filter", crit, {"passed": passed_path, "failed": failed_path},
+            out, ("num_passed", "num_failed"),
+        )
+        start, sizes = ck.resume()
+        with FastqReader(opts.in_filename, batch_size=opts.batch_size,
+                         start_offset=start) as rd, \
+             FastqWriter(passed_path, append_at=sizes.get("passed")) as pw, \
+             FastqWriter(failed_path, append_at=sizes.get("failed")) as fw:
             for block in _iter_blocks(rd, timers):
                 with timers.stage("compute"):
                     ok = vfn(block)
                 with timers.stage("write"):
                     out["num_passed"] += block.write_selected(pw, ok)
                     out["num_failed"] += block.write_selected(fw, ~ok)
+                ck.step(block, {"passed": pw, "failed": fw}, timers)
+        ck.complete()
         out["passed_filename"] = passed_path
         out["failed_filename"] = failed_path
         return out
@@ -305,6 +314,71 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
                 b2.write_selected(f2, ~both)
     out.update(paths)
     return out
+
+
+class _OutputCheckpointer:
+    """Checkpoint/resume for append-only output commands (filter/edit,
+    single-end).  State = input offset + per-output byte sizes + counts; a
+    resume truncates each output to its checkpointed size and continues
+    appending, so the result is byte-identical to an uninterrupted run
+    (tests/test_checkpoint.py)."""
+
+    def __init__(self, opts, cmd: str, crit, paths: dict, counts: dict,
+                 count_keys: tuple):
+        import dataclasses
+        import json
+
+        self.path = opts.checkpoint_path
+        self.every = opts.checkpoint_every or 50
+        self.paths = paths
+        self.counts = counts
+        self.count_keys = count_keys
+        self.nb = 0
+        self.key = json.dumps({
+            "cmd": cmd,
+            "in": os.path.abspath(opts.in_filename),
+            "phred": opts.quality_encoding_value,
+            "crit": dataclasses.astuple(crit) if crit is not None else None,
+            "outs": sorted(paths),
+        }, sort_keys=True) if self.path else None
+
+    def resume(self):
+        """(input_start_offset, {name: output_append_at or None})."""
+        if not self.path:
+            return 0, {}
+        from ..utils.checkpoint import load_counters_checkpoint
+
+        loaded = load_counters_checkpoint(self.path, self.key)
+        if not loaded:
+            return 0, {}
+        _, offset, extra = loaded
+        sizes = {n: int(extra["bytes_" + n]) for n in self.paths}
+        for k in self.count_keys:
+            self.counts[k] = int(extra[k])
+        return offset, sizes
+
+    def step(self, block, writers: dict, timers):
+        if not self.path:
+            return
+        self.nb += 1
+        if self.nb % self.every:
+            return
+        from ..utils.checkpoint import save_counters_checkpoint
+
+        with timers.stage("checkpoint"):
+            extra = {}
+            for name, w in writers.items():
+                w.flush()
+                extra["bytes_" + name] = w.tell()
+            for k in self.count_keys:
+                extra[k] = self.counts[k]
+            save_counters_checkpoint(
+                self.path, None, block.end_offset, self.key, extra=extra
+            )
+
+    def complete(self):
+        if self.path and os.path.exists(self.path):
+            os.unlink(self.path)
 
 
 # ---------------------------------------------------------------------------
@@ -359,15 +433,32 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
         failed_path = os.path.join(opts.out_dirname, "failed.fq")
         out["edit_filename"] = edit_path
         out["failed_filename"] = failed_path if opts.filter_on else None
-        with FastqReader(opts.in_filename, batch_size=opts.batch_size) as rd, \
-             FastqWriter(edit_path) as ew:
-            fw = FastqWriter(failed_path) if opts.filter_on else None
+        paths = {"edit": edit_path}
+        if opts.filter_on:
+            paths["failed"] = failed_path
+        ck = _OutputCheckpointer(
+            opts, "edit", opts.criteria, paths, out,
+            ("num_edited", "num_passed", "num_failed"),
+        )
+        start, sizes = ck.resume()
+        with FastqReader(opts.in_filename, batch_size=opts.batch_size,
+                         start_offset=start) as rd, \
+             FastqWriter(edit_path, append_at=sizes.get("edit")) as ew:
+            fw = (
+                FastqWriter(failed_path, append_at=sizes.get("failed"))
+                if opts.filter_on else None
+            )
             try:
                 for block in _iter_blocks(rd, timers):
                     process(block, ew, fw)
+                    writers = {"edit": ew}
+                    if fw:
+                        writers["failed"] = fw
+                    ck.step(block, writers, timers)
             finally:
                 if fw:
                     fw.close()
+        ck.complete()
         return out
 
     # paired-end edit: trim mates independently; pair-consistent post-filter

@@ -38,29 +38,33 @@ _ARRAYS = (
 
 def save_counters_checkpoint(
     path: str,
-    counters: StatsCounters,
+    counters: Optional[StatsCounters],
     offset: int,
     config_key: str,
     extra: Optional[dict] = None,
 ) -> str:
-    """Atomically persist counters + input offset (+ arbitrary extra arrays)."""
-    payload = {
-        "__meta__": np.frombuffer(
-            json.dumps({
-                "version": FORMAT_VERSION,
-                "offset": int(offset),
-                "config_key": config_key,
-                "kmers_on": counters.kmers_on,
-                "filter_on": counters.filter_on,
-                "scalars": {k: _py(getattr(counters, k)) for k in _SCALARS},
-            }).encode(),
-            dtype=np.uint8,
-        ),
+    """Atomically persist counters + input offset (+ arbitrary extra arrays).
+
+    ``counters`` may be None for commands whose restart state is only the
+    offset + extras (filter/edit: output sizes and pass/fail counts)."""
+    meta = {
+        "version": FORMAT_VERSION,
+        "offset": int(offset),
+        "config_key": config_key,
+        "has_counters": counters is not None,
     }
-    for k in _ARRAYS:
-        v = getattr(counters, k, None)
-        if v is not None:
-            payload[k] = v
+    if counters is not None:
+        meta["kmers_on"] = counters.kmers_on
+        meta["filter_on"] = counters.filter_on
+        meta["scalars"] = {k: _py(getattr(counters, k)) for k in _SCALARS}
+    payload = {
+        "__meta__": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    }
+    if counters is not None:
+        for k in _ARRAYS:
+            v = getattr(counters, k, None)
+            if v is not None:
+                payload[k] = v
     for k, v in (extra or {}).items():
         payload["x_" + k] = np.asarray(v)
 
@@ -95,22 +99,24 @@ def load_counters_checkpoint(path: str, config_key: str):
                 "(%s != %s); refusing to resume" % (path, meta["config_key"],
                                                     config_key)
             )
-        c = StatsCounters(
-            phred=int(meta["scalars"]["phred"]), kmers_on=meta["kmers_on"]
-        )
-        c.filter_on = meta["filter_on"]
-        for k, v in meta["scalars"].items():
-            setattr(c, k, type(getattr(c, k))(v))
-        lcap = int(z["count_quality_per_nt"].shape[0])
-        c.ensure_length(lcap)
-        for k in _ARRAYS:
-            if k in z.files:
-                arr = z[k]
-                cur = getattr(c, k)
-                if cur is None or cur.shape != arr.shape:
-                    setattr(c, k, arr.copy())
-                else:
-                    cur[...] = arr
+        c = None
+        if meta.get("has_counters", True):
+            c = StatsCounters(
+                phred=int(meta["scalars"]["phred"]), kmers_on=meta["kmers_on"]
+            )
+            c.filter_on = meta["filter_on"]
+            for k, v in meta["scalars"].items():
+                setattr(c, k, type(getattr(c, k))(v))
+            lcap = int(z["count_quality_per_nt"].shape[0])
+            c.ensure_length(lcap)
+            for k in _ARRAYS:
+                if k in z.files:
+                    arr = z[k]
+                    cur = getattr(c, k)
+                    if cur is None or cur.shape != arr.shape:
+                        setattr(c, k, arr.copy())
+                    else:
+                        cur[...] = arr
         extra = {
             k[2:]: z[k].copy() for k in z.files if k.startswith("x_")
         }

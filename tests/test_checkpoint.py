@@ -97,3 +97,111 @@ def test_resume_equals_uninterrupted(tmp_path):
     sa = (out_a / "in.fq.summary.txt").read_bytes()
     sb = (out_b / "in.fq.summary.txt").read_bytes()
     assert sa == sb
+
+
+def test_filter_resume_equals_uninterrupted(tmp_path):
+    from hpgq.options import FilterOptions
+    from hpgq.pipeline.run import run_filter
+    from hpgq.pipeline import run as run_mod
+
+    fq = str(tmp_path / "in.fq")
+    make_fastq(fq, 3000, min_len=60, max_len=100, n_prob=0.02, seed=21)
+
+    def fopts(out, **kw):
+        o = FilterOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 256
+        o.criteria.min_read_quality = 18
+        o.criteria.max_read_quality = 40
+        o.criteria.max_N = 2
+        for k, v in kw.items():
+            setattr(o, k, v)
+        return o
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir(); out_b.mkdir()
+    full = run_filter(fopts(out_a))
+
+    ck = str(tmp_path / "f.ck.npz")
+    ob = fopts(out_b, checkpoint_path=ck, checkpoint_every=1)
+
+    real_iter = run_mod._iter_blocks
+    calls = {"n": 0}
+
+    def limited(*a, **k):
+        for b in real_iter(*a, **k):
+            if calls["n"] >= 4:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            yield b
+
+    run_mod._iter_blocks = limited
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_filter(ob)
+    finally:
+        run_mod._iter_blocks = real_iter
+    assert os.path.exists(ck)
+
+    res = run_filter(ob)
+    assert not os.path.exists(ck)
+    assert res["num_passed"] == full["num_passed"]
+    assert res["num_failed"] == full["num_failed"]
+    assert (out_b / "passed.fq").read_bytes() == (out_a / "passed.fq").read_bytes()
+    assert (out_b / "failed.fq").read_bytes() == (out_a / "failed.fq").read_bytes()
+
+
+def test_edit_resume_equals_uninterrupted(tmp_path):
+    from hpgq.options import EditOptions
+    from hpgq.pipeline.run import run_edit
+    from hpgq.pipeline import run as run_mod
+
+    fq = str(tmp_path / "in.fq")
+    make_fastq(fq, 2500, min_len=60, max_len=100, seed=31)
+
+    def eopts(out, **kw):
+        o = EditOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 300
+        o.criteria.left_length = 10
+        o.criteria.min_left_quality = 30
+        o.criteria.max_left_quality = 60
+        for k, v in kw.items():
+            setattr(o, k, v)
+        return o
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir(); out_b.mkdir()
+    full = run_edit(eopts(out_a))
+
+    ck = str(tmp_path / "e.ck.npz")
+    ob = eopts(out_b, checkpoint_path=ck, checkpoint_every=2)
+
+    real_iter = run_mod._iter_blocks
+    calls = {"n": 0}
+
+    def limited(*a, **k):
+        for b in real_iter(*a, **k):
+            if calls["n"] >= 5:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            yield b
+
+    run_mod._iter_blocks = limited
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_edit(ob)
+    finally:
+        run_mod._iter_blocks = real_iter
+    assert os.path.exists(ck)
+
+    res = run_edit(ob)
+    assert not os.path.exists(ck)
+    assert res["num_edited"] == full["num_edited"]
+    assert (out_b / "edit.fq").read_bytes() == (out_a / "edit.fq").read_bytes()
