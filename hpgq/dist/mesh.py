@@ -172,19 +172,42 @@ def _align_to_record(f, pos: int, scan_limit: int = 1 << 20) -> int:
             raise ValueError("could not find a FASTQ record boundary")
 
 
-def split_byte_ranges(path: str, n_shards: int):
-    """[(start, end)] byte ranges, record-aligned, covering a plain FASTQ file.
-
-    gzip inputs are not byte-seekable; multi-host gzip uses
-    ``shard_records`` striping instead (each host decodes and keeps every
-    n-th batch).
-    """
-    size = os.path.getsize(path)
-    cuts = [0]
+def range_splittable(path: str) -> bool:
+    """True when record-aligned byte ranges work: plain files, or BGZF
+    (block-gzip: logical seek is cheap).  Plain gzip streams fall back to
+    block striping (``hpgq.dist.run_dist.striped_blocks``)."""
     with open(path, "rb") as f:
+        if f.read(2) != b"\x1f\x8b":
+            return True
+    from ..io.bgzf import is_bgzf
+
+    return is_bgzf(path)
+
+
+def split_byte_ranges(path: str, n_shards: int):
+    """[(start, end)] record-aligned byte ranges covering a FASTQ file.
+
+    Offsets are LOGICAL (decompressed) for BGZF inputs — each host then
+    decompresses only its own blocks; plain gzip is not byte-seekable and
+    uses striping instead (see ``range_splittable``).
+    """
+    with open(path, "rb") as probe:
+        gz = probe.read(2) == b"\x1f\x8b"
+    if gz:
+        from ..io.bgzf import BgzfFile
+
+        f = BgzfFile(path)
+        size = f.logical_size
+    else:
+        f = open(path, "rb")
+        size = os.path.getsize(path)
+    try:
+        cuts = [0]
         for i in range(1, n_shards):
             cuts.append(_align_to_record(f, size * i // n_shards))
-    cuts.append(size)
+        cuts.append(size)
+    finally:
+        f.close()
     # ensure monotonicity (tiny files may collapse some shards to empty)
     for i in range(1, len(cuts)):
         cuts[i] = max(cuts[i], cuts[i - 1])

@@ -42,15 +42,11 @@ from .mesh import (
     data_mesh,
     initialize_distributed,
     make_sharded_stats_step,
+    range_splittable,
     sharded_counters,
     split_byte_ranges,
     zero_sharded_partials,
 )
-
-
-def _is_gzip(path: str) -> bool:
-    with open(path, "rb") as f:
-        return f.read(2) == b"\x1f\x8b"
 
 
 def striped_blocks(reader, stripe: int, n_stripes: int):
@@ -251,7 +247,7 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
     if opts.paired_end:
         inputs.append(opts.in_filename2)
     for path in inputs:
-        if pcnt > 1 and not _is_gzip(path):
+        if pcnt > 1 and range_splittable(path):
             start, end = split_byte_ranges(path, pcnt)[pidx]
             reader = FastqReader(path, batch_size=opts.batch_size,
                                  start_offset=start, end_offset=end)
@@ -323,7 +319,7 @@ def run_stats_sharded(
 
     pidx, pcnt = jax.process_index(), jax.process_count()
     path = opts.in_filename
-    if pcnt > 1 and not _is_gzip(path):
+    if pcnt > 1 and range_splittable(path):
         start, end = split_byte_ranges(path, pcnt)[pidx]
         reader = FastqReader(path, batch_size=opts.batch_size,
                              start_offset=start, end_offset=end)

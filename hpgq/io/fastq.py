@@ -35,11 +35,19 @@ def _find_newlines(chunk) -> np.ndarray:
 
 
 def open_maybe_gzip(path: str, mode: str = "rb"):
-    """Open a file, transparently decompressing gzip (magic-sniffed)."""
+    """Open a file, transparently decompressing gzip (magic-sniffed).
+
+    BGZF files (bgzip framing) get the seekable block reader — logical
+    ``seek`` is cheap, enabling byte-range sharding and resume on
+    compressed inputs (``hpgq.io.bgzf``)."""
     if "r" in mode:
         with open(path, "rb") as probe:
             magic = probe.read(2)
         if magic == b"\x1f\x8b":
+            from .bgzf import BgzfFile, is_bgzf
+
+            if is_bgzf(path):
+                return BgzfFile(path)
             return gzip.open(path, mode)
         return open(path, mode)
     if path.endswith(".gz"):
