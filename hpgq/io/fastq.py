@@ -106,19 +106,31 @@ class RecordBlock:
     def quality(self, i: int) -> bytes:
         return self.buf[self.starts[i, 3] : self.ends[i, 3]]
 
+    def _emit_spans(self, out, starts: np.ndarray, ends: np.ndarray):
+        """Write buf[s:e) spans in order — native memcpy concat when built,
+        python join otherwise."""
+        from . import native
+
+        if native.available():
+            out.write(native.concat_spans(self.arr, starts, ends))
+        else:
+            buf = self.buf
+            out.write(
+                b"".join(buf[int(s) : int(e)] for s, e in zip(starts, ends))
+            )
+
     def write_selected(self, out, select: np.ndarray) -> int:
-        """Append records where ``select`` is True, preserving input order."""
+        """Append records where ``select`` is True, preserving input order.
+
+        Each record is one contiguous span [header_start, quality_newline]
+        of the original chunk, so output assembly is a vectorized span
+        gather — no per-record Python work."""
         idx = np.flatnonzero(select)
-        buf = self.buf
-        starts, ends = self.starts, self.ends
-        chunks = []
-        for i in idx:
-            s, e = starts[i], ends[i]
-            chunks.append(buf[s[0] : e[3]])
-            chunks.append(b"\n")
-        if chunks:
-            out.write(b"".join(chunks))
-        return len(idx)
+        if idx.size:
+            self._emit_spans(
+                out, self.starts[idx, 0], self.ends[idx, 3] + 1
+            )
+        return int(idx.size)
 
     def write_trimmed(
         self,
@@ -128,27 +140,37 @@ class RecordBlock:
         select: Optional[np.ndarray] = None,
     ) -> int:
         """Append records with per-read head/tail trims applied to the
-        sequence and quality lines (the ``edit.fq`` writer)."""
-        idx = np.flatnonzero(select) if select is not None else range(self.num_reads)
-        buf = self.buf
-        starts, ends = self.starts, self.ends
-        chunks = []
-        n = 0
-        for i in idx:
-            s, e = starts[i], ends[i]
-            lt, rt = int(ltrim[i]), int(rtrim[i])
-            seq_s, seq_e = s[1] + lt, e[1] - rt
-            q_s, q_e = s[3] + lt, e[3] - rt
-            if seq_e < seq_s:
-                seq_e = seq_s
-                q_e = q_s
-            chunks.append(
-                b"%s\n%s\n%s\n%s\n"
-                % (buf[s[0] : e[0]], buf[seq_s:seq_e], buf[s[2] : e[2]], buf[q_s:q_e])
-            )
-            n += 1
-        if chunks:
-            out.write(b"".join(chunks))
+        sequence and quality lines (the ``edit.fq`` writer).
+
+        Emitted as 6 spans per record over the original buffer — the
+        newline pieces reuse the line-end newline bytes already in the
+        chunk: [hdr+\\n][seq[lt:len-rt]][\\n][sep+\\n][qual[lt:len-rt]][\\n]."""
+        if select is not None:
+            idx = np.flatnonzero(select)
+        else:
+            idx = np.arange(self.num_reads)
+        n = int(idx.size)
+        if n == 0:
+            return 0
+        s = self.starts[idx].astype(np.int64)
+        e = self.ends[idx].astype(np.int64)
+        lt = np.asarray(ltrim)[idx].astype(np.int64)
+        rt = np.asarray(rtrim)[idx].astype(np.int64)
+
+        seq_s, seq_e = s[:, 1] + lt, e[:, 1] - rt
+        q_s, q_e = s[:, 3] + lt, e[:, 3] - rt
+        over = seq_e < seq_s  # over-trimmed -> empty seq/qual lines
+        seq_e = np.where(over, seq_s, seq_e)
+        q_e = np.where(over, q_s, q_e)
+
+        starts = np.stack(
+            [s[:, 0], seq_s, e[:, 1], s[:, 2], q_s, e[:, 3]], axis=1
+        ).reshape(-1)
+        ends = np.stack(
+            [e[:, 0] + 1, seq_e, e[:, 1] + 1, e[:, 2] + 1, q_e, e[:, 3] + 1],
+            axis=1,
+        ).reshape(-1)
+        self._emit_spans(out, starts, ends)
         return n
 
 

@@ -82,6 +82,10 @@ def get_lib():
         ]
         lib.hpgq_line_table.restype = None
         lib.hpgq_line_table.argtypes = [i64p, ctypes.c_int64, i64p, i64p]
+        lib.hpgq_concat_spans.restype = ctypes.c_int64
+        lib.hpgq_concat_spans.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, u8p,
+        ]
         _lib = lib
         return _lib
 
@@ -122,6 +126,19 @@ def line_table(nl: np.ndarray, nrec: int):
     lib.hpgq_line_table(np.ascontiguousarray(nl[: nrec * 4]), nrec,
                         starts.reshape(-1), ends.reshape(-1))
     return starts, ends
+
+
+def concat_spans(buf, starts, ends) -> bytes:
+    """b"".join(buf[s:e] for s, e in zip(starts, ends)) via native memcpys."""
+    lib = get_lib()
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    total = int(np.maximum(ends - starts, 0).sum())
+    out = np.empty(total, dtype=np.uint8)
+    n = lib.hpgq_concat_spans(arr, starts, ends, len(starts), out)
+    assert n == total, (n, total)
+    return out.tobytes()
 
 
 def pack_rows(buf, seq_starts, q_starts, lens, lmax: int, nrows: int,

@@ -73,6 +73,22 @@ void hpgq_line_table(const int64_t* nl, int64_t nrec, int64_t* starts,
     }
 }
 
-int hpgq_abi_version(void) { return 1; }
+// Concatenate byte spans buf[starts[i]:ends[i]) into out.  Returns total
+// bytes written.  The filter/edit writers express whole records (and
+// trimmed record pieces) as span lists over the original chunk buffer, so
+// output assembly is n memcpys instead of per-record Python string work.
+int64_t hpgq_concat_spans(const uint8_t* buf, const int64_t* starts,
+                          const int64_t* ends, int64_t n, uint8_t* out) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t len = ends[i] - starts[i];
+        if (len <= 0) continue;
+        memcpy(out + total, buf + starts[i], len);
+        total += len;
+    }
+    return total;
+}
+
+int hpgq_abi_version(void) { return 2; }
 
 }  // extern "C"

@@ -1,0 +1,124 @@
+"""Sanitizer build of the native packer (SURVEY §5: the reference ships no
+sanitizers; we gate an ASan/UBSan differential run behind HPGQ_SANITIZE=1
+so the default suite stays fast):
+
+    HPGQ_SANITIZE=1 python -m pytest tests/test_sanitize.py -q
+
+Builds packer.cpp with -fsanitize=address,undefined into a standalone
+checker binary exercising every exported function on random FASTQ-shaped
+data, and fails on any sanitizer report.
+"""
+
+import os
+import subprocess
+import tempfile
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("HPGQ_SANITIZE"),
+    reason="set HPGQ_SANITIZE=1 to run the ASan/UBSan native-packer check",
+)
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "hpgq", "io", "native", "packer.cpp",
+)
+
+_MAIN = r"""
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+int64_t hpgq_find_newlines(const uint8_t*, int64_t, int64_t*, int64_t);
+void hpgq_pack(const uint8_t*, const int64_t*, const int64_t*, const int32_t*,
+               int64_t, int64_t, const int8_t*, int8_t*, uint8_t*, int);
+void hpgq_line_table(const int64_t*, int64_t, int64_t*, int64_t*);
+int64_t hpgq_concat_spans(const uint8_t*, const int64_t*, const int64_t*,
+                          int64_t, uint8_t*);
+}
+
+int main() {
+    srand(7);
+    // synthesize a small FASTQ chunk
+    std::vector<uint8_t> buf;
+    std::vector<int64_t> seq_starts, q_starts;
+    std::vector<int32_t> lens;
+    for (int r = 0; r < 500; ++r) {
+        int len = 1 + rand() % 150;
+        const char* hdr = "@read x\n";
+        buf.insert(buf.end(), hdr, hdr + strlen(hdr));
+        seq_starts.push_back((int64_t)buf.size());
+        for (int j = 0; j < len; ++j) buf.push_back("ACGTN"[rand() % 5]);
+        buf.push_back('\n');
+        buf.push_back('+');
+        buf.push_back('\n');
+        q_starts.push_back((int64_t)buf.size());
+        for (int j = 0; j < len; ++j) buf.push_back(33 + rand() % 60);
+        buf.push_back('\n');
+        lens.push_back(len);
+    }
+    int64_t n = (int64_t)lens.size();
+
+    std::vector<int64_t> nl(buf.size());
+    int64_t nn = hpgq_find_newlines(buf.data(), buf.size(), nl.data(),
+                                    (int64_t)nl.size());
+    if (nn != n * 4) { fprintf(stderr, "newline count %lld != %lld\n",
+                               (long long)nn, (long long)(n * 4)); return 1; }
+
+    std::vector<int64_t> starts(n * 4), ends(n * 4);
+    hpgq_line_table(nl.data(), n, starts.data(), ends.data());
+
+    int8_t lut[256];
+    memset(lut, 5, sizeof(lut));
+    lut['A'] = 0; lut['C'] = 1; lut['G'] = 2; lut['T'] = 3; lut['N'] = 4;
+    int64_t lmax = 256;
+    std::vector<int8_t> codes(n * lmax);
+    std::vector<uint8_t> quals(n * lmax);
+    hpgq_pack(buf.data(), seq_starts.data(), q_starts.data(), lens.data(),
+              n, lmax, lut, codes.data(), quals.data(), 4);
+    // tight lmax (clipping path)
+    int64_t lm2 = 64;
+    std::vector<int8_t> c2(n * lm2);
+    std::vector<uint8_t> q2(n * lm2);
+    hpgq_pack(buf.data(), seq_starts.data(), q_starts.data(), lens.data(),
+              n, lm2, lut, c2.data(), q2.data(), 4);
+
+    std::vector<int64_t> ss, ee;
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        ss.push_back(starts[i * 4]);
+        ee.push_back(ends[i * 4 + 3] + 1);
+        total += ee.back() - ss.back();
+    }
+    std::vector<uint8_t> out(total);
+    int64_t got = hpgq_concat_spans(buf.data(), ss.data(), ee.data(),
+                                    (int64_t)ss.size(), out.data());
+    if (got != total) { fprintf(stderr, "concat %lld != %lld\n",
+                                (long long)got, (long long)total); return 1; }
+    printf("sanitize-ok\n");
+    return 0;
+}
+"""
+
+
+def test_asan_ubsan_packer():
+    with tempfile.TemporaryDirectory() as d:
+        main_cpp = os.path.join(d, "main.cpp")
+        open(main_cpp, "w").write(_MAIN)
+        exe = os.path.join(d, "checker")
+        subprocess.run(
+            ["g++", "-O1", "-g", "-std=c++17", "-fopenmp",
+             "-fsanitize=address,undefined", "-fno-omit-frame-pointer",
+             _SRC, main_cpp, "-o", exe],
+            check=True, capture_output=True, timeout=180,
+        )
+        r = subprocess.run([exe], capture_output=True, timeout=120,
+                           env={**os.environ,
+                                "ASAN_OPTIONS": "detect_leaks=0"})
+        assert r.returncode == 0, r.stderr.decode()[:4000]
+        assert b"sanitize-ok" in r.stdout
+        assert b"runtime error" not in r.stderr
