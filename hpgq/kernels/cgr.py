@@ -90,9 +90,9 @@ def _vary(x, axis):
     a scan carry initialized from constants must match the varying outputs)."""
     if axis is None:
         return x
-    if hasattr(jax.lax, "pvary"):
-        return jax.lax.pvary(x, (axis,))
-    return jax.lax.pcast(x, (axis,), to="varying")  # pragma: no cover
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    return jax.lax.pvary(x, (axis,))  # pragma: no cover (jax < 0.8)
 
 
 def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
