@@ -1,0 +1,146 @@
+"""True multi-process distributed test: 2 JAX processes x 2 CPU devices.
+
+Validates the real multi-host code path — per-host byte-range input split,
+`jax.make_array_from_process_local_data` batches, lockstep length voting,
+empty-feed tail steps, and the cross-host psum merge — without TPU hardware,
+by launching two coordinated subprocesses on the CPU backend.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gen import make_fastq
+
+_WORKER = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, nproc, fq, outdir, mode, repo = sys.argv[1:8]
+jax.distributed.initialize(coord, int(nproc), int(pid))
+assert jax.process_count() == int(nproc), jax.process_count()
+
+sys.path.insert(0, repo)
+from hpgq.options import StatsOptions
+from hpgq.dist.run_dist import run_stats_sharded
+
+o = StatsOptions()
+o.in_filename = fq
+o.out_dirname = outdir
+o.quality_encoding_value = 33
+o.quality_encoding_name = "phred33"
+o.batch_size = 300
+if mode == "filtered":
+    o.criteria.min_read_quality = 18
+    o.criteria.max_read_quality = 40
+    o.filter_on = True
+
+c = run_stats_sharded(o)
+print(json.dumps({
+    "pid": int(pid),
+    "num_reads": c.num_reads,
+    "num_passed": c.num_passed,
+    "num_failed": c.num_failed,
+    "acc_length": c.acc_length,
+    "min_length": c.min_length,
+    "max_length": c.max_length,
+    "num_As": c.num_As,
+    "num_Ns": c.num_Ns,
+    "length_hist_sum": int(c.length_hist.sum()),
+    "qual_per_nt_sum": int(c.acc_quality_per_nt.sum()),
+}))
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.parametrize("mode", ["plain", "filtered"])
+@pytest.mark.parametrize("compression", ["plain", "bgzf"])
+def test_two_process_sharded_stats(tmp_path, mode, compression):
+    n = 2500
+    fq = str(tmp_path / "in.fq")
+    make_fastq(fq, n, min_len=40, max_len=110, n_prob=0.02, seed=17)
+    if compression == "bgzf":
+        from hpgq.io.bgzf import write_bgzf
+
+        data = open(fq, "rb").read()
+        fq = str(tmp_path / "in.fq.bgz")
+        write_bgzf(fq, data, block_size=8192)
+
+    worker = str(tmp_path / "worker.py")
+    open(worker, "w").write(_WORKER)
+    port = _free_port()
+    coord = "localhost:%d" % port
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    outs = [str(tmp_path / ("out%d" % i)) for i in range(2)]
+    for o in outs:
+        os.makedirs(o)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), "2", fq, outs[i], mode,
+             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for i in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err.decode()[-3000:]
+        results.append(json.loads(out.decode().strip().splitlines()[-1]))
+
+    # both processes converge to identical global counters
+    a, b = results
+    for k in a:
+        if k != "pid":
+            assert a[k] == b[k], (k, a[k], b[k])
+
+    # equal to the single-process truth
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = str(tmp_path / "ref")
+    os.makedirs(o.out_dirname)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 512
+    if mode == "filtered":
+        o.criteria.min_read_quality = 18
+        o.criteria.max_read_quality = 40
+        o.filter_on = True
+    ref = run_stats(o)
+    assert a["num_reads"] == ref.num_reads
+    assert a["num_passed"] == ref.num_passed
+    assert a["num_failed"] == ref.num_failed
+    assert a["acc_length"] == ref.acc_length
+    assert a["min_length"] == ref.min_length
+    assert a["max_length"] == ref.max_length
+    assert a["num_As"] == ref.num_As
+    assert a["num_Ns"] == ref.num_Ns
+    assert a["qual_per_nt_sum"] == int(ref.acc_quality_per_nt.sum())
+    # process-0's report matches the single-process report byte-for-byte
+    name = os.path.basename(fq) + ".summary.txt"
+    assert (
+        open(os.path.join(outs[0], name), "rb").read()
+        == open(os.path.join(o.out_dirname, name), "rb").read()
+    )
