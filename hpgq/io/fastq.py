@@ -237,7 +237,10 @@ class FastqReader:
                         chunk += b"\n"
                     return self._block_from(chunk)
                 return None
-            chunk = self._tail + data
+            # avoid large copies: concat only when a tail carries over, and
+            # keep the (partial-record) remainder inside the block buffer —
+            # starts/ends simply don't cover it
+            chunk = self._tail + data if self._tail else data
             nl = _find_newlines(chunk)
             nrec = len(nl) // 4
             if nrec == 0:
@@ -245,15 +248,22 @@ class FastqReader:
                 continue
             cut = int(nl[nrec * 4 - 1]) + 1
             self._tail = chunk[cut:]
-            return self._block_from(chunk[:cut], nl[: nrec * 4])
+            return self._block_from(chunk, nl[: nrec * 4], consumed=cut)
 
-    def _block_from(self, chunk: bytes, nl: Optional[np.ndarray] = None) -> RecordBlock:
+    def _block_from(self, chunk: bytes, nl: Optional[np.ndarray] = None,
+                    consumed: Optional[int] = None) -> RecordBlock:
         if nl is None:
             nl = _find_newlines(chunk)
         nrec = len(nl) // 4
-        starts, ends = _index_lines(chunk, np.asarray(nl, dtype=np.int64), nrec)
+        nl = np.asarray(nl, dtype=np.int64)
+        from . import native
+
+        if nrec and native.available():
+            starts, ends = native.line_table(nl, nrec)
+        else:
+            starts, ends = _index_lines(chunk, nl, nrec)
         base = self.bytes_consumed
-        self.bytes_consumed += len(chunk)
+        self.bytes_consumed += len(chunk) if consumed is None else consumed
         return RecordBlock(chunk, starts, ends, base_offset=base)
 
     def _slice_block(self, block: RecordBlock, lo: int, hi: int) -> RecordBlock:

@@ -80,14 +80,59 @@ def run_cgr(opts: CgrOptions, timers: Optional[StageTimers] = None) -> dict:
     phred = opts.quality_encoding_value
     sess = CgrSession(k, phred, _batch_reads(opts))
 
+    ck_path = opts.checkpoint_path
+    ck_every = opts.checkpoint_every or 50
+    ck_key = None
+    start_input = 0
+    start_offset = 0
+    if ck_path:
+        import json
+
+        from ..utils.checkpoint import (
+            load_counters_checkpoint,
+            save_counters_checkpoint,
+        )
+
+        ck_key = json.dumps({
+            "cmd": "cgr", "k": k, "phred": phred,
+            "in": os.path.abspath(opts.in_filename),
+            "in2": opts.in_filename2 and os.path.abspath(opts.in_filename2),
+        }, sort_keys=True)
+        loaded = load_counters_checkpoint(ck_path, ck_key)
+        if loaded:
+            _, start_offset, extra = loaded
+            sess.table_seq += extra["table_seq"]
+            sess.table_q += extra["table_q"]
+            sess.word_count += int(extra["words"])
+            start_input = int(extra["input_idx"])
+
     inputs = [opts.in_filename]
     if opts.paired_end:
         inputs = [opts.in_filename, opts.in_filename2]
-    for path in inputs:
-        with FastqReader(path, batch_size=opts.batch_size) as rd:
+    nb = 0
+    for idx, path in enumerate(inputs):
+        if idx < start_input:
+            continue
+        offset = start_offset if idx == start_input else 0
+        with FastqReader(path, batch_size=opts.batch_size,
+                         start_offset=offset) as rd:
             for block in _iter_blocks(rd, timers):
                 with timers.stage("compute"):
                     sess.feed_block(block)
+                nb += 1
+                if ck_path and nb % ck_every == 0:
+                    with timers.stage("checkpoint"):
+                        save_counters_checkpoint(
+                            ck_path, None, block.end_offset, ck_key,
+                            extra={
+                                "table_seq": sess.table_seq,
+                                "table_q": sess.table_q,
+                                "words": sess.word_count,
+                                "input_idx": idx,
+                            },
+                        )
+    if ck_path and os.path.exists(ck_path):
+        os.unlink(ck_path)
 
     return emit_cgr_outputs(opts, sess, timers)
 

@@ -48,7 +48,7 @@ def _iter_blocks(reader, timers, prefetch_depth: int = 3):
             return
         timers.num_batches += 1
         timers.total_reads += block.num_reads
-        timers.total_bytes += len(block.buf) if block.num_reads else 0
+        timers.total_bytes += (block.end_offset - block.base_offset) if block.num_reads else 0
         yield block
 
 
@@ -76,7 +76,7 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 3):
         block, arrs = item
         timers.num_batches += 1
         timers.total_reads += block.num_reads
-        timers.total_bytes += len(block.buf) if block.num_reads else 0
+        timers.total_bytes += (block.end_offset - block.base_offset) if block.num_reads else 0
         yield block, arrs
 
 
@@ -104,7 +104,7 @@ def _iter_blocks_paired(r1, r2, timers):
             )
         timers.num_batches += 1
         timers.total_reads += b1.num_reads + b2.num_reads
-        timers.total_bytes += len(b1.buf) + len(b2.buf)
+        timers.total_bytes += (b1.end_offset - b1.base_offset) + (b2.end_offset - b2.base_offset)
         yield b1, b2
 
 

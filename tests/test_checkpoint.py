@@ -205,3 +205,60 @@ def test_edit_resume_equals_uninterrupted(tmp_path):
     assert not os.path.exists(ck)
     assert res["num_edited"] == full["num_edited"]
     assert (out_b / "edit.fq").read_bytes() == (out_a / "edit.fq").read_bytes()
+
+
+def test_cgr_resume_equals_uninterrupted(tmp_path):
+    from hpgq.options import CgrOptions
+    from hpgq.pipeline.cgr_run import run_cgr
+    from hpgq.pipeline import run as run_mod
+
+    fq = str(tmp_path / "in.fq")
+    make_fastq(fq, 2000, min_len=50, max_len=90, n_prob=0.02, seed=41)
+
+    def copts(out, **kw):
+        o = CgrOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 250
+        o.k = 4
+        for k, v in kw.items():
+            setattr(o, k, v)
+        return o
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir(); out_b.mkdir()
+    full = run_cgr(copts(out_a))
+
+    ck = str(tmp_path / "c.ck.npz")
+    ob = copts(out_b, checkpoint_path=ck, checkpoint_every=1)
+
+    from hpgq.pipeline import cgr_run as cgr_mod
+
+    real_iter = cgr_mod._iter_blocks
+    calls = {"n": 0}
+
+    def limited(*a, **k):
+        for b in real_iter(*a, **k):
+            if calls["n"] >= 3:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            yield b
+
+    cgr_mod._iter_blocks = limited
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_cgr(ob)
+    finally:
+        cgr_mod._iter_blocks = real_iter
+    assert os.path.exists(ck)
+
+    res = run_cgr(ob)
+    assert not os.path.exists(ck)
+    assert res["fq_word_count"] == full["fq_word_count"]
+    np.testing.assert_array_equal(res["table_seq"], full["table_seq"])
+    np.testing.assert_array_equal(res["table_q"], full["table_q"])
+    fa = (out_a / "in.fq_k=4_FG.pgm").read_bytes()
+    fb = (out_b / "in.fq_k=4_FG.pgm").read_bytes()
+    assert fa == fb
