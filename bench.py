@@ -122,8 +122,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=400_000)
     ap.add_argument("--len", dest="read_len", type=int, default=100)
-    ap.add_argument("--batch-size", type=int, default=65_536)
-    ap.add_argument("--batch-reads", type=int, default=65_536)
+    ap.add_argument("--batch-size", type=int, default=131_072)
+    ap.add_argument("--batch-reads", type=int, default=131_072)
     ap.add_argument("--oracle-reads", type=int, default=100_000,
                     help="oracle pass size (throughput extrapolates linearly)")
     args = ap.parse_args()

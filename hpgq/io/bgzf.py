@@ -92,9 +92,15 @@ def build_index(path: str):
 
 
 class BgzfFile:
-    """Seekable (logical-coordinate) reader over a BGZF file."""
+    """Seekable (logical-coordinate) reader over a BGZF file.
 
-    def __init__(self, path: str, index=None):
+    ``readahead`` > 0 enables block-parallel decompression: the next N
+    members are decompressed on a thread pool while the caller consumes the
+    current one (zlib releases the GIL), lifting sequential decode from
+    single-thread zlib speed to ~N× — the BGZF framing is what makes the
+    members independently decodable."""
+
+    def __init__(self, path: str, index=None, readahead: int = 8):
         self.path = path
         self._fh = open(path, "rb")
         self.c_offsets, self.l_offsets = index or build_index(path)
@@ -102,6 +108,9 @@ class BgzfFile:
         self._pos = 0          # logical position
         self._blk = -1         # cached block id
         self._blk_data = b""
+        self._ra = int(readahead)
+        self._pool = None
+        self._futures = {}     # block id -> Future[bytes]
 
     # -- block machinery ----------------------------------------------------
 
@@ -109,14 +118,43 @@ class BgzfFile:
         i = int(np.searchsorted(self.l_offsets, logical, side="right")) - 1
         return max(0, min(i, len(self.c_offsets) - 2))
 
+    def _raw_member(self, i: int) -> bytes:
+        c0, c1 = int(self.c_offsets[i]), int(self.c_offsets[i + 1])
+        self._fh.seek(c0)
+        return self._fh.read(c1 - c0)
+
     def _load_block(self, i: int):
         if i == self._blk:
             return
-        c0, c1 = int(self.c_offsets[i]), int(self.c_offsets[i + 1])
-        self._fh.seek(c0)
-        raw = self._fh.read(c1 - c0)
-        self._blk_data = zlib.decompress(raw, wbits=31)
+        if self._ra > 0:
+            self._load_block_ra(i)
+            return
+        self._blk_data = zlib.decompress(self._raw_member(i), wbits=31)
         self._blk = i
+
+    def _load_block_ra(self, i: int):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=min(self._ra, os.cpu_count() or 1),
+                thread_name_prefix="bgzf",
+            )
+        n_blocks = len(self.c_offsets) - 1
+        # submit [i, i+ra): raw file reads happen here (serial, cheap);
+        # decompression runs on the pool
+        for j in range(i, min(i + self._ra + 1, n_blocks)):
+            if j not in self._futures:
+                raw = self._raw_member(j)
+                self._futures[j] = self._pool.submit(
+                    zlib.decompress, raw, 31
+                )
+        self._blk_data = self._futures[i].result()
+        self._blk = i
+        # evict stale futures (random-access patterns won't grow the dict)
+        for j in [j for j in self._futures if j <= i or j > i + self._ra]:
+            if j != i:
+                self._futures.pop(j).cancel()
 
     # -- file-like API ------------------------------------------------------
 
@@ -163,6 +201,9 @@ class BgzfFile:
         return self._pos
 
     def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
         self._fh.close()
 
     def __enter__(self):
