@@ -16,7 +16,23 @@ import jax
 
 from ..constants import NUM_KMERS
 from .counters import StatsCounters
-from ..kernels.stats_jnp import MIN_LENGTH_INIT, make_stats_step, zero_partials
+from ..kernels.stats_jnp import (
+    MIN_LENGTH_INIT,
+    make_stats_step,
+    wire_pack4,
+    zero_partials,
+)
+
+
+def resolve_wire(wire=None):
+    """'pack4' | None. Auto: pack4 on TPU (wire bytes matter), off on CPU.
+    Env override: HPGQ_WIRE=pack4|off."""
+    import os
+
+    w = wire if wire is not None else os.environ.get("HPGQ_WIRE", "auto")
+    if w == "auto":
+        return "pack4" if jax.default_backend() == "tpu" else None
+    return None if w in ("off", "none", "") else w
 
 
 def safe_flush_every(batch_reads: int, lcap: int) -> int:
@@ -38,6 +54,7 @@ class DeviceAccumulator:
         device=None,
         jit: bool = True,
         engine=None,
+        wire="auto",
     ):
         self.lcap = lcap
         self.phred = phred
@@ -48,8 +65,9 @@ class DeviceAccumulator:
         self.counters.filter_on = self.filter_on
         self.counters.ensure_length(lcap)
         self.engine = engine
+        self.wire = resolve_wire(wire)
         self._step = make_stats_step(lcap, phred, kmers_on, crit, jit=jit,
-                                     engine=engine)
+                                     engine=engine, wire=self.wire)
         self._acc = zero_partials(lcap, kmers_on)
         if device is not None:
             self._acc = jax.device_put(self._acc, device)
@@ -57,6 +75,8 @@ class DeviceAccumulator:
         self._since_flush = 0
 
     def update(self, codes, quals, lens, valid) -> None:
+        if self.wire == "pack4" and codes.shape[1] == quals.shape[1]:
+            codes = wire_pack4(np.asarray(codes))  # not pre-packed upstream
         self._acc = self._step(self._acc, codes, quals, lens, valid)
         self._since_flush += 1
         if self._since_flush >= self.flush_every:

@@ -334,6 +334,28 @@ def _crit_key(crit):
     return None if crit is None else dataclasses.astuple(crit)
 
 
+def wire_pack4(codes):
+    """Nibble-pack base codes (values 0..5 fit 4 bits): [B, L] int8 ->
+    [B, L//2] uint8, even position in the low nibble.
+
+    Host->device transfer is a first-order cost (PCIe locally, worse over a
+    tunnel); this cuts the codes' wire bytes in half — 25% of the total
+    batch — at the price of one trivial unpack op on device."""
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.uint8)
+    return (c[:, 0::2] | (c[:, 1::2] << 4)).astype(np.uint8)
+
+
+def wire_unpack4(packed):
+    """Device-side inverse of :func:`wire_pack4` -> [B, L] int8."""
+    p = packed.astype(jnp.uint8)
+    B, H = p.shape
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=2).reshape(B, 2 * H)
+
+
 def resolve_engine(engine: Optional[str] = None) -> str:
     """'pallas' | 'jnp' | 'pallas_interpret'. Auto: pallas on TPU, else jnp.
     Overridable via HPGQ_ENGINE."""
@@ -353,6 +375,7 @@ def make_stats_step(
     jit: bool = True,
     donate: bool = True,
     engine: Optional[str] = None,
+    wire: Optional[str] = None,
 ):
     """Build the fused per-batch stats update:
 
@@ -365,11 +388,18 @@ def make_stats_step(
     ``engine`` selects the partials implementation: 'jnp' (XLA-fused, this
     module) or 'pallas' (single-pass tiled kernel, hpgq.kernels.stats_pallas);
     default auto (pallas on TPU).
+
+    ``wire='pack4'``: the step's ``codes`` argument is nibble-packed
+    ``[B, L//2]`` uint8 (see :func:`wire_pack4`) and unpacked on device.
     """
     engine = resolve_engine(engine)
-    cache_key = (lcap, phred, kmers_on, _crit_key(crit), engine, donate)
+    cache_key = (lcap, phred, kmers_on, _crit_key(crit), engine, donate, wire)
     if jit and cache_key in _STEP_CACHE:
         return _STEP_CACHE[cache_key]
+
+    def unwire(codes):
+        return wire_unpack4(codes) if wire == "pack4" else codes
+
     if engine.startswith("pallas"):
         from .stats_pallas import make_batch_partials
 
@@ -378,7 +408,7 @@ def make_stats_step(
         )
 
         def step(acc, codes, quals, lens, valid):
-            p = pfn(codes, quals, lens.astype(jnp.int32), valid)
+            p = pfn(unwire(codes), quals, lens.astype(jnp.int32), valid)
             np_ = p.pop("_num_passed", None)
             nf = p.pop("_num_failed", None)
             out = merge_into(acc, p)
@@ -389,6 +419,7 @@ def make_stats_step(
 
     else:
         def step(acc, codes, quals, lens, valid):
+            codes = unwire(codes)
             lens32 = lens.astype(jnp.int32)
             if crit is not None:
                 ok = verdicts(codes, quals, lens32, crit, phred)

@@ -62,10 +62,14 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 3):
 
     def transform(block):
         lmax = round_up(max(block.max_len(), 1), 128)
-        packed = pack_block(
+        codes, quals, lens, valid = pack_block(
             block, max_len=max(lmax, sess.lcap), pad_reads_to=batch_reads
         )
-        return block, jax.device_put(packed)
+        if getattr(sess.acc, "wire", None) == "pack4":
+            from ..kernels.stats_jnp import wire_pack4
+
+            codes = wire_pack4(codes)
+        return block, jax.device_put((codes, quals, lens, valid))
 
     it = prefetched(iter(reader), depth=depth, transform=transform)
     while True:

@@ -56,8 +56,9 @@ class StatsSession:
         self.feed_packed(codes, quals, lens, valid)
 
     def feed_packed(self, codes, quals, lens, valid):
-        if codes.shape[1] > self.lcap:
-            self._grow(codes.shape[1])
+        # quals carry the logical L (codes may be nibble-packed on the wire)
+        if quals.shape[1] > self.lcap:
+            self._grow(quals.shape[1])
         self.acc.update(codes, quals, lens, valid)
 
     def finish(self):

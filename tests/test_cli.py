@@ -215,3 +215,30 @@ def test_cli_conf_file(tmp_path, capsys):
     stdout = capsys.readouterr().out
     assert "Max. number of Ns   : 2" in stdout
     assert "Read quality range  : 20,45" in stdout
+
+
+def test_stats_pipeline_with_wire_pack4(tmp_path, monkeypatch):
+    """End-to-end stats through the nibble wire format == plain run."""
+    from gen import make_fastq
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    fq = str(tmp_path / "w.fq")
+    make_fastq(fq, 1200, min_len=40, max_len=100, n_prob=0.02, seed=3)
+
+    def opts(out):
+        o = StatsOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 256
+        return o
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    plain = run_stats(opts(a))
+    monkeypatch.setenv("HPGQ_WIRE", "pack4")
+    wired = run_stats(opts(b))
+    assert wired.equals(plain)
+    assert (b / "w.fq.summary.txt").read_bytes() == (a / "w.fq.summary.txt").read_bytes()

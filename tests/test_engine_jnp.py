@@ -132,3 +132,32 @@ def test_flush_interval_invariance(tmp_path):
         a2.update(codes[sl], quals[sl], lens[sl], valid[sl])
     c1, c2 = a1.finish(), a2.finish()
     assert c1.equals(c2)
+
+
+def test_wire_pack4_roundtrip_and_step():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hpgq.kernels import stats_jnp
+    from hpgq.core.accumulator import DeviceAccumulator
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 6, size=(64, 128)).astype(np.int8)
+    packed = stats_jnp.wire_pack4(codes)
+    assert packed.shape == (64, 64)
+    un = np.asarray(stats_jnp.wire_unpack4(jnp.asarray(packed)))
+    np.testing.assert_array_equal(un, codes)
+
+    # full step through the wire format == plain step
+    lens = rng.integers(1, 129, size=64).astype(np.int32)
+    pos = np.arange(128)[None, :]
+    codes = np.where(pos < lens[:, None], codes, np.int8(5))
+    quals = np.where(pos < lens[:, None],
+                     rng.integers(33, 74, size=(64, 128)), 0).astype(np.uint8)
+    valid = np.ones(64, bool)
+
+    plain = DeviceAccumulator(128, 33, wire="off")
+    wired = DeviceAccumulator(128, 33, wire="pack4")
+    plain.update(codes, quals, lens, valid)
+    wired.update(codes, quals, lens, valid)
+    assert wired.finish().equals(plain.finish())
