@@ -393,6 +393,11 @@ def make_stats_step(
     ``[B, L//2]`` uint8 (see :func:`wire_pack4`) and unpacked on device.
     """
     engine = resolve_engine(engine)
+    # the pallas kernel holds a [TB, L] int8+int32 working set in VMEM; for
+    # very long reads (nanopore) fall back to the jnp path, which XLA tiles
+    # itself (VMEM ~16 MB/core: 256*L*(1+1+4+4) bytes must fit with slack)
+    if engine == "pallas" and lcap > 4096:
+        engine = "jnp"
     cache_key = (lcap, phred, kmers_on, _crit_key(crit), engine, donate, wire)
     if jit and cache_key in _STEP_CACHE:
         return _STEP_CACHE[cache_key]

@@ -161,3 +161,32 @@ def test_wire_pack4_roundtrip_and_step():
     plain.update(codes, quals, lens, valid)
     wired.update(codes, quals, lens, valid)
     assert wired.finish().equals(plain.finish())
+
+
+def test_long_read_growth_and_engine_guard(tmp_path):
+    """A 6000-bp read grows the session past the pallas VMEM bound; the
+    engine transparently falls back to jnp and stays correct."""
+    import numpy as np
+
+    from gen import make_records, write_fastq
+    from hpgq.oracle import spec
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    recs = make_records(50, min_len=60, max_len=100, seed=1)
+    long_seq = b"ACGT" * 1500
+    recs.append((b"@long read", long_seq, b"I" * len(long_seq)))
+    recs += make_records(20, min_len=80, max_len=80, seed=2)
+    fq = str(tmp_path / "long.fq")
+    write_fastq(fq, recs)
+
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = str(tmp_path)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 16
+    got = run_stats(o)
+    want = spec.stats_of_file(spec.iter_seq_qual(fq))
+    assert got.equals(want)
+    assert got.max_length == 6000
