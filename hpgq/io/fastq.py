@@ -72,6 +72,16 @@ class RecordBlock:
         self.arr = np.frombuffer(buf, dtype=np.uint8)
         self.base_offset = base_offset
 
+    def slice(self, lo: int, hi: int) -> "RecordBlock":
+        """Zero-copy record-range view sharing this block's buffer."""
+        sub = RecordBlock.__new__(RecordBlock)
+        sub.buf = self.buf
+        sub.arr = self.arr
+        sub.starts = self.starts[lo:hi]
+        sub.ends = self.ends[lo:hi]
+        sub.base_offset = self.base_offset
+        return sub
+
     @property
     def end_offset(self) -> int:
         """Logical file offset just past this block's last record — a valid
@@ -267,13 +277,7 @@ class FastqReader:
         return RecordBlock(chunk, starts, ends, base_offset=base)
 
     def _slice_block(self, block: RecordBlock, lo: int, hi: int) -> RecordBlock:
-        sub = RecordBlock.__new__(RecordBlock)
-        sub.buf = block.buf
-        sub.arr = block.arr
-        sub.starts = block.starts[lo:hi]
-        sub.ends = block.ends[lo:hi]
-        sub.base_offset = block.base_offset
-        return sub
+        return block.slice(lo, hi)
 
     def __iter__(self) -> Iterator[RecordBlock]:
         carry: Optional[RecordBlock] = None

@@ -85,31 +85,44 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 3):
 
 
 def _iter_blocks_paired(r1, r2, timers):
-    """Lockstep paired iteration; mates must pair up 1:1."""
-    i1, i2 = iter(r1), iter(r2)
-    pend1, pend2 = [], []  # (block, lo) queues flattened by slicing
+    """Lockstep paired iteration, re-sliced to common record counts.
 
-    def refill(it, buf):
-        b = next(it, None)
-        if b is not None:
-            buf.append(b)
-        return b is not None
+    The two mate files have identical record counts but different byte
+    layouts, so their readers' chunk boundaries (and therefore block sizes)
+    disagree — each side is re-sliced so every yielded pair covers the same
+    record range (pair i of b1 = pair i of b2)."""
+    from .prefetch import prefetched
 
+    i1 = prefetched(iter(r1), depth=2)
+    i2 = prefetched(iter(r2), depth=2)
+    b1 = b2 = None
+    p1 = p2 = 0
     while True:
         with timers.stage("read"):
-            b1 = next(i1, None)
-            b2 = next(i2, None)
+            if b1 is None or p1 >= b1.num_reads:
+                b1 = next(i1, None)
+                p1 = 0
+            if b2 is None or p2 >= b2.num_reads:
+                b2 = next(i2, None)
+                p2 = 0
         if b1 is None and b2 is None:
             return
-        if (b1 is None) != (b2 is None) or b1.num_reads != b2.num_reads:
+        if b1 is None or b2 is None:
             raise ValueError(
                 "paired-end inputs have mismatched record counts; "
                 "both mates must pair up 1:1"
             )
+        n = min(b1.num_reads - p1, b2.num_reads - p2)
+        s1 = b1.slice(p1, p1 + n)
+        s2 = b2.slice(p2, p2 + n)
+        p1 += n
+        p2 += n
         timers.num_batches += 1
-        timers.total_reads += b1.num_reads + b2.num_reads
-        timers.total_bytes += (b1.end_offset - b1.base_offset) + (b2.end_offset - b2.base_offset)
-        yield b1, b2
+        timers.total_reads += 2 * n
+        timers.total_bytes += (s1.end_offset - s1.base_offset) + (
+            s2.end_offset - s2.base_offset
+        )
+        yield s1, s2
 
 
 # ---------------------------------------------------------------------------
@@ -304,10 +317,19 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
         "failed_1": os.path.join(opts.out_dirname, "failed_1.fq"),
         "failed_2": os.path.join(opts.out_dirname, "failed_2.fq"),
     }
-    with FastqReader(opts.in_filename, batch_size=opts.batch_size) as r1, \
-         FastqReader(opts.in_filename2, batch_size=opts.batch_size) as r2, \
-         FastqWriter(paths["passed_1"]) as p1, FastqWriter(paths["passed_2"]) as p2, \
-         FastqWriter(paths["failed_1"]) as f1, FastqWriter(paths["failed_2"]) as f2:
+    ck = _OutputCheckpointer(
+        opts, "filter-paired", crit, paths, out, ("num_passed", "num_failed")
+    )
+    start1, sizes, aux = ck.resume(aux_keys=("offset2",))
+    with FastqReader(opts.in_filename, batch_size=opts.batch_size,
+                     start_offset=start1) as r1, \
+         FastqReader(opts.in_filename2, batch_size=opts.batch_size,
+                     start_offset=aux.get("offset2", 0)) as r2, \
+         FastqWriter(paths["passed_1"], append_at=sizes.get("passed_1")) as p1, \
+         FastqWriter(paths["passed_2"], append_at=sizes.get("passed_2")) as p2, \
+         FastqWriter(paths["failed_1"], append_at=sizes.get("failed_1")) as f1, \
+         FastqWriter(paths["failed_2"], append_at=sizes.get("failed_2")) as f2:
+        writers = {"passed_1": p1, "passed_2": p2, "failed_1": f1, "failed_2": f2}
         for b1, b2 in _iter_blocks_paired(r1, r2, timers):
             with timers.stage("compute"):
                 both = vfn(b1) & vfn(b2)  # pair-consistent discard
@@ -316,6 +338,8 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
                 b2.write_selected(p2, both)
                 out["num_failed"] += b1.write_selected(f1, ~both)
                 b2.write_selected(f2, ~both)
+            ck.step(b1, writers, timers, aux={"offset2": b2.end_offset})
+    ck.complete()
     out.update(paths)
     return out
 
@@ -346,22 +370,25 @@ class _OutputCheckpointer:
             "outs": sorted(paths),
         }, sort_keys=True) if self.path else None
 
-    def resume(self):
-        """(input_start_offset, {name: output_append_at or None})."""
+    def resume(self, aux_keys: tuple = ()):
+        """(input_start_offset, {name: output_append_at or None}, aux)."""
         if not self.path:
-            return 0, {}
+            return (0, {}, {}) if aux_keys else (0, {})
         from ..utils.checkpoint import load_counters_checkpoint
 
         loaded = load_counters_checkpoint(self.path, self.key)
         if not loaded:
-            return 0, {}
+            return (0, {}, {k: 0 for k in aux_keys}) if aux_keys else (0, {})
         _, offset, extra = loaded
         sizes = {n: int(extra["bytes_" + n]) for n in self.paths}
         for k in self.count_keys:
             self.counts[k] = int(extra[k])
+        if aux_keys:
+            aux = {k: int(extra["aux_" + k]) for k in aux_keys}
+            return offset, sizes, aux
         return offset, sizes
 
-    def step(self, block, writers: dict, timers):
+    def step(self, block, writers: dict, timers, aux: dict = None):
         if not self.path:
             return
         self.nb += 1
@@ -376,6 +403,8 @@ class _OutputCheckpointer:
                 extra["bytes_" + name] = w.tell()
             for k in self.count_keys:
                 extra[k] = self.counts[k]
+            for k, v in (aux or {}).items():
+                extra["aux_" + k] = int(v)
             save_counters_checkpoint(
                 self.path, None, block.end_offset, self.key, extra=extra
             )
@@ -473,10 +502,18 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
     if opts.filter_on:
         paths["failed_1"] = os.path.join(opts.out_dirname, "failed_1.fq")
         paths["failed_2"] = os.path.join(opts.out_dirname, "failed_2.fq")
-    writers = {k: FastqWriter(v) for k, v in paths.items()}
+    ck = _OutputCheckpointer(
+        opts, "edit-paired", opts.criteria, paths, out,
+        ("num_edited", "num_passed", "num_failed"),
+    )
+    start1, sizes, aux = ck.resume(aux_keys=("offset2",))
+    writers = {k: FastqWriter(v, append_at=sizes.get(k))
+               for k, v in paths.items()}
     try:
-        with FastqReader(opts.in_filename, batch_size=opts.batch_size) as r1, \
-             FastqReader(opts.in_filename2, batch_size=opts.batch_size) as r2:
+        with FastqReader(opts.in_filename, batch_size=opts.batch_size,
+                         start_offset=start1) as r1, \
+             FastqReader(opts.in_filename2, batch_size=opts.batch_size,
+                         start_offset=aux.get("offset2", 0)) as r2:
             for b1, b2 in _iter_blocks_paired(r1, r2, timers):
                 with timers.stage("compute"):
                     lt1, rt1, ok1 = efn(b1)
@@ -498,8 +535,10 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
                     else:
                         b1.write_trimmed(writers["edit_1"], lt1, rt1)
                         b2.write_trimmed(writers["edit_2"], lt2, rt2)
+                ck.step(b1, writers, timers, aux={"offset2": b2.end_offset})
     finally:
         for w in writers.values():
             w.close()
+    ck.complete()
     out.update(paths)
     return out

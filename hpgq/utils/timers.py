@@ -47,7 +47,8 @@ class StageTimers:
             )
         print("total time            (s): \t%10.5f" % total, file=out)
         print("", file=out)
-        for name in ("read", "pack", "h2d", "compute", "write", "reporting"):
+        for name in ("read", "pack", "h2d", "compute", "write", "checkpoint",
+                     "reporting"):
             if name in self.totals:
                 t = self.totals[name]
                 print(

@@ -262,3 +262,63 @@ def test_cgr_resume_equals_uninterrupted(tmp_path):
     fa = (out_a / "in.fq_k=4_FG.pgm").read_bytes()
     fb = (out_b / "in.fq_k=4_FG.pgm").read_bytes()
     assert fa == fb
+
+
+def test_paired_filter_resume(tmp_path):
+    from gen import make_records, write_fastq
+    from hpgq.options import FilterOptions
+    from hpgq.pipeline.run import run_filter
+    from hpgq.pipeline import run as run_mod
+
+    n = 1200
+    r1 = make_records(n, min_len=60, max_len=60, seed=5)
+    r2 = make_records(n, min_len=80, max_len=80, seed=6)
+    f1 = str(tmp_path / "m1.fq")
+    f2 = str(tmp_path / "m2.fq")
+    write_fastq(f1, r1)
+    write_fastq(f2, r2)
+
+    def fopts(out, **kw):
+        o = FilterOptions()
+        o.in_filename = f1
+        o.in_filename2 = f2
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 128
+        o.criteria.min_read_quality = 15
+        o.criteria.max_read_quality = 40
+        for k, v in kw.items():
+            setattr(o, k, v)
+        return o
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir(); out_b.mkdir()
+    full = run_filter(fopts(out_a))
+
+    ck = str(tmp_path / "p.ck.npz")
+    ob = fopts(out_b, checkpoint_path=ck, checkpoint_every=1)
+
+    real = run_mod._iter_blocks_paired
+    calls = {"n": 0}
+
+    def limited(*a, **k):
+        for pair in real(*a, **k):
+            if calls["n"] >= 4:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            yield pair
+
+    run_mod._iter_blocks_paired = limited
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_filter(ob)
+    finally:
+        run_mod._iter_blocks_paired = real
+    assert os.path.exists(ck)
+
+    res = run_filter(ob)
+    assert not os.path.exists(ck)
+    assert res["num_passed"] == full["num_passed"]
+    for name in ("passed_1.fq", "passed_2.fq", "failed_1.fq", "failed_2.fq"):
+        assert (out_b / name).read_bytes() == (out_a / name).read_bytes(), name

@@ -242,3 +242,47 @@ def test_stats_pipeline_with_wire_pack4(tmp_path, monkeypatch):
     wired = run_stats(opts(b))
     assert wired.equals(plain)
     assert (b / "w.fq.summary.txt").read_bytes() == (a / "w.fq.summary.txt").read_bytes()
+
+
+def test_paired_blocks_reslice_on_uneven_chunks(tmp_path, monkeypatch):
+    """Mate files with different byte layouts produce misaligned reader
+    blocks; the pairing iterator re-slices to common record ranges."""
+    import numpy as np
+
+    import hpgq.io.fastq as fastq_mod
+    from gen import make_records, write_fastq
+    from hpgq.options import FilterOptions
+    from hpgq.pipeline.run import run_filter
+
+    n = 400
+    r1 = make_records(n, min_len=60, max_len=60, seed=1)
+    # mate 2: same count, much longer headers -> different chunk boundaries
+    r2 = [(b"@mate2_" + b"x" * 60 + b"_%d" % i, s, q)
+          for i, (_, s, q) in enumerate(make_records(n, min_len=90, max_len=90, seed=2))]
+    f1 = str(tmp_path / "r1.fq")
+    f2 = str(tmp_path / "r2.fq")
+    write_fastq(f1, r1)
+    write_fastq(f2, r2)
+
+    monkeypatch.setattr(fastq_mod, "_CHUNK", 4096)  # force many tiny chunks
+
+    o = FilterOptions()
+    o.in_filename = f1
+    o.in_filename2 = f2
+    o.out_dirname = str(tmp_path / "out")
+    import os
+    os.makedirs(o.out_dirname)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 64
+    o.criteria.min_read_quality = 15
+    o.criteria.max_read_quality = 45
+
+    res = run_filter(o)
+    assert res["num_passed"] + res["num_failed"] == n
+    # outputs pair up line-for-line
+    p1 = open(os.path.join(o.out_dirname, "passed_1.fq"), "rb").read()
+    p2 = open(os.path.join(o.out_dirname, "passed_2.fq"), "rb").read()
+    n1 = p1.count(b"\n") // 4
+    n2 = p2.count(b"\n") // 4
+    assert n1 == n2 == res["num_passed"]
