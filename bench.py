@@ -57,15 +57,20 @@ def corpus(n_reads: int, read_len: int) -> str:
     return path
 
 
-def run_oracle(path: str, batch_size: int, passes: int = 2) -> "tuple[float, int]":
+def run_oracle(path: str, batch_size: int, passes: int = 2,
+               budget_s: float = 120.0) -> "tuple[float, int]":
     """Single-CPU end-to-end oracle pass (the reference-semantics baseline).
-    Best of ``passes`` (first pass also warms the file cache)."""
+    Best of ``passes`` (first pass also warms the file cache), bounded by
+    ``budget_s``."""
     from hpgq.core.counters import StatsCounters
     from hpgq.oracle import baseline as ob
 
     best = 0.0
     total = 0
+    t_start = time.perf_counter()
     for _ in range(passes):
+        if best and time.perf_counter() - t_start > budget_s:
+            break
         t0 = time.perf_counter()
         total = 0
         acc = StatsCounters(phred=PHRED)
@@ -124,7 +129,7 @@ def main():
     ap.add_argument("--len", dest="read_len", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=131_072)
     ap.add_argument("--batch-reads", type=int, default=131_072)
-    ap.add_argument("--oracle-reads", type=int, default=100_000,
+    ap.add_argument("--oracle-reads", type=int, default=50_000,
                     help="oracle pass size (throughput extrapolates linearly)")
     args = ap.parse_args()
 
