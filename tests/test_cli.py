@@ -286,3 +286,17 @@ def test_paired_blocks_reslice_on_uneven_chunks(tmp_path, monkeypatch):
     n1 = p1.count(b"\n") // 4
     n2 = p2.count(b"\n") // 4
     assert n1 == n2 == res["num_passed"]
+
+
+def test_stats_sharded_cli_flag(tmp_path):
+    """--sharded routes stats through the mesh pipeline; same report bytes."""
+    from gen import make_fastq
+    from hpgq.cli.main import main
+
+    fq = str(tmp_path / "s.fq")
+    make_fastq(fq, 800, min_len=60, max_len=90, seed=6)
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    assert main(["stats", "-f", fq, "-o", str(a)]) in (0, None)
+    assert main(["stats", "-f", fq, "-o", str(b), "--sharded"]) in (0, None)
+    assert (b / "s.fq.summary.txt").read_bytes() == (a / "s.fq.summary.txt").read_bytes()
