@@ -239,6 +239,9 @@ def _results_banner(lines):
 
 
 def main(argv=None) -> int:
+    from ..utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     exec_name = "hpgq"
     if not argv or argv[0] in ("-h", "--help"):
