@@ -36,8 +36,17 @@ def resolve_wire(wire=None):
 
 
 def safe_flush_every(batch_reads: int, lcap: int) -> int:
-    """Max batches between flushes with no int32 overflow possible."""
-    per_batch = max(1, batch_reads) * max(lcap, 1) * 130  # qual bytes < 130
+    """Max batches between flushes with no int32 overflow possible.
+
+    Worst per-batch growth of any single int32 cell:
+    - ``acc_length`` / ``base_totals``: <= batch_reads * lcap
+    - ``qual_per_nt[p]`` / ``acc_quality`` keys: one read adds at most one
+      quality byte (< 130) *per position*, i.e. <= batch_reads * 130 per cell
+    - histograms / ``kmer_counts``: <= batch_reads * lcap
+    so the bound is batch_reads * max(lcap, 130) — NOT their product (which
+    would force a pipeline-stalling host sync every batch at large sizes).
+    """
+    per_batch = max(1, batch_reads) * max(lcap, 130)
     return max(1, (2**30) // per_batch)
 
 
