@@ -144,3 +144,80 @@ def test_two_process_sharded_stats(tmp_path, mode, compression):
         open(os.path.join(outs[0], name), "rb").read()
         == open(os.path.join(o.out_dirname, name), "rb").read()
     )
+
+
+_CGR_WORKER = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, nproc, fq, outdir, repo = sys.argv[1:7]
+jax.distributed.initialize(coord, int(nproc), int(pid))
+
+sys.path.insert(0, repo)
+from hpgq.options import CgrOptions
+from hpgq.dist.run_dist import run_cgr_sharded
+
+o = CgrOptions()
+o.in_filename = fq
+o.out_dirname = outdir
+o.quality_encoding_value = 33
+o.quality_encoding_name = "phred33"
+o.batch_size = 300
+o.k = 4
+res = run_cgr_sharded(o)
+print(json.dumps({"pid": int(pid), "words": int(res["fq_word_count"])}))
+"""
+
+
+def test_two_process_sharded_cgr(tmp_path):
+    n = 2000
+    fq = str(tmp_path / "c.fq")
+    make_fastq(fq, n, min_len=40, max_len=110, n_prob=0.02, seed=23)
+
+    worker = str(tmp_path / "cgr_worker.py")
+    open(worker, "w").write(_CGR_WORKER)
+    coord = "localhost:%d" % _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    outs = [str(tmp_path / ("o%d" % i)) for i in range(2)]
+    for o in outs:
+        os.makedirs(o)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), "2", fq, outs[i], repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for i in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err.decode()[-3000:]
+        results.append(json.loads(out.decode().strip().splitlines()[-1]))
+    assert results[0]["words"] == results[1]["words"]
+
+    # local truth
+    from hpgq.options import CgrOptions
+    from hpgq.pipeline.cgr_run import run_cgr
+
+    o = CgrOptions()
+    o.in_filename = fq
+    o.out_dirname = str(tmp_path / "ref")
+    os.makedirs(o.out_dirname)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 512
+    o.k = 4
+    ref = run_cgr(o)
+    assert results[0]["words"] == ref["fq_word_count"]
+    # process-0 PGM matches the local PGM byte-for-byte
+    name = "c.fq_k=4_FG.pgm"
+    assert (
+        open(os.path.join(outs[0], name), "rb").read()
+        == open(os.path.join(o.out_dirname, name), "rb").read()
+    )
