@@ -186,6 +186,9 @@ class RecordBlock:
 
 def _index_lines(chunk: bytes, nl: np.ndarray, nrec: int) -> "tuple[np.ndarray, np.ndarray]":
     """Build [nrec,4] line start/end offset arrays from newline positions."""
+    if nrec == 0:
+        z = np.empty((0, 4), dtype=np.int64)
+        return z, z
     line_ends = nl[: nrec * 4].reshape(nrec, 4)
     line_starts = np.empty_like(line_ends)
     flat_e = line_ends.ravel()

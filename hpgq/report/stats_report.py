@@ -119,6 +119,20 @@ def stats_report(counters: StatsCounters, opts, timing=None) -> None:
     """Write all report files (mirrors stats_report, src/stats_report.c:32-56)."""
     out_dir = opts.out_dirname
     in_filename = os.path.basename(opts.in_filename) or opts.in_filename
+    if counters.num_reads == 0:
+        # zero processed reads: every mean is 0/0 — the reference would
+        # printf NaNs; we emit an explicit empty summary instead
+        path = os.path.join(out_dir, in_filename + ".summary.txt")
+        with open(path, "w", newline="\n") as f:
+            f.write("-----------------------------------\n")
+            f.write("      FastQ quality report\n")
+            f.write("-----------------------------------\n")
+            f.write("FastQ filename: %s\n" % in_filename)
+            f.write("\n")
+            f.write("Number of reads: 0\n")
+            f.write("(no reads processed — empty input or nothing passed "
+                    "the filter)\n")
+        return
     report_summary(in_filename, counters, opts, out_dir)
     report_length(in_filename, counters, out_dir)
     report_quality(in_filename, counters, out_dir)

@@ -105,3 +105,26 @@ def test_write_selected_and_trimmed(tmp_path):
         for (name, seq, q) in records
     )
     assert out.getvalue() == expected
+
+
+def test_empty_and_truncated_inputs(tmp_path):
+    """Empty file -> explicit empty summary; trailing partial record is
+    dropped with the complete records still processed (no crash)."""
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    empty = tmp_path / "e.fq"
+    empty.write_bytes(b"")
+    trunc = tmp_path / "t.fq"
+    trunc.write_bytes(b"@r1\nACGT\n+\nIIII\n@r2\nACG")
+
+    for path, want_reads in ((empty, 0), (trunc, 1)):
+        o = StatsOptions()
+        o.in_filename = str(path)
+        o.out_dirname = str(tmp_path)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        c = run_stats(o)
+        assert c.num_reads == want_reads, path
+    assert b"Number of reads: 0" in (tmp_path / "e.fq.summary.txt").read_bytes()
+    assert b"Number of reads: 1" in (tmp_path / "t.fq.summary.txt").read_bytes()
