@@ -28,3 +28,13 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (`hpgq.stats(...)` etc.) — keeps `import hpgq`
+    free of jax initialization until a command is actually used."""
+    if name in ("stats", "filter_reads", "edit", "cgr"):
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

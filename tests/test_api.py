@@ -1,0 +1,50 @@
+"""Top-level Python API (hpgq.stats / filter_reads / edit / cgr)."""
+
+import os
+
+import pytest
+
+from gen import make_fastq
+
+import hpgq
+
+
+def test_api_end_to_end(tmp_path):
+    fq = str(tmp_path / "a.fq")
+    make_fastq(fq, 500, min_len=60, max_len=90, seed=1)
+
+    c = hpgq.stats(fq, outdir=str(tmp_path / "s"), kmers=True)
+    assert c.num_reads == 500
+    assert (tmp_path / "s" / "a.fq.summary.txt").exists()
+
+    r = hpgq.filter_reads(fq, outdir=str(tmp_path / "f"),
+                          read_quality_range=(18, 40))
+    assert r["num_passed"] + r["num_failed"] == 500
+
+    r = hpgq.edit(fq, outdir=str(tmp_path / "e"), left_length=5,
+                  left_quality_range=(30, 60))
+    assert os.path.exists(r["edit_filename"])
+
+    r = hpgq.cgr(fq, outdir=str(tmp_path / "c"), k=4, write_gs=True)
+    assert r["fq_word_count"] > 0 and os.path.exists(r["gs_file"])
+
+
+def test_api_errors(tmp_path):
+    fq = str(tmp_path / "a.fq")
+    make_fastq(fq, 10, min_len=50, max_len=50)
+    with pytest.raises(ValueError):
+        hpgq.filter_reads(fq, outdir=str(tmp_path))
+    with pytest.raises(ValueError):
+        hpgq.edit(fq, outdir=str(tmp_path))
+    with pytest.raises(ValueError):
+        hpgq.stats(fq, outdir=str(tmp_path), encoding="phred99")
+
+
+def test_api_stats_inline_filter_and_sharded(tmp_path):
+    fq = str(tmp_path / "b.fq")
+    make_fastq(fq, 600, min_len=50, max_len=100, n_prob=0.02, seed=2)
+    c = hpgq.stats(fq, outdir=str(tmp_path / "x"), read_quality_range=(18, 40),
+                   max_N=1)
+    assert c.filter_on and c.num_passed + c.num_failed == 600
+    c2 = hpgq.stats(fq, outdir=str(tmp_path / "y"), sharded=True)
+    assert c2.num_reads == 600
