@@ -102,8 +102,6 @@ def stats(in_path, in_path2=None, outdir=".", *, kmers: bool = False,
         return run_stats_sharded(opts, report=report)
     from .pipeline.run import run_stats
 
-    if not report:
-        import dataclasses  # noqa: F401  (report always written by run_stats)
     return run_stats(opts)
 
 
