@@ -123,8 +123,104 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
     return best, total
 
 
+def run_filter_mode(path: str, batch_size: int, tmp: str):
+    """Config #2: filter to passed/failed files."""
+    import shutil
+
+    from hpgq.options import FilterOptions
+    from hpgq.pipeline.run import run_filter
+
+    def one_pass():
+        o = FilterOptions()
+        o.in_filename = path
+        o.out_dirname = tmp
+        o.quality_encoding_value = PHRED
+        o.quality_encoding_name = "phred33"
+        o.batch_size = batch_size
+        o.criteria.min_read_quality = CRIT.min_read_quality
+        o.criteria.max_read_quality = CRIT.max_read_quality
+        o.criteria.max_N = CRIT.max_N
+        r = run_filter(o)
+        return r["num_passed"] + r["num_failed"]
+
+    one_pass()
+    t0 = time.perf_counter()
+    total = one_pass()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    return total / dt, total
+
+
+def run_edit_mode(path: str, batch_size: int, tmp: str):
+    """Config #3: quality trim on variable-length reads."""
+    import shutil
+
+    from hpgq.options import EditOptions
+    from hpgq.pipeline.run import run_edit
+
+    def one_pass():
+        o = EditOptions()
+        o.in_filename = path
+        o.out_dirname = tmp
+        o.quality_encoding_value = PHRED
+        o.quality_encoding_name = "phred33"
+        o.batch_size = batch_size
+        o.criteria.left_length = 10
+        o.criteria.min_left_quality = 28
+        o.criteria.max_left_quality = 60
+        run_edit(o)
+
+    one_pass()
+    t0 = time.perf_counter()
+    one_pass()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    n = sum(1 for _ in open(path, "rb")) // 4
+    return n / dt, n
+
+
+def run_cgr_mode(path: str, batch_size: int, n_reads: int, k: int = 7):
+    """Config #5 compute shape: CGR signature accumulation."""
+    from hpgq.pipeline.cgr_run import CgrSession
+    from hpgq.io.fastq import FastqReader
+
+    def one_pass():
+        sess = CgrSession(k, PHRED, batch_reads=batch_size)
+        with FastqReader(path, batch_size=batch_size) as rd:
+            for block in rd:
+                sess.feed_block(block)
+        assert sess.word_count > 0
+        return sess
+
+    one_pass()
+    t0 = time.perf_counter()
+    one_pass()
+    dt = time.perf_counter() - t0
+    return n_reads / dt, n_reads
+
+
+def run_cgr_oracle(path: str, n_reads: int, k: int = 7):
+    """CGR baseline: the faithful per-nucleotide loop (hpgq.oracle.cgr)."""
+    from hpgq.io.fastq import FastqReader
+    from hpgq.io.packer import pack_block
+    from hpgq.oracle.cgr import fill_tables_loop
+
+    t0 = time.perf_counter()
+    total = 0
+    with FastqReader(path, batch_size=10_000) as rd:
+        for block in rd:
+            codes, quals, lens, valid = pack_block(block)
+            fill_tables_loop(codes, quals, lens, valid, k, PHRED)
+            total += block.num_reads
+    dt = time.perf_counter() - t0
+    return total / dt, total
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="stats",
+                    choices=["stats", "filter", "edit", "cgr"],
+                    help="workload: BASELINE configs #1/#2, #3, #5")
     ap.add_argument("--reads", type=int, default=400_000)
     ap.add_argument("--len", dest="read_len", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=131_072)
@@ -137,12 +233,27 @@ def main():
     opath = (path if args.oracle_reads >= args.reads
              else corpus(args.oracle_reads, args.read_len))
 
-    oracle_rps, _ = run_oracle(opath, args.batch_size)
-    engine_rps, total = run_engine(path, args.batch_size,
-                                   round_up(args.batch_reads, 256))
+    if args.mode == "stats":
+        oracle_rps, _ = run_oracle(opath, args.batch_size)
+        engine_rps, total = run_engine(path, args.batch_size,
+                                       round_up(args.batch_reads, 256))
+        metric = "stats_filter_reads_per_sec"
+    elif args.mode == "cgr":
+        ocorpus = corpus(min(args.oracle_reads, 5_000), args.read_len)
+        oracle_rps, _ = run_cgr_oracle(ocorpus, 5_000)
+        engine_rps, total = run_cgr_mode(path, args.batch_size, args.reads)
+        metric = "cgr_reads_per_sec"
+    else:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="hpgq_bench_")
+        runner = run_filter_mode if args.mode == "filter" else run_edit_mode
+        engine_rps, total = runner(path, args.batch_size, tmp)
+        oracle_rps, _ = run_oracle(opath, args.batch_size)
+        metric = "%s_reads_per_sec" % args.mode
 
     print(json.dumps({
-        "metric": "stats_filter_reads_per_sec",
+        "metric": metric,
         "value": round(engine_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(engine_rps / oracle_rps, 3),
