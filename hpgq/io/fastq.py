@@ -88,7 +88,9 @@ class RecordBlock:
         resume point for ``FastqReader(start_offset=...)`` (checkpointing)."""
         if self.starts.shape[0] == 0:
             return self.base_offset
-        return self.base_offset + int(self.ends[-1, 3]) + 1
+        e = int(self.ends[-1, 3])
+        term = 2 if self.arr[e] == 0x0D else 1  # CRLF-aware
+        return self.base_offset + e + term
 
     @property
     def num_reads(self) -> int:
@@ -129,6 +131,12 @@ class RecordBlock:
                 b"".join(buf[int(s) : int(e)] for s, e in zip(starts, ends))
             )
 
+    def _term_end(self, ends_col: np.ndarray) -> np.ndarray:
+        """Span end including the full line terminator (handles CRLF: the
+        content ``ends`` exclude a trailing '\\r', so the terminator is 1 or
+        2 bytes)."""
+        return ends_col + 1 + (self.arr[ends_col] == 0x0D).astype(np.int64)
+
     def write_selected(self, out, select: np.ndarray) -> int:
         """Append records where ``select`` is True, preserving input order.
 
@@ -138,7 +146,7 @@ class RecordBlock:
         idx = np.flatnonzero(select)
         if idx.size:
             self._emit_spans(
-                out, self.starts[idx, 0], self.ends[idx, 3] + 1
+                out, self.starts[idx, 0], self._term_end(self.ends[idx, 3])
             )
         return int(idx.size)
 
@@ -177,7 +185,8 @@ class RecordBlock:
             [s[:, 0], seq_s, e[:, 1], s[:, 2], q_s, e[:, 3]], axis=1
         ).reshape(-1)
         ends = np.stack(
-            [e[:, 0] + 1, seq_e, e[:, 1] + 1, e[:, 2] + 1, q_e, e[:, 3] + 1],
+            [self._term_end(e[:, 0]), seq_e, self._term_end(e[:, 1]),
+             self._term_end(e[:, 2]), q_e, self._term_end(e[:, 3])],
             axis=1,
         ).reshape(-1)
         self._emit_spans(out, starts, ends)
@@ -275,6 +284,14 @@ class FastqReader:
             starts, ends = native.line_table(nl, nrec)
         else:
             starts, ends = _index_lines(chunk, nl, nrec)
+        if nrec:
+            # CRLF tolerance: a '\r' before the newline is line terminator,
+            # not sequence/quality content
+            arr = np.frombuffer(chunk, dtype=np.uint8)
+            flat = ends.reshape(-1)
+            cr = arr[np.maximum(flat - 1, 0)] == 0x0D
+            if cr.any():
+                ends = (flat - cr.astype(np.int64)).reshape(nrec, 4)
         base = self.bytes_consumed
         self.bytes_consumed += len(chunk) if consumed is None else consumed
         return RecordBlock(chunk, starts, ends, base_offset=base)

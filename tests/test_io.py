@@ -128,3 +128,37 @@ def test_empty_and_truncated_inputs(tmp_path):
         assert c.num_reads == want_reads, path
     assert b"Number of reads: 0" in (tmp_path / "e.fq.summary.txt").read_bytes()
     assert b"Number of reads: 1" in (tmp_path / "t.fq.summary.txt").read_bytes()
+
+
+def test_crlf_input(tmp_path):
+    """CRLF line endings: '\r' is terminator, not content; filter output
+    preserves the original CRLF records byte-exactly."""
+    import numpy as np
+
+    from hpgq.io.fastq import FastqReader, FastqWriter
+    from hpgq.io.packer import pack_block
+
+    recs = b"".join(
+        b"@r%d\r\nACGTACGTAC\r\n+\r\nIIIIIIIIII\r\n" % i for i in range(50)
+    )
+    path = tmp_path / "crlf.fq"
+    path.write_bytes(recs)
+    with FastqReader(str(path), batch_size=1000) as rd:
+        (block,) = list(rd)
+    assert block.num_reads == 50
+    np.testing.assert_array_equal(block.seq_lens, np.full(50, 10))
+    codes, quals, lens, valid = pack_block(block)
+    assert int(np.asarray(codes)[:, :10].max()) <= 4  # no CR leaked into bases
+    assert set(np.asarray(quals[:, :10]).ravel()) == {ord("I")}
+    assert block.end_offset == len(recs)
+
+    out = tmp_path / "sel.fq"
+    with FastqWriter(str(out)) as w:
+        block.write_selected(w, np.ones(50, bool))
+    assert out.read_bytes() == recs  # byte-exact incl. CRLF
+
+    trimmed = tmp_path / "trim.fq"
+    with FastqWriter(str(trimmed)) as w:
+        block.write_trimmed(w, np.full(50, 2), np.zeros(50, dtype=int))
+    first = trimmed.read_bytes().split(b"\r\n")[:4]
+    assert first == [b"@r0", b"GTACGTAC", b"+", b"IIIIIIII"]
