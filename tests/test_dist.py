@@ -191,3 +191,30 @@ def test_run_cgr_sharded_equals_local(tmp_path):
     qa = (out_a / "c.fq_k=4_QQ.pgm").read_bytes()
     qb = (out_b / "c.fq_k=4_QQ.pgm").read_bytes()
     assert qa == qb
+
+
+def test_sharded_kmers(tmp_path):
+    from hpgq.dist.run_dist import run_stats_sharded
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    fq = str(tmp_path / "k.fq")
+    make_fastq(fq, 800, min_len=40, max_len=80, seed=33)
+
+    def opts(out):
+        o = StatsOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 256
+        o.kmers_on = True
+        return o
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    single = run_stats(opts(a))
+    sharded = run_stats_sharded(opts(b))
+    assert sharded.equals(single)
+    np.testing.assert_array_equal(sharded.kmer_counts, single.kmer_counts)
+    assert (b / "k.fq.kmers.txt").read_bytes() == (a / "k.fq.kmers.txt").read_bytes()
