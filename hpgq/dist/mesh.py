@@ -90,7 +90,8 @@ def make_sharded_stats_step(
     its shard and updates its own accumulator slice — no collectives in the
     steady state.
     """
-    step = stats_jnp.make_stats_step(lcap, phred, kmers_on, crit, jit=False)
+    step = stats_jnp.make_stats_step(lcap, phred, kmers_on, crit, jit=False,
+                                     engine="jnp", vary_axis="data")
 
     def device_fn(acc, codes, quals, lens, valid):
         inner = jax.tree_util.tree_map(lambda x: x[0], acc)

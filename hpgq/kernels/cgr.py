@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import BASE_A, BASE_G, BASE_T, DEFAULT_CGR_K
+from .stats_jnp import _vary
 
 CHUNK = 16384  # windows per matmul chunk (f32-exactness bound, see above)
 
@@ -83,16 +84,6 @@ def window_qsums(quals, k: int):
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _vary(x, axis):
-    """Mark a constant as varying over a shard_map manual axis (vma typing:
-    a scan carry initialized from constants must match the varying outputs)."""
-    if axis is None:
-        return x
-    if hasattr(jax.lax, "pcast"):
-        return jax.lax.pcast(x, (axis,), to="varying")
-    return jax.lax.pvary(x, (axis,))  # pragma: no cover (jax < 0.8)
 
 
 def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,

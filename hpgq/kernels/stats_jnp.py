@@ -213,7 +213,17 @@ def kmer_codes(codes, lens):
     return kc, ok
 
 
-def kmer_hist2d(kc, ok, lcap: int, bin_chunk: int = 64):
+def _vary(x, axis):
+    """Mark a constant as varying over a shard_map manual axis (vma typing:
+    scan carries initialized from constants must match varying outputs)."""
+    if axis is None:
+        return x
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    return jax.lax.pvary(x, (axis,))  # pragma: no cover (jax < 0.8)
+
+
+def kmer_hist2d(kc, ok, lcap: int, bin_chunk: int = 64, vary_axis=None):
     """2D (kmer, position) histogram via chunked one-hot compare-reduce.
 
     Avoids XLA scatter (serialized on TPU for colliding indices): for each
@@ -232,7 +242,7 @@ def kmer_hist2d(kc, ok, lcap: int, bin_chunk: int = 64):
         part = eq.sum(axis=0, dtype=jnp.int32)  # [W, C]
         return jax.lax.dynamic_update_slice(acc, part.T, (i * bin_chunk, 0))
 
-    out = jnp.zeros((NUM_KMERS, W), jnp.int32)
+    out = _vary(jnp.zeros((NUM_KMERS, W), jnp.int32), vary_axis)
     out = jax.lax.fori_loop(0, NUM_KMERS // bin_chunk, chunk, out)
     if W < lcap:
         out = jnp.pad(out, ((0, 0), (0, lcap - W)))
@@ -242,7 +252,7 @@ def kmer_hist2d(kc, ok, lcap: int, bin_chunk: int = 64):
 
 
 def batch_partials(codes, quals, lens, valid, lcap: int, phred: int,
-                   kmers_on: bool = False):
+                   kmers_on: bool = False, vary_axis=None):
     """All per-batch statistics → partials pytree (no min/max init fields)."""
     B, L = codes.shape
     assert L <= lcap
@@ -293,7 +303,7 @@ def batch_partials(codes, quals, lens, valid, lcap: int, phred: int,
         if L >= KMER_K:
             kc, ok = kmer_codes(codes, lens32)
             ok &= valid[:, None]
-            k2d = kmer_hist2d(kc, ok, lcap)
+            k2d = kmer_hist2d(kc, ok, lcap, vary_axis=vary_axis)
         else:
             k2d = jnp.zeros((NUM_KMERS, lcap), jnp.int32)
         p["kmer_per_nt"] = k2d
@@ -376,6 +386,7 @@ def make_stats_step(
     donate: bool = True,
     engine: Optional[str] = None,
     wire: Optional[str] = None,
+    vary_axis=None,
 ):
     """Build the fused per-batch stats update:
 
@@ -398,7 +409,8 @@ def make_stats_step(
     # itself (VMEM ~16 MB/core: 256*L*(1+1+4+4) bytes must fit with slack)
     if engine == "pallas" and lcap > 4096:
         engine = "jnp"
-    cache_key = (lcap, phred, kmers_on, _crit_key(crit), engine, donate, wire)
+    cache_key = (lcap, phred, kmers_on, _crit_key(crit), engine, donate, wire,
+                 vary_axis)
     if jit and cache_key in _STEP_CACHE:
         return _STEP_CACHE[cache_key]
 
@@ -431,12 +443,14 @@ def make_stats_step(
                 passed = valid & ok
                 np_ = passed.astype(jnp.int32).sum()
                 nf = (valid & ~ok).astype(jnp.int32).sum()
-                p = batch_partials(codes, quals, lens32, passed, lcap, phred, kmers_on)
+                p = batch_partials(codes, quals, lens32, passed, lcap, phred,
+                                   kmers_on, vary_axis=vary_axis)
                 out = merge_into(acc, p)
                 out["num_passed"] = acc["num_passed"] + np_
                 out["num_failed"] = acc["num_failed"] + nf
                 return out
-            p = batch_partials(codes, quals, lens32, valid, lcap, phred, kmers_on)
+            p = batch_partials(codes, quals, lens32, valid, lcap, phred,
+                               kmers_on, vary_axis=vary_axis)
             return merge_into(acc, p)
 
     if jit:
