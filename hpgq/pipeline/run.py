@@ -221,6 +221,11 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
 
     # paired-end: two accumulators; with filtering, stats cover pairs where
     # BOTH mates pass (pair-consistent), counted per pair.
+    from ..utils.checkpoint import (
+        load_counters_checkpoint,
+        save_counters_checkpoint,
+    )
+
     phred = opts.quality_encoding_value
     sess1 = StatsSession(phred, opts.kmers_on, None, batch_reads=br)
     sess2 = StatsSession(phred, opts.kmers_on, None, batch_reads=br)
@@ -236,8 +241,31 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
         else None
     )
     num_passed = num_failed = 0
-    with FastqReader(opts.in_filename, batch_size=opts.batch_size) as r1, \
-         FastqReader(opts.in_filename2, batch_size=opts.batch_size) as r2:
+    ck_path = opts.checkpoint_path
+    ck_every = opts.checkpoint_every or 50
+    ck_key = (
+        _stats_config_key(opts, crit) + "|paired:%s"
+        % os.path.abspath(opts.in_filename2)
+        if ck_path else None
+    )
+    start1 = start2 = 0
+    if ck_path:
+        loaded = load_counters_checkpoint(ck_path, ck_key)
+        if loaded:
+            resumed1, start1, extra = loaded
+            resumed1.ensure_length(sess1.lcap)
+            sess1.acc.counters = resumed1
+            resumed2 = extra["__counters2__"]
+            resumed2.ensure_length(sess2.lcap)
+            sess2.acc.counters = resumed2
+            start2 = int(extra["offset2"])
+            num_passed = int(extra["num_passed"])
+            num_failed = int(extra["num_failed"])
+    nb = 0
+    with FastqReader(opts.in_filename, batch_size=opts.batch_size,
+                     start_offset=start1) as r1, \
+         FastqReader(opts.in_filename2, batch_size=opts.batch_size,
+                     start_offset=start2) as r2:
         for b1, b2 in _iter_blocks_paired(r1, r2, timers):
             with timers.stage("compute"):
                 if vfn is not None:
@@ -256,8 +284,24 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
                         valid = valid.copy()
                         valid[: len(sel)] &= sel
                     sess.feed_packed(codes, quals, lens, valid)
+            nb += 1
+            if ck_path and nb % ck_every == 0:
+                with timers.stage("checkpoint"):
+                    sess1.acc.flush()
+                    sess2.acc.flush()
+                    save_counters_checkpoint(
+                        ck_path, sess1.acc.counters, b1.end_offset, ck_key,
+                        extra={
+                            "offset2": b2.end_offset,
+                            "num_passed": num_passed,
+                            "num_failed": num_failed,
+                        },
+                        counters2=sess2.acc.counters,
+                    )
     with timers.stage("compute"):
         c1, c2 = sess1.finish(), sess2.finish()
+    if ck_path and os.path.exists(ck_path):
+        os.unlink(ck_path)
     for c in (c1, c2):
         c.filter_on = crit is not None
         c.num_passed, c.num_failed = num_passed, num_failed

@@ -42,11 +42,13 @@ def save_counters_checkpoint(
     offset: int,
     config_key: str,
     extra: Optional[dict] = None,
+    counters2: Optional[StatsCounters] = None,
 ) -> str:
     """Atomically persist counters + input offset (+ arbitrary extra arrays).
 
     ``counters`` may be None for commands whose restart state is only the
-    offset + extras (filter/edit: output sizes and pass/fail counts)."""
+    offset + extras (filter/edit: output sizes and pass/fail counts);
+    ``counters2`` holds the mate-2 accumulator for paired-end stats."""
     meta = {
         "version": FORMAT_VERSION,
         "offset": int(offset),
@@ -57,6 +59,10 @@ def save_counters_checkpoint(
         meta["kmers_on"] = counters.kmers_on
         meta["filter_on"] = counters.filter_on
         meta["scalars"] = {k: _py(getattr(counters, k)) for k in _SCALARS}
+    if counters2 is not None:
+        meta["kmers_on2"] = counters2.kmers_on
+        meta["filter_on2"] = counters2.filter_on
+        meta["scalars2"] = {k: _py(getattr(counters2, k)) for k in _SCALARS}
     payload = {
         "__meta__": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
     }
@@ -65,6 +71,11 @@ def save_counters_checkpoint(
             v = getattr(counters, k, None)
             if v is not None:
                 payload[k] = v
+    if counters2 is not None:
+        for k in _ARRAYS:
+            v = getattr(counters2, k, None)
+            if v is not None:
+                payload["c2_" + k] = v
     for k, v in (extra or {}).items():
         payload["x_" + k] = np.asarray(v)
 
@@ -99,25 +110,34 @@ def load_counters_checkpoint(path: str, config_key: str):
                 "(%s != %s); refusing to resume" % (path, meta["config_key"],
                                                     config_key)
             )
-        c = None
-        if meta.get("has_counters", True):
+        def restore(scalars_key, kmers_key, filter_key, prefix):
             c = StatsCounters(
-                phred=int(meta["scalars"]["phred"]), kmers_on=meta["kmers_on"]
+                phred=int(meta[scalars_key]["phred"]),
+                kmers_on=meta[kmers_key],
             )
-            c.filter_on = meta["filter_on"]
-            for k, v in meta["scalars"].items():
+            c.filter_on = meta[filter_key]
+            for k, v in meta[scalars_key].items():
                 setattr(c, k, type(getattr(c, k))(v))
-            lcap = int(z["count_quality_per_nt"].shape[0])
+            lcap = int(z[prefix + "count_quality_per_nt"].shape[0])
             c.ensure_length(lcap)
             for k in _ARRAYS:
-                if k in z.files:
-                    arr = z[k]
+                if prefix + k in z.files:
+                    arr = z[prefix + k]
                     cur = getattr(c, k)
                     if cur is None or cur.shape != arr.shape:
                         setattr(c, k, arr.copy())
                     else:
                         cur[...] = arr
+            return c
+
+        c = None
+        if meta.get("has_counters", True):
+            c = restore("scalars", "kmers_on", "filter_on", "")
         extra = {
             k[2:]: z[k].copy() for k in z.files if k.startswith("x_")
         }
+        if "scalars2" in meta:
+            extra["__counters2__"] = restore(
+                "scalars2", "kmers_on2", "filter_on2", "c2_"
+            )
     return c, int(meta["offset"]), extra

@@ -322,3 +322,61 @@ def test_paired_filter_resume(tmp_path):
     assert res["num_passed"] == full["num_passed"]
     for name in ("passed_1.fq", "passed_2.fq", "failed_1.fq", "failed_2.fq"):
         assert (out_b / name).read_bytes() == (out_a / name).read_bytes(), name
+
+
+def test_paired_stats_resume(tmp_path):
+    from gen import make_records, write_fastq
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+    from hpgq.pipeline import run as run_mod
+
+    n = 1500
+    write_fastq(str(tmp_path / "s1.fq"), make_records(n, min_len=50, max_len=80, seed=7))
+    write_fastq(str(tmp_path / "s2.fq"), make_records(n, min_len=70, max_len=90, seed=8))
+
+    def sopts(out, **kw):
+        o = StatsOptions()
+        o.in_filename = str(tmp_path / "s1.fq")
+        o.in_filename2 = str(tmp_path / "s2.fq")
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 200
+        o.criteria.min_read_quality = 15
+        o.criteria.max_read_quality = 40
+        o.filter_on = True
+        for k, v in kw.items():
+            setattr(o, k, v)
+        return o
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir(); out_b.mkdir()
+    f1, f2 = run_stats(sopts(out_a))
+
+    ck = str(tmp_path / "ps.ck.npz")
+    ob = sopts(out_b, checkpoint_path=ck, checkpoint_every=1)
+
+    real = run_mod._iter_blocks_paired
+    calls = {"n": 0}
+
+    def limited(*a, **k):
+        for pair in real(*a, **k):
+            if calls["n"] >= 3:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            yield pair
+
+    run_mod._iter_blocks_paired = limited
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_stats(ob)
+    finally:
+        run_mod._iter_blocks_paired = real
+    assert os.path.exists(ck)
+
+    r1, r2 = run_stats(ob)
+    assert not os.path.exists(ck)
+    assert r1.equals(f1) and r2.equals(f2)
+    assert r1.num_passed == f1.num_passed
+    for name in ("s1.fq.summary.txt", "s2.fq.summary.txt"):
+        assert (out_b / name).read_bytes() == (out_a / name).read_bytes()
