@@ -19,19 +19,20 @@ from .counters import StatsCounters
 from ..kernels.stats_jnp import (
     MIN_LENGTH_INIT,
     make_stats_step,
+    wire_fuse,
     wire_pack4,
     zero_partials,
 )
 
 
 def resolve_wire(wire=None):
-    """'pack4' | None. Auto: pack4 on TPU (wire bytes matter), off on CPU.
-    Env override: HPGQ_WIRE=pack4|off."""
+    """'fused4' | 'pack4' | None.  Auto: fused4 on TPU (one RPC per batch,
+    4-bit codes), off on CPU.  Env override: HPGQ_WIRE=fused4|pack4|off."""
     import os
 
     w = wire if wire is not None else os.environ.get("HPGQ_WIRE", "auto")
     if w == "auto":
-        return "pack4" if jax.default_backend() == "tpu" else None
+        return "fused4" if jax.default_backend() == "tpu" else None
     return None if w in ("off", "none", "") else w
 
 
@@ -83,10 +84,18 @@ class DeviceAccumulator:
         self.flush_every = safe_flush_every(batch_reads, lcap)
         self._since_flush = 0
 
-    def update(self, codes, quals, lens, valid) -> None:
-        if self.wire == "pack4" and codes.shape[1] == quals.shape[1]:
-            codes = wire_pack4(np.asarray(codes))  # not pre-packed upstream
-        self._acc = self._step(self._acc, codes, quals, lens, valid)
+    def update(self, codes, quals=None, lens=None, valid=None) -> None:
+        """Feed one batch: either the four packed arrays, or — with the
+        fused wire format — a single pre-fused buffer as ``codes``."""
+        if self.wire == "fused4":
+            buf = codes if quals is None else wire_fuse(
+                np.asarray(codes), np.asarray(quals), lens, valid
+            )
+            self._acc = self._step(self._acc, buf)
+        else:
+            if self.wire == "pack4" and codes.shape[1] == quals.shape[1]:
+                codes = wire_pack4(np.asarray(codes))  # not pre-packed upstream
+            self._acc = self._step(self._acc, codes, quals, lens, valid)
         self._since_flush += 1
         if self._since_flush >= self.flush_every:
             self.flush()

@@ -366,6 +366,42 @@ def wire_unpack4(packed):
     return jnp.stack([lo, hi], axis=2).reshape(B, 2 * H)
 
 
+def wire_fuse(codes, quals, lens, valid):
+    """One uint8 wire buffer per batch: row = [codes4 | quals | len_le32 |
+    valid | pad3] — a single host->device transfer instead of four (each
+    transfer is an RPC on tunneled/latency-bound links)."""
+    import numpy as np
+
+    B, L = quals.shape
+    assert L % 2 == 0
+    c4 = codes if codes.shape[1] == L // 2 else wire_pack4(codes)
+    lens_b = np.ascontiguousarray(lens, dtype="<i4").view(np.uint8).reshape(B, 4)
+    return np.concatenate(
+        [
+            np.ascontiguousarray(c4, dtype=np.uint8),
+            np.ascontiguousarray(quals, dtype=np.uint8),
+            lens_b,
+            np.asarray(valid, dtype=np.uint8).reshape(B, 1),
+            np.zeros((B, 3), dtype=np.uint8),
+        ],
+        axis=1,
+    )
+
+
+def wire_unfuse(buf):
+    """Device-side inverse of :func:`wire_fuse` -> (codes, quals, lens, valid).
+    L is recovered from the row width (W = L/2 + L + 8)."""
+    B, W = buf.shape
+    L = (W - 8) * 2 // 3
+    L2 = L // 2
+    codes = wire_unpack4(buf[:, :L2])
+    quals = buf[:, L2 : L2 + L]
+    lb = buf[:, L2 + L : L2 + L + 4].astype(jnp.int32)
+    lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+    valid = buf[:, L2 + L + 4] != 0
+    return codes, quals, lens, valid
+
+
 def resolve_engine(engine: Optional[str] = None) -> str:
     """'pallas' | 'jnp' | 'pallas_interpret'. Auto: pallas on TPU, else jnp.
     Overridable via HPGQ_ENGINE."""
@@ -452,6 +488,13 @@ def make_stats_step(
             p = batch_partials(codes, quals, lens32, valid, lcap, phred,
                                kmers_on, vary_axis=vary_axis)
             return merge_into(acc, p)
+
+    if wire == "fused4":
+        inner = step
+
+        def step(acc, buf):  # noqa: F811 — fused single-buffer entry
+            codes, quals, lens, valid = wire_unfuse(buf)
+            return inner(acc, codes, quals, lens, valid)
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,) if donate else ())

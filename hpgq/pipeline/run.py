@@ -62,14 +62,19 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 3):
 
     def transform(block):
         lmax = round_up(max(block.max_len(), 1), 128)
-        codes, quals, lens, valid = pack_block(
+        packed = pack_block(
             block, max_len=max(lmax, sess.lcap), pad_reads_to=batch_reads
         )
-        if getattr(sess.acc, "wire", None) == "pack4":
+        wire = getattr(sess.acc, "wire", None)
+        if wire == "fused4":
+            from ..kernels.stats_jnp import wire_fuse
+
+            return block, (jax.device_put(wire_fuse(*packed)),)
+        if wire == "pack4":
             from ..kernels.stats_jnp import wire_pack4
 
-            codes = wire_pack4(codes)
-        return block, jax.device_put((codes, quals, lens, valid))
+            packed = (wire_pack4(packed[0]),) + packed[1:]
+        return block, jax.device_put(packed)
 
     it = prefetched(iter(reader), depth=depth, transform=transform)
     while True:

@@ -55,10 +55,15 @@ class StatsSession:
         )
         self.feed_packed(codes, quals, lens, valid)
 
-    def feed_packed(self, codes, quals, lens, valid):
-        # quals carry the logical L (codes may be nibble-packed on the wire)
-        if quals.shape[1] > self.lcap:
-            self._grow(quals.shape[1])
+    def feed_packed(self, codes, quals=None, lens=None, valid=None):
+        # quals carry the logical L; a lone fused wire buffer encodes L in
+        # its row width (W = L/2 + L + 8)
+        if quals is None:
+            L = (codes.shape[1] - 8) * 2 // 3
+        else:
+            L = quals.shape[1]
+        if L > self.lcap:
+            self._grow(L)
         self.acc.update(codes, quals, lens, valid)
 
     def finish(self):

@@ -300,3 +300,29 @@ def test_stats_sharded_cli_flag(tmp_path):
     assert main(["stats", "-f", fq, "-o", str(a)]) in (0, None)
     assert main(["stats", "-f", fq, "-o", str(b), "--sharded"]) in (0, None)
     assert (b / "s.fq.summary.txt").read_bytes() == (a / "s.fq.summary.txt").read_bytes()
+
+
+def test_stats_pipeline_with_wire_fused4(tmp_path, monkeypatch):
+    from gen import make_fastq
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    fq = str(tmp_path / "wf.fq")
+    make_fastq(fq, 900, min_len=40, max_len=100, n_prob=0.02, seed=4)
+
+    def opts(out):
+        o = StatsOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 200
+        return o
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    plain = run_stats(opts(a))
+    monkeypatch.setenv("HPGQ_WIRE", "fused4")
+    wired = run_stats(opts(b))
+    assert wired.equals(plain)
+    assert (b / "wf.fq.summary.txt").read_bytes() == (a / "wf.fq.summary.txt").read_bytes()

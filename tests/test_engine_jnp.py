@@ -190,3 +190,39 @@ def test_long_read_growth_and_engine_guard(tmp_path):
     want = spec.stats_of_file(spec.iter_seq_qual(fq))
     assert got.equals(want)
     assert got.max_length == 6000
+
+
+def test_wire_fused4_roundtrip_and_step():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hpgq.kernels import stats_jnp
+    from hpgq.core.accumulator import DeviceAccumulator
+
+    rng = np.random.default_rng(6)
+    lens = rng.integers(1, 129, size=64).astype(np.int32)
+    pos = np.arange(128)[None, :]
+    codes = np.where(pos < lens[:, None],
+                     rng.integers(0, 6, size=(64, 128)), 5).astype(np.int8)
+    quals = np.where(pos < lens[:, None],
+                     rng.integers(33, 74, size=(64, 128)), 0).astype(np.uint8)
+    valid = rng.random(64) < 0.9
+
+    buf = stats_jnp.wire_fuse(codes, quals, lens, valid)
+    assert buf.shape == (64, 64 + 128 + 8)
+    c2, q2, l2, v2 = (np.asarray(x) for x in
+                      stats_jnp.wire_unfuse(jnp.asarray(buf)))
+    np.testing.assert_array_equal(c2, codes)
+    np.testing.assert_array_equal(q2, quals)
+    np.testing.assert_array_equal(l2, lens)
+    np.testing.assert_array_equal(v2, valid)
+
+    plain = DeviceAccumulator(128, 33, wire="off")
+    fused = DeviceAccumulator(128, 33, wire="fused4")
+    plain.update(codes, quals, lens, valid)
+    fused.update(codes, quals, lens, valid)   # host-side fuse path
+    fused2 = DeviceAccumulator(128, 33, wire="fused4")
+    fused2.update(jnp.asarray(buf))           # pre-fused single-buffer path
+    ref = plain.finish()
+    assert fused.finish().equals(ref)
+    assert fused2.finish().equals(ref)
