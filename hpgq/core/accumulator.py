@@ -33,7 +33,13 @@ def resolve_wire(wire=None):
     w = wire if wire is not None else os.environ.get("HPGQ_WIRE", "auto")
     if w == "auto":
         return "fused4" if jax.default_backend() == "tpu" else None
-    return None if w in ("off", "none", "") else w
+    if w in ("off", "none", ""):
+        return None
+    if w not in ("fused4", "pack4"):
+        raise ValueError(
+            "unknown wire format %r (valid: fused4, pack4, off)" % w
+        )
+    return w
 
 
 def safe_flush_every(batch_reads: int, lcap: int) -> int:

@@ -388,11 +388,16 @@ def wire_fuse(codes, quals, lens, valid):
     )
 
 
+def fused_logical_len(row_width: int) -> int:
+    """Logical read length L encoded by a fused wire row (W = L/2 + L + 8)."""
+    return (row_width - 8) * 2 // 3
+
+
 def wire_unfuse(buf):
     """Device-side inverse of :func:`wire_fuse` -> (codes, quals, lens, valid).
     L is recovered from the row width (W = L/2 + L + 8)."""
     B, W = buf.shape
-    L = (W - 8) * 2 // 3
+    L = fused_logical_len(W)
     L2 = L // 2
     codes = wire_unpack4(buf[:, :L2])
     quals = buf[:, L2 : L2 + L]
@@ -438,6 +443,8 @@ def make_stats_step(
 
     ``wire='pack4'``: the step's ``codes`` argument is nibble-packed
     ``[B, L//2]`` uint8 (see :func:`wire_pack4`) and unpacked on device.
+    ``wire='fused4'``: the step signature becomes ``step(acc, buf)`` where
+    ``buf`` is the single fused uint8 wire buffer (:func:`wire_fuse`).
     """
     engine = resolve_engine(engine)
     # the pallas kernel holds a [TB, L] int8+int32 working set in VMEM; for

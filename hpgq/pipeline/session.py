@@ -59,7 +59,9 @@ class StatsSession:
         # quals carry the logical L; a lone fused wire buffer encodes L in
         # its row width (W = L/2 + L + 8)
         if quals is None:
-            L = (codes.shape[1] - 8) * 2 // 3
+            from ..kernels.stats_jnp import fused_logical_len
+
+            L = fused_logical_len(codes.shape[1])
         else:
             L = quals.shape[1]
         if L > self.lcap:

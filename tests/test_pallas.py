@@ -135,3 +135,32 @@ def test_stats_step_engine_pallas_end_to_end():
         np.testing.assert_allclose(
             float(acc_p["acc_quality"]), float(acc_j["acc_quality"]), rtol=1e-3
         )
+
+
+def test_fused4_wire_through_pallas_engine():
+    """The production-default TPU combination (fused4 wire + pallas engine),
+    exercised via interpret mode on CPU."""
+    from hpgq.kernels.stats_jnp import (
+        make_stats_step,
+        wire_fuse,
+        zero_partials,
+    )
+
+    codes, quals, lens, valid = _rand_batch(TB, 128, seed=21)
+    buf = wire_fuse(codes, quals, lens, valid)
+    for crit in (None, CRIT):
+        ref = stats_jnp.make_stats_step(128, PHRED33, crit=crit, jit=False,
+                                        engine="jnp")(
+            zero_partials(128), codes, quals, lens, valid
+        )
+        got = make_stats_step(128, PHRED33, crit=crit, jit=False,
+                              engine="pallas_interpret", wire="fused4")(
+            zero_partials(128), buf
+        )
+        for k in INT_KEYS:
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
+            )
+        np.testing.assert_allclose(
+            float(got["acc_quality"]), float(ref["acc_quality"]), rtol=1e-3
+        )
