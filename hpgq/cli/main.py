@@ -285,7 +285,7 @@ def main(argv=None) -> int:
         if opts.time_on:
             timers.report()
     elif command == "filter":
-        _add_common(parser)
+        _add_common(parser, with_encoding=True)
         ns = parser.parse_args(rest)
         opts = _ns_to_opts(ns, FilterOptions)
         validate_common(opts)
@@ -309,7 +309,7 @@ def main(argv=None) -> int:
         if opts.time_on:
             timers.report()
     elif command == "edit":
-        _add_common(parser)
+        _add_common(parser, with_encoding=True)
         ns = parser.parse_args(rest)
         opts = _ns_to_opts(ns, EditOptions)
         validate_common(opts)

@@ -326,3 +326,56 @@ def test_stats_pipeline_with_wire_fused4(tmp_path, monkeypatch):
     wired = run_stats(opts(b))
     assert wired.equals(plain)
     assert (b / "wf.fq.summary.txt").read_bytes() == (a / "wf.fq.summary.txt").read_bytes()
+
+
+def test_phred64_encoding_and_aliases(tmp_path):
+    """phred64 quality encoding: stats summary normalizes with offset 64;
+    filter thresholds apply in normalized space; legacy aliases accepted."""
+    from gen import make_fastq
+    from hpgq.cli.main import main
+    from hpgq.oracle import spec
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    fq = str(tmp_path / "p64.fq")
+    make_fastq(fq, 600, min_len=60, max_len=90, phred=64, min_q=5, max_q=40,
+               seed=9)
+
+    out1 = tmp_path / "o1"; out1.mkdir()
+    rc = main(["stats", "-f", fq, "-o", str(out1),
+               "--quality-encoding", "phred64"])
+    assert rc in (0, None)
+    summary = (out1 / "p64.fq.summary.txt").read_bytes()
+    # oracle with phred=64 must byte-match
+    want = spec.stats_of_file(spec.iter_seq_qual(fq), phred=64)
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = str(tmp_path / "o2")
+    (tmp_path / "o2").mkdir()
+    o.quality_encoding_value = 64
+    o.quality_encoding_name = "phred64"
+    got = run_stats(o)
+    assert got.equals(want)
+    assert summary == (tmp_path / "o2" / "p64.fq.summary.txt").read_bytes()
+    # normalized mean quality is in the 5..40 band, not the raw 69..104 one
+    import re
+
+    m = re.search(rb"Mean quality = (\d+)", summary)
+    assert m and 5 <= int(m.group(1)) <= 40
+
+    # solexa alias == phred64
+    out3 = tmp_path / "o3"; out3.mkdir()
+    rc = main(["stats", "-f", fq, "-o", str(out3),
+               "--quality-encoding", "solexa"])
+    assert rc in (0, None)
+    assert (out3 / "p64.fq.summary.txt").read_bytes() == summary
+
+    # filter with normalized thresholds on phred64 data
+    out4 = tmp_path / "o4"; out4.mkdir()
+    rc = main(["filter", "-f", fq, "-o", str(out4),
+               "--quality-encoding", "phred64", "--read-quality-range", "20,40"])
+    assert rc in (0, None)
+    import os
+    n_p = open(os.path.join(out4, "passed.fq"), "rb").read().count(b"\n") // 4
+    n_f = open(os.path.join(out4, "failed.fq"), "rb").read().count(b"\n") // 4
+    assert n_p + n_f == 600 and n_p > 0
