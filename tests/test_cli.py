@@ -379,3 +379,44 @@ def test_phred64_encoding_and_aliases(tmp_path):
     n_p = open(os.path.join(out4, "passed.fq"), "rb").read().count(b"\n") // 4
     n_f = open(os.path.join(out4, "failed.fq"), "rb").read().count(b"\n") // 4
     assert n_p + n_f == 600 and n_p > 0
+
+
+def test_filter_mixed_length_buckets(tmp_path):
+    """Reads spanning several 128-lane length buckets in one stream: the
+    shape-bucketed jit dispatch must not change results."""
+    import numpy as np
+
+    from gen import make_records, write_fastq
+    from hpgq.options import FilterOptions
+    from hpgq.pipeline.run import run_filter
+    from hpgq.oracle import spec
+
+    rng_lens = [(40, 100), (150, 260), (300, 380), (60, 90)]
+    recs = []
+    for i, (lo, hi) in enumerate(rng_lens):
+        recs += make_records(150, min_len=lo, max_len=hi, seed=i, n_prob=0.02)
+    fq = str(tmp_path / "mix.fq")
+    write_fastq(fq, recs)
+
+    o = FilterOptions()
+    o.in_filename = fq
+    o.out_dirname = str(tmp_path / "out")
+    import os
+    os.makedirs(o.out_dirname)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 100   # forces many small batches across buckets
+    o.criteria.min_read_length = 80
+    o.criteria.max_read_length = 350
+    o.criteria.min_read_quality = 15
+    o.criteria.max_read_quality = 40
+    res = run_filter(o)
+
+    # oracle verdict per record (substituted thresholds, like the pipeline)
+    crit = o.criteria.substituted()
+    want_pass = 0
+    for _, seq, qual in recs:
+        v = spec.filter_verdict(seq, qual, crit, 33)
+        want_pass += int(v)
+    assert res["num_passed"] == want_pass
+    assert res["num_passed"] + res["num_failed"] == len(recs)
