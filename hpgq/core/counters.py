@@ -160,7 +160,11 @@ class StatsCounters:
         lh_b = np.pad(b.length_hist, (0, la - b.length_hist.shape[0]))
         return bool(
             scalars
-            and abs(a.acc_quality - b.acc_quality) <= 1e-6 * max(1.0, abs(a.acc_quality))
+            # acc_quality is a float accumulation (f32 on device, f64 in the
+            # oracle; the C reference itself is a naive f32 serial sum) —
+            # compare to 1e-5 relative, far below the printed resolution
+            and abs(a.acc_quality - b.acc_quality)
+            <= 1e-5 * max(1.0, abs(a.acc_quality))
             and np.array_equal(lh_a, lh_b)
             and np.array_equal(a.quality_hist, b.quality_hist)
             and np.array_equal(a.gc_hist, b.gc_hist)

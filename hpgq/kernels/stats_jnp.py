@@ -279,7 +279,10 @@ def batch_partials(codes, quals, lens, valid, lcap: int, phred: int,
     lh = jnp.zeros((lcap + 1,), jnp.int32)
     p["length_hist"] = lh.at[jnp.clip(lens32, 0, lcap)].add(v32)
 
-    qkey = jnp.clip(jnp.floor(mean_q + 0.5).astype(jnp.int32), 0, QUAL_BINS - 1)
+    # [D1] integer round-half-up of the rational mean — backend-exact
+    qkey = jnp.clip(
+        (2 * qsum + lens32) // jnp.maximum(2 * lens32, 1), 0, QUAL_BINS - 1
+    )
     p["quality_hist"] = jnp.zeros((QUAL_BINS,), jnp.int32).at[qkey].add(v32)
 
     # zero-length reads take no GC key (the reference would divide by zero)

@@ -151,7 +151,10 @@ def _stats_kernel(codes_ref, quals_ref, lens_ref, valid_ref,
         return eq.sum(axis=0, keepdims=True)
 
     o_lh[:] += hist(jnp.clip(lens, 0, lcap), v32, lhp)
-    qkey = jnp.clip(jnp.floor(mean_q + 0.5).astype(jnp.int32), 0, QUAL_BINS - 1)
+    # [D1] integer round-half-up of the rational mean — backend-exact
+    qkey = jnp.clip(
+        (2 * qsum + lens) // jnp.maximum(2 * lens, 1), 0, QUAL_BINS - 1
+    )
     o_qh[:] += hist(qkey, v32, QUAL_BINS)
     # integer GC% key, 100*(G+C)//len (src/stats_fastq.c:327); zero-length
     # reads take no key (the reference would divide by zero)

@@ -70,7 +70,8 @@ def block_stats(
     c.num_Ns = int(base_counts[4].sum())
 
     np.add.at(c.length_hist, lens, 1)
-    qkey = np.floor(mean_q32.astype(np.float64) + 0.5).astype(np.int64)
+    # [D1] integer round-half-up of the rational mean (see oracle.spec)
+    qkey = (2 * qsum.astype(np.int64) + lens) // np.maximum(2 * lens.astype(np.int64), 1)
     np.add.at(c.quality_hist, np.clip(qkey, 0, QUAL_BINS - 1), 1)
     # zero-length reads take no GC key (the reference would divide by zero)
     nz = lens > 0

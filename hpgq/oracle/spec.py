@@ -43,7 +43,6 @@ import numpy as np
 from ..constants import KMER_K, MAX_VALUE, MIN_VALUE, PHRED33
 from ..core.counters import StatsCounters
 from ..options import FilterCriteria
-from ..utils.cfmt import c_round
 
 _BASE_INDEX = {65: 0, 67: 1, 71: 2, 84: 3, 78: 4,
                97: 0, 99: 1, 103: 2, 116: 3, 110: 4}  # A C G T N (+lower)
@@ -188,7 +187,13 @@ def accumulate_read(counters: StatsCounters, seq: bytes, qual: bytes) -> None:
     counters.num_Ns += st["num_N"]
 
     counters.length_hist[n] += 1
-    counters.quality_hist[int(c_round(st["quality_average"]))] += 1
+    # [D1] mean-quality histogram key: round-half-up of the RATIONAL mean,
+    # via exact integer arithmetic (2*qsum + n) // (2n).  The reference
+    # rounds the f32 quotient (round(quality_average),
+    # src/stats_fastq.c:317); the two differ only when the f32 division
+    # rounds across the .5 boundary (~1 in 2^24 reads) — the integer form
+    # is bit-identical across every backend (TPU f32 division is not IEEE).
+    counters.quality_hist[(2 * st["qsum"] + n) // (2 * n) if n else 0] += 1
     if n:
         counters.gc_hist[(100 * (st["num_G"] + st["num_C"])) // n] += 1
 
