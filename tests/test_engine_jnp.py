@@ -226,3 +226,37 @@ def test_wire_fused4_roundtrip_and_step():
     ref = plain.finish()
     assert fused.finish().equals(ref)
     assert fused2.finish().equals(ref)
+
+
+def test_quality_key_half_rounds_up_everywhere():
+    """Reads whose rational mean quality is exactly k+0.5 must bin to k+1
+    (round-half-up) in the spec, numpy baseline, jnp and pallas engines —
+    the [D1] integer-key formula is backend-exact (TPU f32 division isn't)."""
+    import numpy as np
+
+    from hpgq.core.counters import StatsCounters
+    from hpgq.kernels import stats_jnp
+    from hpgq.kernels.stats_pallas import batch_partials_pallas
+    from hpgq.oracle import baseline as ob, spec
+
+    # qual bytes 70 and 71 -> qsum 141, len 2 -> mean 70.5 -> key 71
+    codes = np.full((4, 128), 5, dtype=np.int8)
+    codes[:, :2] = 0
+    quals = np.zeros((4, 128), dtype=np.uint8)
+    quals[:, 0], quals[:, 1] = 70, 71
+    lens = np.full(4, 2, dtype=np.int32)
+    valid = np.ones(4, bool)
+
+    c = StatsCounters(phred=33)
+    spec.accumulate_read(c, b"AA", bytes([70, 71]))
+    assert c.quality_hist[71] == 1
+
+    b = ob.block_stats(codes, quals, lens, valid, phred=33)
+    assert b.quality_hist[71] == 4
+
+    p = stats_jnp.batch_partials(codes, quals, lens, valid, 128, 33)
+    assert int(np.asarray(p["quality_hist"])[71]) == 4
+
+    pp = batch_partials_pallas(codes, quals, lens, valid, 128, 33, None,
+                               interpret=True)
+    assert int(np.asarray(pp["quality_hist"])[71]) == 4
