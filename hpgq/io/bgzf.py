@@ -32,12 +32,10 @@ _SUB = struct.Struct("<BBH")     # si1, si2, slen
 def is_bgzf(path: str) -> bool:
     """True if the file starts with a BGZF member (gzip + BC extra field)."""
     with open(path, "rb") as f:
-        head = f.read(18)
-    if len(head) < 18 or head[:4] != b"\x1f\x8b\x08\x04":
-        return False
-    xlen = struct.unpack_from("<H", head, 10)[0]
-    with open(path, "rb") as f:
-        f.seek(12)
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"\x1f\x8b\x08\x04":
+            return False
+        xlen = struct.unpack_from("<H", head, 10)[0]
         extra = f.read(xlen)
     pos = 0
     while pos + 4 <= len(extra):
@@ -46,6 +44,23 @@ def is_bgzf(path: str) -> bool:
             return True
         pos += 4 + slen
     return False
+
+
+_INDEX_CACHE: dict = {}
+
+
+def cached_index(path: str):
+    """Per-process member-index cache keyed by (path, size, mtime) — sharded
+    runs open the same BGZF several times (range split + per-shard readers);
+    the index costs one header read per 64 KB member and need not repeat."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        if len(_INDEX_CACHE) > 16:
+            _INDEX_CACHE.clear()
+        idx = _INDEX_CACHE[key] = build_index(path)
+    return idx
 
 
 def build_index(path: str):
@@ -103,7 +118,7 @@ class BgzfFile:
     def __init__(self, path: str, index=None, readahead: int = 8):
         self.path = path
         self._fh = open(path, "rb")
-        self.c_offsets, self.l_offsets = index or build_index(path)
+        self.c_offsets, self.l_offsets = index or cached_index(path)
         self.logical_size = int(self.l_offsets[-1])
         self._pos = 0          # logical position
         self._blk = -1         # cached block id
@@ -123,13 +138,24 @@ class BgzfFile:
         self._fh.seek(c0)
         return self._fh.read(c1 - c0)
 
+    def _check_block(self, i: int, data: bytes) -> bytes:
+        want = int(self.l_offsets[i + 1] - self.l_offsets[i])
+        if len(data) != want:
+            raise ValueError(
+                "corrupt BGZF member %d in %s: ISIZE says %d bytes, "
+                "decompressed %d" % (i, self.path, want, len(data))
+            )
+        return data
+
     def _load_block(self, i: int):
         if i == self._blk:
             return
         if self._ra > 0:
             self._load_block_ra(i)
             return
-        self._blk_data = zlib.decompress(self._raw_member(i), wbits=31)
+        self._blk_data = self._check_block(
+            i, zlib.decompress(self._raw_member(i), wbits=31)
+        )
         self._blk = i
 
     def _load_block_ra(self, i: int):
@@ -149,7 +175,7 @@ class BgzfFile:
                 self._futures[j] = self._pool.submit(
                     zlib.decompress, raw, 31
                 )
-        self._blk_data = self._futures[i].result()
+        self._blk_data = self._check_block(i, self._futures[i].result())
         self._blk = i
         # evict stale futures (random-access patterns won't grow the dict)
         for j in [j for j in self._futures if j <= i or j > i + self._ra]:

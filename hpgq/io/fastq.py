@@ -93,6 +93,15 @@ class RecordBlock:
         return self.base_offset + e + term
 
     @property
+    def span_bytes(self) -> int:
+        """Bytes covered by THIS block's records (slice-aware — a slice's
+        first record usually starts mid-chunk, so end_offset - base_offset
+        would overcount)."""
+        if self.starts.shape[0] == 0:
+            return 0
+        return self.end_offset - self.base_offset - int(self.starts[0, 0])
+
+    @property
     def num_reads(self) -> int:
         return self.starts.shape[0]
 

@@ -38,14 +38,18 @@ def _build() -> str:
         "-march=native", _SRC, "-o", tmp,
     ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (subprocess.SubprocessError, FileNotFoundError):
-        # -march=native can be unsupported on exotic hosts; retry plain
-        subprocess.run(
-            [a for a in cmd if a != "-march=native"],
-            check=True, capture_output=True, timeout=120,
-        )
-    os.replace(tmp, _SO)
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError):
+            # -march=native can be unsupported on exotic hosts; retry plain
+            subprocess.run(
+                [a for a in cmd if a != "-march=native"],
+                check=True, capture_output=True, timeout=120,
+            )
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return _SO
 
 
@@ -128,7 +132,7 @@ def line_table(nl: np.ndarray, nrec: int):
     return starts, ends
 
 
-def concat_spans(buf, starts, ends) -> bytes:
+def concat_spans(buf, starts, ends) -> memoryview:
     """b"".join(buf[s:e] for s, e in zip(starts, ends)) via native memcpys."""
     lib = get_lib()
     arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
@@ -138,7 +142,7 @@ def concat_spans(buf, starts, ends) -> bytes:
     out = np.empty(total, dtype=np.uint8)
     n = lib.hpgq_concat_spans(arr, starts, ends, len(starts), out)
     assert n == total, (n, total)
-    return out.tobytes()
+    return memoryview(out)  # zero-copy; file.write accepts buffers
 
 
 def pack_rows(buf, seq_starts, q_starts, lens, lmax: int, nrows: int,
@@ -162,6 +166,8 @@ def pack_rows(buf, seq_starts, q_starts, lens, lmax: int, nrows: int,
         n, lmax, BASE_LUT, codes.reshape(-1), quals.reshape(-1), num_threads,
     )
     if nrows > n:
-        codes[n:] = 5
+        from ...constants import BASE_OTHER
+
+        codes[n:] = BASE_OTHER  # matches the C memset pad (packer.cpp)
         quals[n:] = 0
     return codes, quals

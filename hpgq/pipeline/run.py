@@ -48,7 +48,7 @@ def _iter_blocks(reader, timers, prefetch_depth: int = 3):
             return
         timers.num_batches += 1
         timers.total_reads += block.num_reads
-        timers.total_bytes += (block.end_offset - block.base_offset) if block.num_reads else 0
+        timers.total_bytes += block.span_bytes
         yield block
 
 
@@ -85,7 +85,7 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 3):
         block, arrs = item
         timers.num_batches += 1
         timers.total_reads += block.num_reads
-        timers.total_bytes += (block.end_offset - block.base_offset) if block.num_reads else 0
+        timers.total_bytes += block.span_bytes
         yield block, arrs
 
 
@@ -124,9 +124,7 @@ def _iter_blocks_paired(r1, r2, timers):
         p2 += n
         timers.num_batches += 1
         timers.total_reads += 2 * n
-        timers.total_bytes += (s1.end_offset - s1.base_offset) + (
-            s2.end_offset - s2.base_offset
-        )
+        timers.total_bytes += s1.span_bytes + s2.span_bytes
         yield s1, s2
 
 
