@@ -49,12 +49,20 @@ def data_mesh(devices=None) -> Mesh:
 def initialize_distributed() -> int:
     """Multi-host bootstrap (jax.distributed) when launched under a
     coordinator (JAX_COORDINATOR_ADDRESS / megascale env); returns
-    process_index."""
+    process_index.
+
+    Must not query the backend before initialize(): any jax call that
+    initializes XLA makes a later initialize() raise, so we attempt the
+    bootstrap purely from the environment and tolerate 'already
+    initialized' (the caller may have bootstrapped explicitly)."""
     if (
         "JAX_COORDINATOR_ADDRESS" in os.environ
         or "COORDINATOR_ADDRESS" in os.environ
-    ) and jax.process_count() == 1:
-        jax.distributed.initialize()
+    ):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized (explicitly or backend already up)
     return jax.process_index()
 
 
@@ -108,10 +116,17 @@ def make_sharded_stats_step(
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+_MERGE_CACHE: dict = {}
+
+
 def make_collective_merge(mesh: Mesh, lcap: int, kmers_on: bool = False):
     """psum/pmin/pmax the sharded accumulator into replicated totals —
     the reference's consumer merge (src/stats_fastq.c:257-417) as one
-    collective over ICI/DCN."""
+    collective over ICI/DCN.  Cached per (mesh, lcap, kmers_on) — rebuilt
+    closures would retrace/recompile on every flush."""
+    ck = (mesh, lcap, kmers_on)
+    if ck in _MERGE_CACHE:
+        return _MERGE_CACHE[ck]
 
     def device_fn(acc):
         def merge_leaf(path, x):
@@ -129,8 +144,11 @@ def make_collective_merge(mesh: Mesh, lcap: int, kmers_on: bool = False):
         lambda _: P("data"), stats_jnp.zero_partials(lcap, kmers_on)
     )
     out_spec = jax.tree_util.tree_map(lambda _: P(), stats_jnp.zero_partials(lcap, kmers_on))
-    fn = shard_map(device_fn, mesh=mesh, in_specs=(acc_spec,), out_specs=out_spec)
-    return jax.jit(fn)
+    fn = jax.jit(
+        shard_map(device_fn, mesh=mesh, in_specs=(acc_spec,), out_specs=out_spec)
+    )
+    _MERGE_CACHE[ck] = fn
+    return fn
 
 
 def sharded_counters(
@@ -165,10 +183,15 @@ def _align_to_record(f, pos: int, scan_limit: int = 1 << 20) -> int:
         if not line:
             return start
         if line.startswith(b"@"):
-            f.readline()  # sequence
+            after = f.tell()
+            f.readline()  # sequence?
             plus = f.readline()
             if plus.startswith(b"+"):
                 return start
+            # '@' was a quality line (quality byte '@' = Q31 phred33);
+            # resume scanning from the NEXT line, not past the lookahead —
+            # otherwise real headers get swallowed and never found
+            f.seek(after)
         if f.tell() - pos > scan_limit:
             raise ValueError("could not find a FASTQ record boundary")
 

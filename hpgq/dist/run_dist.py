@@ -49,6 +49,16 @@ from .mesh import (
 )
 
 
+def make_global_batch(mesh, sharding, arrays):
+    """Per-process local arrays -> global sharded arrays (single- or
+    multi-process)."""
+    if jax.process_count() == 1:
+        return tuple(jax.device_put(a, sharding) for a in arrays)
+    return tuple(
+        jax.make_array_from_process_local_data(sharding, a) for a in arrays
+    )
+
+
 def striped_blocks(reader, stripe: int, n_stripes: int):
     """Every n-th block of the reader — the gzip multi-host input split
     (gzip is not byte-seekable; each host decodes the stream but computes
@@ -71,7 +81,8 @@ class ShardedStatsSession:
         self.crit = crit
         self.batch_reads = round_up(max(batch_reads, self.ndev), self.ndev)
         self.lcap = lcap
-        self.carry = None  # StatsCounters folded in on lcap growth
+        self.carry = None  # StatsCounters folded in on lcap growth/flush
+        self._since_flush = 0
         self._reset(lcap)
 
     def _reset(self, lcap: int):
@@ -90,6 +101,7 @@ class ShardedStatsSession:
         if self.carry is not None:
             done = self.carry.merge(done)
         self.carry = done
+        self._since_flush = 0
         self._reset(lcap)
 
     def feed_block(self, block):
@@ -114,16 +126,21 @@ class ShardedStatsSession:
     def feed_packed(self, codes, quals, lens, valid):
         if codes.shape[1] > self.lcap:
             self._grow(codes.shape[1])
-        batch = self._make_global((codes, quals, lens.astype(np.int32), valid))
-        self.acc = self._step(self.acc, *batch)
-
-    def _make_global(self, arrays):
-        if jax.process_count() == 1:
-            return tuple(jax.device_put(a, self._sharding) for a in arrays)
-        return tuple(
-            jax.make_array_from_process_local_data(self._sharding, a)
-            for a in arrays
+        batch = make_global_batch(
+            self.mesh, self._sharding,
+            (codes, quals, lens.astype(np.int32), valid),
         )
+        self.acc = self._step(self.acc, *batch)
+        # periodic int32-overflow-safe fold (same bound as DeviceAccumulator,
+        # per-device shard rows)
+        from ..core.accumulator import safe_flush_every
+
+        self._since_flush += 1
+        if self._since_flush >= safe_flush_every(
+            self.batch_reads // self.ndev, self.lcap
+        ):
+            self._grow(self.lcap)  # fold into carry, reset device partials
+
 
     def finish(self):
         c = sharded_counters(
@@ -136,6 +153,9 @@ class ShardedStatsSession:
         return c
 
 
+_jitted_max = jax.jit(jnp.max)
+
+
 def _vote_max(mesh, value: int) -> int:
     """Cross-host max of a small host-local int (one tiny collective).
 
@@ -146,7 +166,7 @@ def _vote_max(mesh, value: int) -> int:
     g = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("data")), local
     )
-    return int(jax.jit(jnp.max)(g))
+    return int(_jitted_max(g))
 
 
 class ShardedCgrSession:
@@ -209,21 +229,25 @@ class ShardedCgrSession:
                          np.zeros(self.batch_reads, bool))
 
     def feed_packed(self, codes, quals, lens, valid):
-        if jax.process_count() == 1:
-            batch = tuple(
-                jax.device_put(a, self._sharding)
-                for a in (codes, quals, lens.astype(np.int32), valid)
-            )
-        else:
-            batch = tuple(
-                jax.make_array_from_process_local_data(self._sharding, a)
-                for a in (codes, quals, lens.astype(np.int32), valid)
-            )
+        batch = make_global_batch(
+            self.mesh, self._sharding,
+            (codes, quals, lens.astype(np.int32), valid),
+        )
         ts, tq, w = self._step_for(codes.shape[1])(*batch)
         host = jax.device_get((ts, tq, w))
         self.table_seq += np.asarray(host[0], dtype=np.int64)
         self.table_q += np.asarray(host[1], dtype=np.int64)
         self.word_count += int(host[2])
+
+
+def _sharded_batch_reads(opts, mesh) -> int:
+    """Device batch rows: never below the reader's batch_size (pack_block
+    emits max(pad, n) rows — an undersized pad would break even sharding and
+    multihost lockstep shapes), always a multiple of the device count."""
+    ndev = mesh.devices.size
+    want = int(opts.device_batch_reads) or max(ndev * 256,
+                                               round_up(opts.batch_size, 256))
+    return round_up(max(want, opts.batch_size), ndev)
 
 
 def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
@@ -236,10 +260,16 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
     initialize_distributed()
     mesh = mesh if mesh is not None else data_mesh()
     multihost = jax.process_count() > 1
+    if getattr(opts, "checkpoint_path", None):
+        import logging
+
+        logging.getLogger("hpgq").warning(
+            "--checkpoint is not yet supported by the sharded pipeline; "
+            "running without checkpoints"
+        )
     sess = ShardedCgrSession(
         mesh, int(opts.k), opts.quality_encoding_value,
-        batch_reads=int(opts.device_batch_reads)
-        or max(mesh.devices.size * 256, round_up(opts.batch_size, 256)),
+        batch_reads=_sharded_batch_reads(opts, mesh),
     )
 
     pidx, pcnt = jax.process_index(), jax.process_count()
@@ -311,10 +341,16 @@ def run_stats_sharded(
     crit = opts.criteria if opts.filter_on else None
     multihost = jax.process_count() > 1
 
+    if getattr(opts, "checkpoint_path", None):
+        import logging
+
+        logging.getLogger("hpgq").warning(
+            "--checkpoint is not yet supported by the sharded pipeline; "
+            "running without checkpoints"
+        )
     sess = ShardedStatsSession(
         mesh, opts.quality_encoding_value, opts.kmers_on, crit,
-        batch_reads=int(opts.device_batch_reads)
-        or max(mesh.devices.size * 256, round_up(opts.batch_size, 256)),
+        batch_reads=_sharded_batch_reads(opts, mesh),
     )
 
     pidx, pcnt = jax.process_index(), jax.process_count()

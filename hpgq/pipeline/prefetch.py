@@ -39,12 +39,19 @@ def prefetched(it: Iterable, depth: int = 3,
                         continue
                 if stop.is_set():
                     return
-            q.put(_SENTINEL)
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
         except BaseException as e:  # propagate into the consumer
-            try:
-                q.put(e, timeout=5)
-            except queue.Full:
-                pass
+            while not stop.is_set():
+                try:
+                    q.put(e, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=produce, daemon=True, name="hpgq-producer")
     t.start()

@@ -230,8 +230,10 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
     )
 
     phred = opts.quality_encoding_value
-    sess1 = StatsSession(phred, opts.kmers_on, None, batch_reads=br)
-    sess2 = StatsSession(phred, opts.kmers_on, None, batch_reads=br)
+    sess1 = StatsSession(phred, opts.kmers_on, None, batch_reads=br,
+                         engine=_engine_of(opts))
+    sess2 = StatsSession(phred, opts.kmers_on, None, batch_reads=br,
+                         engine=_engine_of(opts))
     vfn = (
         ShapeCachedFn(
             lambda: (

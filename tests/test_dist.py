@@ -218,3 +218,28 @@ def test_sharded_kmers(tmp_path):
     assert sharded.equals(single)
     np.testing.assert_array_equal(sharded.kmer_counts, single.kmer_counts)
     assert (b / "k.fq.kmers.txt").read_bytes() == (a / "k.fq.kmers.txt").read_bytes()
+
+
+def test_sharded_periodic_flush_equivalence(tmp_path, monkeypatch):
+    """Forcing a device->host fold every batch changes nothing (the sharded
+    session's int32-overflow protection is associative)."""
+    import hpgq.core.accumulator as acc_mod
+    from hpgq.dist.run_dist import ShardedStatsSession
+
+    fq = str(tmp_path / "f.fq")
+    make_fastq(fq, 1200, min_len=40, max_len=90, n_prob=0.01, seed=44)
+
+    def run(flush_every):
+        monkeypatch.setattr(acc_mod, "safe_flush_every",
+                            lambda *_: flush_every)
+        sess = ShardedStatsSession(data_mesh(), 33, crit=CRIT,
+                                   batch_reads=256)
+        with FastqReader(fq, batch_size=256) as rd:
+            for block in rd:
+                sess.feed_block(block)
+        return sess.finish()
+
+    a = run(1)        # fold after every batch
+    b = run(10**9)    # never fold until finish
+    assert a.equals(b)
+    assert a.num_passed == b.num_passed and a.num_failed == b.num_failed
