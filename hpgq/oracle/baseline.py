@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import BASE_C, BASE_G, BASE_N, KMER_K, MAX_VALUE, MIN_VALUE, NUM_KMERS, PHRED33
+from ..constants import BASE_C, BASE_G, BASE_N, KMER_K, MAX_VALUE, MIN_VALUE, PHRED33
 from ..core.counters import GC_BINS, QUAL_BINS, StatsCounters
 from ..options import FilterCriteria
 

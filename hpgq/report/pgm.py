@@ -26,7 +26,6 @@ import struct
 import numpy as np
 
 from ..constants import (
-    CGR_MAX_QUALITY_IN_TABLE,
     CGR_MIN_IMAGE_PIXEL_SIZE,
     CGR_MIN_K_IMAGE_VALUE,
 )
@@ -73,7 +72,10 @@ def normalize_quality_table(table_q: np.ndarray, table_seq: np.ndarray,
                             k: int) -> np.ndarray:
     """Unsigned integer division by k then by the word frequency
     (``old/chaos_game.c:484-499``); 0 where no word was seen."""
-    q = table_q.astype(np.int64)
+    # the reference table is unsigned int: negative cell totals (quality
+    # bytes below the phred offset, e.g. Solexa -5..-1) wrap mod 2^32 and
+    # divide as huge unsigned values (old/chaos_game.h:79)
+    q = table_q.astype(np.int64) % (1 << 32)
     nz = table_seq > 0
     out = np.zeros_like(q)
     out[nz] = (q[nz] // k) // table_seq[nz]

@@ -37,8 +37,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..core.counters import StatsCounters
-from ..utils.cfmt import c_round, f32div, fmt2f
-from ..constants import KMER_K, MAX_VALUE, MIN_VALUE, NO_VALUE, NUM_KMERS
+from ..utils.cfmt import c_round, f32div, f32pct, fmt2f
+from ..constants import KMER_K, MAX_VALUE, MIN_VALUE, NUM_KMERS
 from ..oracle.spec import kmer_string
 
 _HAVE_GNUPLOT = shutil.which("gnuplot") is not None
@@ -148,7 +148,10 @@ def _normalize_quality(quality: float, phred: int) -> int:
 def report_summary(in_filename, counters: StatsCounters, opts, out_dir):
     path = os.path.join(out_dir, in_filename + ".summary.txt")
     c = counters
-    crit = opts.criteria
+    # the reference substitutes defaults IN PLACE before reporting
+    # (src/stats_fastq.c:431-444), so unset thresholds read as
+    # MIN_VALUE/MAX_VALUE here and their echo lines are omitted
+    crit = opts.criteria.substituted()
     with open(path, "w", newline="\n") as f:
         f.write("-----------------------------------\n")
         f.write("      FastQ quality report\n")
@@ -180,7 +183,7 @@ def report_summary(in_filename, counters: StatsCounters, opts, out_dir):
             # C format "(%0.2f %)" — glibc prints the trailing "%)" verbatim
             f.write(
                 "Number of processed reads: %d (%s %%)\n"
-                % (c.num_reads, fmt2f(f32div(100.0 * c.num_reads, total)))
+                % (c.num_reads, fmt2f(f32pct(c.num_reads, total)))
             )
         else:
             f.write("Filter         : Disabled\n")
@@ -200,11 +203,11 @@ def report_summary(in_filename, counters: StatsCounters, opts, out_dir):
             ("A", c.num_As), ("T", c.num_Ts), ("G", c.num_Gs),
             ("C", c.num_Cs), ("N", c.num_Ns),
         ):
-            f.write("\t%s: %s %%\n" % (label, fmt2f(f32div(100.0 * val, num_nucleotides))))
+            f.write("\t%s: %s %%\n" % (label, fmt2f(f32pct(val, num_nucleotides))))
         f.write("GC content\n")
         f.write(
             "\tCG: %s %%\n"
-            % fmt2f(f32div(100.0 * (c.num_Gs + c.num_Cs), num_nucleotides))
+            % fmt2f(f32pct(c.num_Gs + c.num_Cs, num_nucleotides))
         )
         f.write("\n")
         f.write("Mean quality per nucleotide position\n")
@@ -337,7 +340,7 @@ def report_nt_content(in_filename, counters: StatsCounters, out_dir):
         for k in range(c.max_length):
             a, t, g, cc, n = pos_counts(k)
             total = a + t + g + cc + n
-            val = f32div(100.0 * (g + cc), total)
+            val = f32pct(g + cc, total)
             if val > 1.0:
                 f.write("%i\t%s\n" % (k + 1, fmt2f(val)))
     graph = ReportGraph(
@@ -388,11 +391,11 @@ def report_nt_content(in_filename, counters: StatsCounters, out_dir):
                 "%i\t%s\t%s\t%s\t%s\t%s\n"
                 % (
                     k + 1,
-                    fmt2f(f32div(100.0 * a, total)),
-                    fmt2f(f32div(100.0 * t, total)),
-                    fmt2f(f32div(100.0 * g, total)),
-                    fmt2f(f32div(100.0 * cc, total)),
-                    fmt2f(f32div(100.0 * n, total)),
+                    fmt2f(f32pct(a, total)),
+                    fmt2f(f32pct(t, total)),
+                    fmt2f(f32pct(g, total)),
+                    fmt2f(f32pct(cc, total)),
+                    fmt2f(f32pct(n, total)),
                 )
             )
     graph = ReportGraph(

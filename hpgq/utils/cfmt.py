@@ -48,6 +48,17 @@ def f32(x) -> float:
     return float(np.float32(x))
 
 
+def f32pct(count, total) -> float:
+    """C ``100.0f * count / total`` — the multiply happens in float32 too
+    (drops bits for counts > 2^24), then the f32 division."""
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(
+            np.float32(np.float32(100.0) * np.float32(count)) / np.float32(total)
+        )
+
+
 def f32div(a, b) -> float:
     """``(float)a / b`` with float32 arithmetic, like C ``1.0f * a / b``."""
     import numpy as np

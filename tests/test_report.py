@@ -138,3 +138,38 @@ def test_sorted_kmers_tiebreak(tmp_path):
     km = sorted_kmers(c)
     assert km[0][0] == 100
     assert km[1][0] == 3 and km[2][0] == 5  # ties by id ascending
+
+
+def test_filtered_summary_omits_unset_threshold_lines(tmp_path):
+    """Unset thresholds must not echo as '-1' lines — the reference
+    substitutes defaults before reporting (src/stats_fastq.c:431-444)."""
+    from gen import make_fastq
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    fq = str(tmp_path / "e.fq")
+    make_fastq(fq, 300, min_len=60, max_len=60, seed=2)
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = str(tmp_path)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.read_quality_range = "20,40"
+    o.criteria.min_read_quality = 20
+    o.criteria.max_read_quality = 40
+    o.filter_on = True
+    run_stats(o)
+    txt = (tmp_path / "e.fq.summary.txt").read_bytes()
+    assert b"Read quality range  : 20,40" in txt
+    assert b"-1" not in txt
+    assert b"Max. number of Ns" not in txt
+    assert b"Max. out of quality" not in txt
+    assert b"Left length" not in txt
+
+
+def test_f32pct_large_count_semantics():
+    """Percentages follow the C float chain: f32(100f * f32(count)) / f32(b)."""
+    from hpgq.utils.cfmt import f32pct, fmt2f
+
+    # 2^24+1 is not representable in f32; the C chain loses the +1
+    assert fmt2f(f32pct(16777217, 16778056)) == fmt2f(f32pct(16777216, 16778056))
