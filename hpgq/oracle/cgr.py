@@ -11,6 +11,13 @@ with per-read word-counter reset (but coordinates carrying across reads,
 accumulator (``:229-233``), the EPSILON boundary clamp (``:243-251``), and
 the sliding-window oldest-quality subtraction (``:259``).
 
+Case handling: this oracle (and the kernel) consume the packer's
+case-folded codes, so lowercase a/c/g/t advance the word and lowercase n
+resets it — a DELIBERATE DEVIATION from the reference loop, whose switch
+matches only uppercase bytes (``old/chaos_game.c:199-234``) and lets
+lowercase fall through with no effect (soft-masked bases are real bases;
+silently skipping them mid-word would splice artificial k-words together).
+
 This loop is the equivalence witness for the vectorized closed form in
 ``hpgq.kernels.cgr`` (see that module for the proof sketch) and is used by
 tests only — the pipelines run the kernel.

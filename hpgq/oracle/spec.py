@@ -31,9 +31,13 @@ docstrings):
      0="AAAAA", 1023="TTTTT").  A window containing any non-ACGT character is
      skipped.  ``counter_by_pos[p]`` counts windows *starting* at position p;
      a read of length n contributes windows p ∈ [0, n-5].
-[D6] Per-read base counters (num_A..num_N) count upper- or lowercase bases;
-     other characters count toward length but no base counter
-     (``src/stats_fastq.c:360-372`` switches on exactly A/T/C/G/N).
+[D6] Base counters fold case: upper- AND lowercase a/c/g/t/n count toward
+     their base (soft-masked FASTQ is ubiquitous and the bases are real).
+     DELIBERATE DEVIATION: the reference's observable per-position consumer
+     switches on exactly 'A','T','C','G','N' (``src/stats_fastq.c:360-372``)
+     and silently drops lowercase from the per-nt tables; we treat that as
+     an oversight, not a contract.  Other characters count toward length but
+     no base counter.
 """
 
 from __future__ import annotations
