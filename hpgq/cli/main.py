@@ -201,6 +201,10 @@ def _ns_to_opts(ns: argparse.Namespace, cls):
             )
     opts.out_dirname = ns.out_dirname
     opts.num_threads = ns.num_threads
+    if ns.num_threads:
+        from ..io.packer import set_num_threads
+
+        set_num_threads(ns.num_threads)
     opts.batch_size = ns.batch_size
     opts.quality_encoding_name = getattr(ns, "quality_encoding_name", None)
     opts.read_length_range = ns.read_length_range

@@ -20,6 +20,16 @@ import numpy as np
 
 from ..constants import BASE_A, BASE_C, BASE_G, BASE_N, BASE_OTHER, BASE_T
 
+# worker threads for the native packer (the CLI's --num-threads; the
+# reference's worker-pool size, src/stats_options.c:271).  0 = auto.
+_NUM_THREADS = 0
+
+
+def set_num_threads(n: int) -> None:
+    global _NUM_THREADS
+    _NUM_THREADS = max(0, int(n))
+
+
 BASE_LUT = np.full(256, BASE_OTHER, dtype=np.int8)
 for ch, code in (
     ("A", BASE_A), ("a", BASE_A),
@@ -55,7 +65,8 @@ def pack_block(block, max_len: int = 0, pad_reads_to: int = 0):
 
     if n and native.available():
         codes, quals = native.pack_rows(
-            block.arr, block.starts[:, 1], block.starts[:, 3], lens, lmax, nrows
+            block.arr, block.starts[:, 1], block.starts[:, 3], lens, lmax,
+            nrows, num_threads=_NUM_THREADS,
         )
         if nrows > n:
             out_lens = np.concatenate([lens, np.zeros(nrows - n, dtype=np.int32)])
