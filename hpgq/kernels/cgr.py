@@ -93,6 +93,10 @@ def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
 
     ``vary_axis``: set to the mesh axis name when called inside shard_map."""
     dim = 1 << k
+    # bound the [chunk, dim] one-hot working set to ~64 MB for large k
+    # (k=12 -> dim 4096; the f32-exactness bound only tightens with smaller
+    # chunks)
+    chunk = max(128, min(chunk, (64 << 20) // (4 * dim)))
     B, L = codes.shape
     lens = lens.astype(jnp.int32)
     ix, iy, ok = window_cells(codes, lens, k)

@@ -190,3 +190,14 @@ def test_cgr_against_oracle_from_file(tmp_path):
     np.testing.assert_array_equal(sess.table_seq, ots)
     np.testing.assert_array_equal(sess.table_q, otq)
     assert sess.word_count == ow
+
+
+def test_kernel_large_k():
+    """k=10 (dim 1024): the chunk auto-bound keeps memory sane and results
+    exact vs the loop oracle."""
+    codes, quals, lens, valid = _rand_batch(16, 64, seed=3, n_prob=0.01)
+    ts, tq, w = kcgr.cgr_batch_tables(codes, quals, lens, valid, 10, PHRED33)
+    ots, otq, ow = fill_tables_loop(codes, quals, lens, valid, 10, PHRED33)
+    np.testing.assert_array_equal(np.asarray(ts), ots)
+    np.testing.assert_array_equal(np.asarray(tq), otq)
+    assert int(w) == ow
