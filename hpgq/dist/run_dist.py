@@ -341,13 +341,6 @@ def run_stats_sharded(
     crit = opts.criteria if opts.filter_on else None
     multihost = jax.process_count() > 1
 
-    if getattr(opts, "checkpoint_path", None):
-        import logging
-
-        logging.getLogger("hpgq").warning(
-            "--checkpoint is not yet supported by the sharded pipeline; "
-            "running without checkpoints"
-        )
     sess = ShardedStatsSession(
         mesh, opts.quality_encoding_value, opts.kmers_on, crit,
         batch_reads=_sharded_batch_reads(opts, mesh),
@@ -355,8 +348,80 @@ def run_stats_sharded(
 
     pidx, pcnt = jax.process_index(), jax.process_count()
     path = opts.in_filename
+
+    # --- checkpointing: one file per process; folds happen at the SAME step
+    # on every process (the lockstep loop guarantees equal step counts), so
+    # the collective merge inside the fold stays consistent.  The carry each
+    # host saves is the replicated GLOBAL total at that step + its own local
+    # input offset.  Striped inputs (plain gzip, multihost) can't resume:
+    # the stripe phase is not recoverable from an offset.
+    ck_path = getattr(opts, "checkpoint_path", None)
+    striped = pcnt > 1 and not range_splittable(path)
+    if ck_path and striped:
+        import logging
+
+        logging.getLogger("hpgq").warning(
+            "--checkpoint is not supported for striped (plain-gzip) "
+            "multi-host input; running without checkpoints"
+        )
+        ck_path = None
+    ck_file = ck_path if (not ck_path or pcnt == 1) else (
+        "%s.rank%d" % (ck_path, pidx)
+    )
+    ck_every = opts.checkpoint_every or 50
+    ck_key = None
+    resume_offset = None
+    if ck_file:
+        import json as _json
+
+        from ..utils.checkpoint import (
+            load_counters_checkpoint,
+            save_counters_checkpoint,
+        )
+
+        from ..kernels.stats_jnp import _crit_key
+
+        ck_key = _json.dumps({
+            "cmd": "stats-sharded", "in": os.path.abspath(path),
+            "phred": opts.quality_encoding_value, "kmers": opts.kmers_on,
+            "crit": _crit_key(crit),
+            "rank": pidx, "nprocs": pcnt,
+        }, sort_keys=True)
+        # rotating two-slot checkpoints: a crash can separate ranks by ONE
+        # save ordinal (saves happen at the same lockstep step; collectives
+        # stop everyone within one iteration), so each rank keeps its last
+        # two states and all ranks agree on the newest COMMON ordinal
+        cands = {}
+        for slot in ("a", "b"):
+            try:
+                got = load_counters_checkpoint(ck_file + "." + slot, ck_key)
+            except ValueError:
+                got = None
+            if got:
+                c_, off_, extra_ = got
+                cands[int(extra_["ordinal"])] = (c_, off_)
+        local_max = max(cands) if cands else -1
+        common = local_max
+        if pcnt > 1:
+            common = -_vote_max(mesh, -local_max)  # min across ranks
+        ok_local = 1 if (common >= 0 and common in cands) else 0
+        ok_all = ok_local
+        if pcnt > 1:
+            ok_all = -_vote_max(mesh, -ok_local)  # min: ALL ranks can resume
+        if ok_all:
+            carry, resume_offset = cands[common]
+            sess.carry = carry
+            ck_ordinal = common
+        else:
+            resume_offset = None
+            ck_ordinal = -1
+    else:
+        ck_ordinal = -1
+
     if pcnt > 1 and range_splittable(path):
         start, end = split_byte_ranges(path, pcnt)[pidx]
+        if resume_offset is not None:
+            start = max(start, resume_offset)
         reader = FastqReader(path, batch_size=opts.batch_size,
                              start_offset=start, end_offset=end)
         blocks = iter(reader)
@@ -364,9 +429,14 @@ def run_stats_sharded(
         reader = FastqReader(path, batch_size=opts.batch_size)
         blocks = striped_blocks(reader, pidx, pcnt)
     else:
-        reader = FastqReader(path, batch_size=opts.batch_size)
+        reader = FastqReader(
+            path, batch_size=opts.batch_size,
+            start_offset=resume_offset or 0,
+        )
         blocks = iter(reader)
 
+    nsteps = 0
+    last_offset = resume_offset or 0
     try:
         done = False
         while True:
@@ -395,11 +465,26 @@ def run_stats_sharded(
             if block is not None:
                 timers.num_batches += 1
                 timers.total_reads += block.num_reads
+                last_offset = block.end_offset
+            nsteps += 1
+            if ck_file and nsteps % ck_every == 0:
+                with timers.stage("checkpoint"):
+                    sess._grow(sess.lcap)  # lockstep fold -> replicated carry
+                    ck_ordinal += 1
+                    slot = "a" if ck_ordinal % 2 == 0 else "b"
+                    save_counters_checkpoint(
+                        ck_file + "." + slot, sess.carry, last_offset, ck_key,
+                        extra={"ordinal": ck_ordinal},
+                    )
     finally:
         reader.close()
 
     with timers.stage("compute"):
         counters = sess.finish()
+    if ck_file:
+        for slot in ("a", "b"):
+            if os.path.exists(ck_file + "." + slot):
+                os.unlink(ck_file + "." + slot)
     if report and jax.process_index() == 0:
         with timers.stage("reporting"):
             stats_report(counters, opts)

@@ -243,3 +243,61 @@ def test_sharded_periodic_flush_equivalence(tmp_path, monkeypatch):
     b = run(10**9)    # never fold until finish
     assert a.equals(b)
     assert a.num_passed == b.num_passed and a.num_failed == b.num_failed
+
+
+def test_sharded_stats_resume(tmp_path):
+    """Interrupted sharded run resumes from its checkpoint and matches the
+    uninterrupted result byte-for-byte."""
+    import os
+
+    from hpgq.dist import run_dist
+    from hpgq.dist.run_dist import run_stats_sharded
+    from hpgq.options import StatsOptions
+
+    fq = str(tmp_path / "r.fq")
+    make_fastq(fq, 2500, min_len=40, max_len=100, n_prob=0.01, seed=55)
+
+    def opts(out, **kw):
+        o = StatsOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 256
+        for k, v in kw.items():
+            setattr(o, k, v)
+        return o
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir(); out_b.mkdir()
+    full = run_stats_sharded(opts(out_a))
+
+    ck = str(tmp_path / "sh.ck.npz")
+    ob = opts(out_b, checkpoint_path=ck, checkpoint_every=1)
+
+    class Boom(Exception):
+        pass
+
+    real = run_dist.ShardedStatsSession.feed_block
+    calls = {"n": 0}
+
+    def limited(self, block):
+        if calls["n"] >= 4:
+            raise Boom()
+        calls["n"] += 1
+        return real(self, block)
+
+    run_dist.ShardedStatsSession.feed_block = limited
+    try:
+        with pytest.raises(Boom):
+            run_stats_sharded(ob)
+    finally:
+        run_dist.ShardedStatsSession.feed_block = real
+    assert os.path.exists(ck + ".a") or os.path.exists(ck + ".b")
+
+    resumed = run_stats_sharded(ob)
+    assert not os.path.exists(ck + ".a") and not os.path.exists(ck + ".b")
+    assert resumed.equals(full)
+    assert (out_b / "r.fq.summary.txt").read_bytes() == (
+        out_a / "r.fq.summary.txt"
+    ).read_bytes()

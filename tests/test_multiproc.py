@@ -221,3 +221,102 @@ def test_two_process_sharded_cgr(tmp_path):
         open(os.path.join(outs[0], name), "rb").read()
         == open(os.path.join(o.out_dirname, name), "rb").read()
     )
+
+
+_RESUME_WORKER = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, nproc, fq, outdir, repo, ck, mode = sys.argv[1:9]
+jax.distributed.initialize(coord, int(nproc), int(pid))
+
+sys.path.insert(0, repo)
+from hpgq.options import StatsOptions
+from hpgq.dist import run_dist
+from hpgq.dist.run_dist import run_stats_sharded
+
+o = StatsOptions()
+o.in_filename = fq
+o.out_dirname = outdir
+o.quality_encoding_value = 33
+o.quality_encoding_name = "phred33"
+o.batch_size = 200
+if ck != "-":
+    o.checkpoint_path = ck
+    o.checkpoint_every = 1
+
+if mode == "crash":
+    real = run_dist.ShardedStatsSession.feed_block
+    state = {"n": 0}
+
+    def limited(self, block):
+        if state["n"] >= 3:
+            print("CRASHING", flush=True)
+            os._exit(3)  # hard kill mid-run, after >=3 checkpoints
+        state["n"] += 1
+        return real(self, block)
+
+    run_dist.ShardedStatsSession.feed_block = limited
+
+c = run_stats_sharded(o)
+print(json.dumps({
+    "num_reads": c.num_reads, "acc_length": c.acc_length,
+    "num_As": c.num_As, "min_length": c.min_length,
+    "max_length": c.max_length,
+    "qph_sum": int(c.acc_quality_per_nt.sum()),
+}))
+"""
+
+
+def _run_pair(worker, fq, outs, ck, mode, expect_fail=False):
+    coord = "localhost:%d" % _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), "2", fq, outs[i], repo,
+             ck, mode],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for i in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        if expect_fail:
+            results.append(p.returncode)
+        else:
+            assert p.returncode == 0, err.decode()[-3000:]
+            results.append(json.loads(out.decode().strip().splitlines()[-1]))
+    return results
+
+
+def test_two_process_sharded_resume(tmp_path):
+    n = 2000
+    fq = str(tmp_path / "rr.fq")
+    make_fastq(fq, n, min_len=50, max_len=100, seed=61)
+    worker = str(tmp_path / "w.py")
+    open(worker, "w").write(_RESUME_WORKER)
+
+    outs_ref = [str(tmp_path / ("ref%d" % i)) for i in range(2)]
+    outs = [str(tmp_path / ("o%d" % i)) for i in range(2)]
+    for o in outs_ref + outs:
+        os.makedirs(o)
+
+    ref = _run_pair(worker, fq, outs_ref, "-", "plain")
+    assert ref[0] == ref[1]
+
+    ck = str(tmp_path / "mp.ck.npz")
+    rcs = _run_pair(worker, fq, outs, ck, "crash", expect_fail=True)
+    assert 3 in rcs  # at least one process self-killed mid-run
+    import glob
+    assert glob.glob(ck + ".rank*")
+
+    resumed = _run_pair(worker, fq, outs, ck, "plain")
+    assert resumed[0] == resumed[1] == ref[0]
+    assert not glob.glob(ck + ".rank*")
