@@ -240,6 +240,80 @@ class ShardedCgrSession:
         self.word_count += int(host[2])
 
 
+class _RotatingRankCheckpoint:
+    """Per-rank rotating two-slot checkpoints with common-ordinal voting.
+
+    Saves happen at the same lockstep step on every rank, so ranks' latest
+    save ordinals differ by at most one after a crash; keeping two slots and
+    voting the newest COMMON ordinal (plus an all-ranks-can-resume vote)
+    guarantees every rank restores the state of the same global step."""
+
+    def __init__(self, mesh, path: str, key: str, every: int):
+        self.mesh = mesh
+        self.pcnt = jax.process_count()
+        base = path if self.pcnt == 1 else (
+            "%s.rank%d" % (path, jax.process_index())
+        )
+        self.base = base
+        self.key = key
+        self.every = max(1, every)
+        self.ordinal = -1
+        self.nsteps = 0
+
+    def resume(self):
+        """(counters_or_None, offset, extra) at the common ordinal, or
+        None when any rank lacks a usable checkpoint."""
+        from ..utils.checkpoint import load_counters_checkpoint
+
+        cands = {}
+        for slot in ("a", "b"):
+            try:
+                got = load_counters_checkpoint(self.base + "." + slot, self.key)
+            except ValueError:
+                got = None
+            if got:
+                cands[int(got[2]["ordinal"])] = got
+        local_max = max(cands) if cands else -1
+        common = local_max
+        if self.pcnt > 1:
+            common = -_vote_max(self.mesh, -local_max)
+        ok = 1 if (common >= 0 and common in cands) else 0
+        if self.pcnt > 1:
+            ok = -_vote_max(self.mesh, -ok)
+        if not ok:
+            return None
+        self.ordinal = common
+        return cands[common]
+
+    def maybe_save(self, counters, offset: int, extra=None, fold=None):
+        """Call once per lockstep step; saves every ``every`` steps (running
+        ``fold()`` first — e.g. the collective carry fold)."""
+        from ..utils.checkpoint import save_counters_checkpoint
+
+        self.nsteps += 1
+        if self.nsteps % self.every:
+            return False
+        if fold is not None:
+            fold()
+            counters = counters() if callable(counters) else counters
+        self.ordinal += 1
+        slot = "a" if self.ordinal % 2 == 0 else "b"
+        payload = dict(extra or {})
+        payload["ordinal"] = self.ordinal
+        save_counters_checkpoint(
+            self.base + "." + slot,
+            counters() if callable(counters) else counters,
+            offset, self.key, extra=payload,
+        )
+        return True
+
+    def complete(self):
+        for slot in ("a", "b"):
+            p = self.base + "." + slot
+            if os.path.exists(p):
+                os.unlink(p)
+
+
 def _sharded_batch_reads(opts, mesh) -> int:
     """Device batch rows: never below the reader's batch_size (pack_block
     emits max(pad, n) rows — an undersized pad would break even sharding and
@@ -260,13 +334,6 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
     initialize_distributed()
     mesh = mesh if mesh is not None else data_mesh()
     multihost = jax.process_count() > 1
-    if getattr(opts, "checkpoint_path", None):
-        import logging
-
-        logging.getLogger("hpgq").warning(
-            "--checkpoint is not yet supported by the sharded pipeline; "
-            "running without checkpoints"
-        )
     sess = ShardedCgrSession(
         mesh, int(opts.k), opts.quality_encoding_value,
         batch_reads=_sharded_batch_reads(opts, mesh),
@@ -276,9 +343,50 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
     inputs = [opts.in_filename]
     if opts.paired_end:
         inputs.append(opts.in_filename2)
-    for path in inputs:
+
+    # checkpointing (CGR tables are replicated-global after every batch's
+    # psum, so each rank's saved tables + its local offset restore exactly)
+    ck_path = getattr(opts, "checkpoint_path", None)
+    if ck_path and pcnt > 1 and any(not range_splittable(p) for p in inputs):
+        import logging
+
+        logging.getLogger("hpgq").warning(
+            "--checkpoint is not supported for striped (plain-gzip) "
+            "multi-host input; running without checkpoints"
+        )
+        ck_path = None
+    ck = None
+    start_input = 0
+    resume_offset = None
+    if ck_path:
+        import json as _json
+        import numpy as _np
+
+        ck_key = _json.dumps({
+            "cmd": "cgr-sharded", "k": int(opts.k),
+            "phred": opts.quality_encoding_value,
+            "in": [os.path.abspath(p) for p in inputs],
+            "rank": pidx, "nprocs": pcnt,
+        }, sort_keys=True)
+        ck = _RotatingRankCheckpoint(mesh, ck_path, ck_key,
+                                     opts.checkpoint_every or 50)
+        got = ck.resume()
+        if got:
+            _, resume_offset, extra = got
+            sess.table_seq += _np.asarray(extra["table_seq"], dtype=_np.int64)
+            sess.table_q += _np.asarray(extra["table_q"], dtype=_np.int64)
+            sess.word_count += int(extra["words"])
+            start_input = int(extra["input_idx"])
+
+    for input_idx, path in enumerate(inputs):
+        if input_idx < start_input:
+            continue
+        in_offset = resume_offset if input_idx == start_input else None
+        resume_offset = None
         if pcnt > 1 and range_splittable(path):
             start, end = split_byte_ranges(path, pcnt)[pidx]
+            if in_offset is not None:
+                start = max(start, in_offset)
             reader = FastqReader(path, batch_size=opts.batch_size,
                                  start_offset=start, end_offset=end)
             blocks = iter(reader)
@@ -286,8 +394,10 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
             reader = FastqReader(path, batch_size=opts.batch_size)
             blocks = striped_blocks(reader, pidx, pcnt)
         else:
-            reader = FastqReader(path, batch_size=opts.batch_size)
+            reader = FastqReader(path, batch_size=opts.batch_size,
+                                 start_offset=in_offset or 0)
             blocks = iter(reader)
+        last_offset = in_offset or 0
         try:
             done = False
             while True:
@@ -319,8 +429,22 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
                 if block is not None:
                     timers.num_batches += 1
                     timers.total_reads += block.num_reads
+                    last_offset = block.end_offset
+                if ck is not None:
+                    with timers.stage("checkpoint"):
+                        ck.maybe_save(
+                            None, last_offset,
+                            extra={
+                                "table_seq": sess.table_seq,
+                                "table_q": sess.table_q,
+                                "words": sess.word_count,
+                                "input_idx": input_idx,
+                            },
+                        )
         finally:
             reader.close()
+    if ck is not None:
+        ck.complete()
 
     if jax.process_index() != 0:
         return {"fq_word_count": sess.word_count, "pgm_files": []}
@@ -365,19 +489,10 @@ def run_stats_sharded(
             "multi-host input; running without checkpoints"
         )
         ck_path = None
-    ck_file = ck_path if (not ck_path or pcnt == 1) else (
-        "%s.rank%d" % (ck_path, pidx)
-    )
-    ck_every = opts.checkpoint_every or 50
-    ck_key = None
+    ck = None
     resume_offset = None
-    if ck_file:
+    if ck_path:
         import json as _json
-
-        from ..utils.checkpoint import (
-            load_counters_checkpoint,
-            save_counters_checkpoint,
-        )
 
         from ..kernels.stats_jnp import _crit_key
 
@@ -387,36 +502,12 @@ def run_stats_sharded(
             "crit": _crit_key(crit),
             "rank": pidx, "nprocs": pcnt,
         }, sort_keys=True)
-        # rotating two-slot checkpoints: a crash can separate ranks by ONE
-        # save ordinal (saves happen at the same lockstep step; collectives
-        # stop everyone within one iteration), so each rank keeps its last
-        # two states and all ranks agree on the newest COMMON ordinal
-        cands = {}
-        for slot in ("a", "b"):
-            try:
-                got = load_counters_checkpoint(ck_file + "." + slot, ck_key)
-            except ValueError:
-                got = None
-            if got:
-                c_, off_, extra_ = got
-                cands[int(extra_["ordinal"])] = (c_, off_)
-        local_max = max(cands) if cands else -1
-        common = local_max
-        if pcnt > 1:
-            common = -_vote_max(mesh, -local_max)  # min across ranks
-        ok_local = 1 if (common >= 0 and common in cands) else 0
-        ok_all = ok_local
-        if pcnt > 1:
-            ok_all = -_vote_max(mesh, -ok_local)  # min: ALL ranks can resume
-        if ok_all:
-            carry, resume_offset = cands[common]
+        ck = _RotatingRankCheckpoint(mesh, ck_path, ck_key,
+                                     opts.checkpoint_every or 50)
+        got = ck.resume()
+        if got:
+            carry, resume_offset, _ = got
             sess.carry = carry
-            ck_ordinal = common
-        else:
-            resume_offset = None
-            ck_ordinal = -1
-    else:
-        ck_ordinal = -1
 
     if pcnt > 1 and range_splittable(path):
         start, end = split_byte_ranges(path, pcnt)[pidx]
@@ -467,24 +558,19 @@ def run_stats_sharded(
                 timers.total_reads += block.num_reads
                 last_offset = block.end_offset
             nsteps += 1
-            if ck_file and nsteps % ck_every == 0:
+            if ck is not None:
                 with timers.stage("checkpoint"):
-                    sess._grow(sess.lcap)  # lockstep fold -> replicated carry
-                    ck_ordinal += 1
-                    slot = "a" if ck_ordinal % 2 == 0 else "b"
-                    save_counters_checkpoint(
-                        ck_file + "." + slot, sess.carry, last_offset, ck_key,
-                        extra={"ordinal": ck_ordinal},
+                    ck.maybe_save(
+                        lambda: sess.carry, last_offset,
+                        fold=lambda: sess._grow(sess.lcap),
                     )
     finally:
         reader.close()
 
     with timers.stage("compute"):
         counters = sess.finish()
-    if ck_file:
-        for slot in ("a", "b"):
-            if os.path.exists(ck_file + "." + slot):
-                os.unlink(ck_file + "." + slot)
+    if ck is not None:
+        ck.complete()
     if report and jax.process_index() == 0:
         with timers.stage("reporting"):
             stats_report(counters, opts)

@@ -301,3 +301,60 @@ def test_sharded_stats_resume(tmp_path):
     assert (out_b / "r.fq.summary.txt").read_bytes() == (
         out_a / "r.fq.summary.txt"
     ).read_bytes()
+
+
+def test_sharded_cgr_resume(tmp_path):
+    import os
+
+    from hpgq.dist import run_dist
+    from hpgq.dist.run_dist import run_cgr_sharded
+    from hpgq.options import CgrOptions
+
+    fq = str(tmp_path / "cg.fq")
+    make_fastq(fq, 1500, min_len=50, max_len=90, n_prob=0.02, seed=71)
+
+    def opts(out, **kw):
+        o = CgrOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 200
+        o.k = 4
+        for k, v in kw.items():
+            setattr(o, k, v)
+        return o
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir(); out_b.mkdir()
+    full = run_cgr_sharded(opts(out_a))
+
+    ck = str(tmp_path / "cg.ck.npz")
+    ob = opts(out_b, checkpoint_path=ck, checkpoint_every=1)
+
+    class Boom(Exception):
+        pass
+
+    real = run_dist.ShardedCgrSession.feed_block
+    calls = {"n": 0}
+
+    def limited(self, block):
+        if calls["n"] >= 3:
+            raise Boom()
+        calls["n"] += 1
+        return real(self, block)
+
+    run_dist.ShardedCgrSession.feed_block = limited
+    try:
+        with pytest.raises(Boom):
+            run_cgr_sharded(ob)
+    finally:
+        run_dist.ShardedCgrSession.feed_block = real
+    assert os.path.exists(ck + ".a") or os.path.exists(ck + ".b")
+
+    res = run_cgr_sharded(ob)
+    assert not os.path.exists(ck + ".a") and not os.path.exists(ck + ".b")
+    assert res["fq_word_count"] == full["fq_word_count"]
+    assert (out_b / "cg.fq_k=4_FG.pgm").read_bytes() == (
+        out_a / "cg.fq_k=4_FG.pgm"
+    ).read_bytes()
