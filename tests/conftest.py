@@ -21,3 +21,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+if os.environ.get("HPGQ_DEBUG_NANS"):
+    # SURVEY §5 sanitizer row: run the kernel/oracle differential suite with
+    # NaN trapping (HPGQ_DEBUG_NANS=1 python -m pytest tests/ -q)
+    jax.config.update("jax_debug_nans", True)
