@@ -240,6 +240,56 @@ class ShardedCgrSession:
         self.word_count += int(host[2])
 
 
+def open_shard_reader(path: str, opts, pidx: int, pcnt: int,
+                      start_offset=None):
+    """(reader, block_iterator) for this process's slice of the input:
+    record-aligned byte range (plain/BGZF), stripe fallback (plain gzip),
+    or the whole file single-process.  ``start_offset`` resumes range/plain
+    readers from a checkpointed logical offset."""
+    if pcnt > 1 and range_splittable(path):
+        start, end = split_byte_ranges(path, pcnt)[pidx]
+        if start_offset is not None:
+            start = max(start, start_offset)
+        reader = FastqReader(path, batch_size=opts.batch_size,
+                             start_offset=start, end_offset=end)
+        return reader, iter(reader)
+    if pcnt > 1:
+        reader = FastqReader(path, batch_size=opts.batch_size)
+        return reader, striped_blocks(reader, pidx, pcnt)
+    reader = FastqReader(path, batch_size=opts.batch_size,
+                         start_offset=start_offset or 0)
+    return reader, iter(reader)
+
+
+def iter_lockstep(mesh, blocks, multihost: bool, min_len: int, timers):
+    """Lockstep iterator over one shard: yields ``(block_or_None, lmax)``
+    once per global step.  In multihost mode a tiny collective agrees on
+    'anyone left' and the global length bucket every step (so shard_map
+    shapes stay identical across processes); a ``None`` block means this
+    shard is exhausted but others are not (feed an empty batch).  Single-
+    process mode degenerates to plain iteration with local buckets."""
+    done = False
+    while True:
+        block = None if done else next(blocks, None)
+        if block is None:
+            done = True
+        if multihost:
+            lmax_local = (
+                0 if done else round_up(max(block.max_len(), min_len), 128)
+            )
+            lmax_global = _vote_max(mesh, lmax_local)
+            if lmax_global == 0:
+                return
+            yield block, lmax_global
+        else:
+            if done:
+                return
+            yield block, round_up(max(block.max_len(), min_len), 128)
+        if block is not None:
+            timers.num_batches += 1
+            timers.total_reads += block.num_reads
+
+
 class _RotatingRankCheckpoint:
     """Per-rank rotating two-slot checkpoints with common-ordinal voting.
 
@@ -383,53 +433,20 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
             continue
         in_offset = resume_offset if input_idx == start_input else None
         resume_offset = None
-        if pcnt > 1 and range_splittable(path):
-            start, end = split_byte_ranges(path, pcnt)[pidx]
-            if in_offset is not None:
-                start = max(start, in_offset)
-            reader = FastqReader(path, batch_size=opts.batch_size,
-                                 start_offset=start, end_offset=end)
-            blocks = iter(reader)
-        elif pcnt > 1:
-            reader = FastqReader(path, batch_size=opts.batch_size)
-            blocks = striped_blocks(reader, pidx, pcnt)
-        else:
-            reader = FastqReader(path, batch_size=opts.batch_size,
-                                 start_offset=in_offset or 0)
-            blocks = iter(reader)
+        reader, blocks = open_shard_reader(path, opts, pidx, pcnt,
+                                           start_offset=in_offset)
         last_offset = in_offset or 0
         try:
-            done = False
-            while True:
-                block = None if done else next(blocks, None)
-                if block is None:
-                    done = True
-                if multihost:
-                    lmax_local = (
-                        0 if done
-                        else round_up(max(block.max_len(), sess.k), 128)
-                    )
-                    lmax_global = _vote_max(mesh, lmax_local)
-                    if lmax_global == 0:
-                        break
-                    with timers.stage("compute"):
-                        if done:
-                            sess.feed_empty(lmax_global)
-                        else:
-                            packed = pack_block(
-                                block, max_len=lmax_global,
-                                pad_reads_to=sess.batch_reads,
-                            )
-                            sess.feed_packed(*packed)
-                else:
-                    if done:
-                        break
-                    with timers.stage("compute"):
-                        sess.feed_block(block)
-                if block is not None:
-                    timers.num_batches += 1
-                    timers.total_reads += block.num_reads
-                    last_offset = block.end_offset
+            for block, lmax in iter_lockstep(mesh, blocks, multihost,
+                                             sess.k, timers):
+                with timers.stage("compute"):
+                    if block is None:
+                        sess.feed_empty(lmax)
+                    else:
+                        packed = pack_block(block, max_len=lmax,
+                                            pad_reads_to=sess.batch_reads)
+                        sess.feed_packed(*packed)
+                        last_offset = block.end_offset
                 if ck is not None:
                     with timers.stage("checkpoint"):
                         ck.maybe_save(
@@ -509,55 +526,19 @@ def run_stats_sharded(
             carry, resume_offset, _ = got
             sess.carry = carry
 
-    if pcnt > 1 and range_splittable(path):
-        start, end = split_byte_ranges(path, pcnt)[pidx]
-        if resume_offset is not None:
-            start = max(start, resume_offset)
-        reader = FastqReader(path, batch_size=opts.batch_size,
-                             start_offset=start, end_offset=end)
-        blocks = iter(reader)
-    elif pcnt > 1:
-        reader = FastqReader(path, batch_size=opts.batch_size)
-        blocks = striped_blocks(reader, pidx, pcnt)
-    else:
-        reader = FastqReader(
-            path, batch_size=opts.batch_size,
-            start_offset=resume_offset or 0,
-        )
-        blocks = iter(reader)
-
-    nsteps = 0
+    reader, blocks = open_shard_reader(path, opts, pidx, pcnt,
+                                       start_offset=resume_offset)
     last_offset = resume_offset or 0
     try:
-        done = False
-        while True:
-            block = None if done else next(blocks, None)
-            if block is None:
-                done = True
-            if multihost:
-                # one tiny collective agrees on "anyone left" AND the global
-                # length bucket, keeping shard_map shapes in lockstep
-                lmax_local = 0 if done else round_up(max(block.max_len(), 1), 128)
-                lmax_global = _vote_max(mesh, lmax_local)
-                if lmax_global == 0:
-                    break
-                if lmax_global > sess.lcap:
-                    sess._grow(lmax_global)
-                with timers.stage("compute"):
-                    if done:
-                        sess.feed_empty()
-                    else:
-                        sess.feed_block(block)
-            else:
-                if done:
-                    break
-                with timers.stage("compute"):
+        for block, lmax in iter_lockstep(mesh, blocks, multihost, 1, timers):
+            if lmax > sess.lcap:
+                sess._grow(lmax)
+            with timers.stage("compute"):
+                if block is None:
+                    sess.feed_empty()
+                else:
                     sess.feed_block(block)
-            if block is not None:
-                timers.num_batches += 1
-                timers.total_reads += block.num_reads
-                last_offset = block.end_offset
-            nsteps += 1
+                    last_offset = block.end_offset
             if ck is not None:
                 with timers.stage("checkpoint"):
                     ck.maybe_save(

@@ -335,21 +335,21 @@ def test_sharded_cgr_resume(tmp_path):
     class Boom(Exception):
         pass
 
-    real = run_dist.ShardedCgrSession.feed_block
+    real = run_dist.ShardedCgrSession.feed_packed
     calls = {"n": 0}
 
-    def limited(self, block):
+    def limited(self, *a):
         if calls["n"] >= 3:
             raise Boom()
         calls["n"] += 1
-        return real(self, block)
+        return real(self, *a)
 
-    run_dist.ShardedCgrSession.feed_block = limited
+    run_dist.ShardedCgrSession.feed_packed = limited
     try:
         with pytest.raises(Boom):
             run_cgr_sharded(ob)
     finally:
-        run_dist.ShardedCgrSession.feed_block = real
+        run_dist.ShardedCgrSession.feed_packed = real
     assert os.path.exists(ck + ".a") or os.path.exists(ck + ".b")
 
     res = run_cgr_sharded(ob)
