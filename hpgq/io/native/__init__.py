@@ -90,6 +90,10 @@ def get_lib():
         lib.hpgq_concat_spans.argtypes = [
             u8p, i64p, i64p, ctypes.c_int64, u8p,
         ]
+        lib.hpgq_find_newlines_mt.restype = ctypes.c_int64
+        lib.hpgq_find_newlines_mt.argtypes = [
+            u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -98,14 +102,27 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def find_newlines(buf) -> np.ndarray:
-    """All newline offsets in buf via native memchr.
+def find_newlines(buf, num_threads: int = 0) -> np.ndarray:
+    """All newline offsets in buf via parallel native memchr segments.
 
-    Capacity-doubling continuation keeps allocation ~#lines, not #bytes
-    (FASTQ lines average >=16 bytes; start at len/16)."""
+    Large buffers use the two-pass multi-threaded scan (count, prefix,
+    fill); small ones the single-thread capacity-doubling path."""
     lib = get_lib()
     arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     n = arr.shape[0]
+    if n >= (1 << 21):
+        if num_threads <= 0:
+            num_threads = min(8, os.cpu_count() or 1)
+        out = np.empty(max(64, n // 8), dtype=np.int64)
+        # capacity-aware: the C side returns the negated true count (writing
+        # nothing) when it exceeds cap; retry once with the exact size
+        cnt = lib.hpgq_find_newlines_mt(arr, n, out, out.shape[0], num_threads)
+        if cnt >= 0:
+            return out[:cnt]
+        out = np.empty(-cnt, dtype=np.int64)
+        cnt2 = lib.hpgq_find_newlines_mt(arr, n, out, out.shape[0], num_threads)
+        assert cnt2 == -cnt
+        return out[:cnt2]
     cap = max(64, n // 16)
     chunks = []
     off = 0

@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -71,6 +72,61 @@ void hpgq_line_table(const int64_t* nl, int64_t nrec, int64_t* starts,
         ends[i] = nl[i];
         prev = nl[i];
     }
+}
+
+// Multi-threaded newline scan: segments of `buf` are counted and filled in
+// parallel (memchr per segment), results written contiguously via a prefix
+// sum over per-segment counts.  Returns the total number of newlines, or
+// the NEGATED total (with nothing written) when it exceeds `cap` — the
+// caller then re-invokes with an exact-size buffer.
+int64_t hpgq_find_newlines_mt(const uint8_t* buf, int64_t n, int64_t* nl,
+                              int64_t cap, int num_threads) {
+    if (num_threads < 1) num_threads = 1;
+    const int64_t min_seg = 1 << 20;  // threading pays off past ~1 MB
+    int nseg = (int)((n + min_seg - 1) / min_seg);
+    if (nseg > num_threads) nseg = num_threads;
+    if (nseg < 1) nseg = 1;
+    std::vector<int64_t> counts((size_t)nseg, 0);
+    std::vector<int64_t> seg_lo((size_t)nseg), seg_hi((size_t)nseg);
+    for (int s = 0; s < nseg; ++s) {
+        seg_lo[s] = n * s / nseg;
+        seg_hi[s] = n * (s + 1) / nseg;
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(nseg)
+#endif
+    for (int s = 0; s < nseg; ++s) {
+        int64_t c = 0;
+        const uint8_t* p = buf + seg_lo[s];
+        const uint8_t* end = buf + seg_hi[s];
+        while (p < end) {
+            const uint8_t* hit =
+                static_cast<const uint8_t*>(memchr(p, '\n', end - p));
+            if (!hit) break;
+            ++c;
+            p = hit + 1;
+        }
+        counts[(size_t)s] = c;
+    }
+    std::vector<int64_t> offs((size_t)nseg + 1, 0);
+    for (int s = 0; s < nseg; ++s) offs[(size_t)s + 1] = offs[(size_t)s] + counts[(size_t)s];
+    if (offs[(size_t)nseg] > cap) return -offs[(size_t)nseg];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(nseg)
+#endif
+    for (int s = 0; s < nseg; ++s) {
+        int64_t* out = nl + offs[(size_t)s];
+        const uint8_t* p = buf + seg_lo[s];
+        const uint8_t* end = buf + seg_hi[s];
+        while (p < end) {
+            const uint8_t* hit =
+                static_cast<const uint8_t*>(memchr(p, '\n', end - p));
+            if (!hit) break;
+            *out++ = hit - buf;
+            p = hit + 1;
+        }
+    }
+    return offs[(size_t)nseg];
 }
 
 // Concatenate byte spans buf[starts[i]:ends[i]) into out.  Returns total

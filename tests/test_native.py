@@ -78,3 +78,18 @@ def test_reader_native_vs_numpy(tmp_path):
         assert b1 == b2
         np.testing.assert_array_equal(s1, s2)
         np.testing.assert_array_equal(e1, e2)
+
+
+def test_find_newlines_mt_paths():
+    """The multi-threaded scan (>=2MB buffers) matches numpy, including the
+    capacity-retry path and pathological all-newline input."""
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, size=3 << 21, dtype=np.uint8)
+    got = native.find_newlines(big)
+    want = np.flatnonzero(big == 0x0A)
+    np.testing.assert_array_equal(got, want)
+
+    dense = np.full(1 << 22, 0x0A, dtype=np.uint8)  # every byte a newline
+    got = native.find_newlines(dense)
+    assert got.shape[0] == dense.shape[0]
+    np.testing.assert_array_equal(got, np.arange(dense.shape[0]))

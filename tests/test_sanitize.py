@@ -39,6 +39,8 @@ void hpgq_pack(const uint8_t*, const int64_t*, const int64_t*, const int32_t*,
 void hpgq_line_table(const int64_t*, int64_t, int64_t*, int64_t*);
 int64_t hpgq_concat_spans(const uint8_t*, const int64_t*, const int64_t*,
                           int64_t, uint8_t*);
+int64_t hpgq_find_newlines_mt(const uint8_t*, int64_t, int64_t*, int64_t,
+                              int);
 }
 
 int main() {
@@ -68,6 +70,17 @@ int main() {
                                     (int64_t)nl.size());
     if (nn != n * 4) { fprintf(stderr, "newline count %lld != %lld\n",
                                (long long)nn, (long long)(n * 4)); return 1; }
+    std::vector<int64_t> nl2(buf.size());
+    int64_t nn2 = hpgq_find_newlines_mt(buf.data(), buf.size(), nl2.data(),
+                                        (int64_t)nl2.size(), 4);
+    if (nn2 != nn || memcmp(nl2.data(), nl.data(), nn * 8) != 0) {
+        fprintf(stderr, "mt newline scan mismatch\n"); return 1; }
+    // capacity-refusal path: must return negated count, write nothing
+    std::vector<int64_t> tiny(4, -7);
+    int64_t neg = hpgq_find_newlines_mt(buf.data(), buf.size(), tiny.data(),
+                                        2, 4);
+    if (neg != -nn || tiny[0] != -7) {
+        fprintf(stderr, "mt capacity path broken\n"); return 1; }
 
     std::vector<int64_t> starts(n * 4), ends(n * 4);
     hpgq_line_table(nl.data(), n, starts.data(), ends.data());
