@@ -129,8 +129,8 @@ def fold_partials(c: StatsCounters, host: dict) -> None:
     c.num_failed += int(host.get("num_failed", 0))
     c.acc_length += int(host["acc_length"])
     ml = int(host["min_length"])
-    if ml != MIN_LENGTH_INIT or int(host["num_reads"]) > 0:
-        c.min_length = min(c.min_length, ml) if ml != MIN_LENGTH_INIT else c.min_length
+    if ml != MIN_LENGTH_INIT:  # INIT sentinel = no valid read in this window
+        c.min_length = min(c.min_length, ml)
     c.max_length = max(c.max_length, int(host["max_length"]))
     c.acc_quality += float(host["acc_quality"])
     bt = np.asarray(host["base_totals"], dtype=np.int64)

@@ -98,7 +98,13 @@ class StatsCounters:
         self.count_quality_per_nt = np.pad(self.count_quality_per_nt, (0, pad))
         self.acc_quality_per_nt = np.pad(self.acc_quality_per_nt, (0, pad))
         self.base_per_nt = np.pad(self.base_per_nt, ((0, 0), (0, pad)))
-        self.kmer_counts_by_pos = np.pad(self.kmer_counts_by_pos, ((0, 0), (0, pad)))
+        if self.kmers_on:
+            # [1024, lcap] int64 — only pay for it in kmers mode (a long-read
+            # run without --kmers would otherwise grow hundreds of MB of
+            # zeros per counters object and per checkpoint)
+            self.kmer_counts_by_pos = np.pad(
+                self.kmer_counts_by_pos, ((0, 0), (0, pad))
+            )
         if self.length_hist.shape[0] < lcap + 1:
             self.length_hist = np.pad(
                 self.length_hist, (0, lcap + 1 - self.length_hist.shape[0])
@@ -131,8 +137,9 @@ class StatsCounters:
         self.count_quality_per_nt[:lo] += o.count_quality_per_nt
         self.acc_quality_per_nt[:lo] += o.acc_quality_per_nt
         self.base_per_nt[:, :lo] += o.base_per_nt
-        self.kmer_counts += o.kmer_counts
-        self.kmer_counts_by_pos[:, :lo] += o.kmer_counts_by_pos
+        if self.kmers_on:
+            self.kmer_counts += o.kmer_counts
+            self.kmer_counts_by_pos[:, :lo] += o.kmer_counts_by_pos
         return self
 
     # -- convenience ----------------------------------------------------------
@@ -141,10 +148,9 @@ class StatsCounters:
         return self.num_As + self.num_Cs + self.num_Gs + self.num_Ts + self.num_Ns
 
     def equals(self, other: "StatsCounters") -> bool:
+        """Value equality; tolerant of different position capacities and
+        side-effect free (no operand is grown)."""
         a, b = self, other
-        lmax = max(a.lcap, b.lcap)
-        a.ensure_length(lmax)
-        b.ensure_length(lmax)
         scalars = all(
             getattr(a, f) == getattr(b, f)
             for f in (
@@ -168,9 +174,23 @@ class StatsCounters:
             and np.array_equal(lh_a, lh_b)
             and np.array_equal(a.quality_hist, b.quality_hist)
             and np.array_equal(a.gc_hist, b.gc_hist)
-            and np.array_equal(a.count_quality_per_nt, b.count_quality_per_nt)
-            and np.array_equal(a.acc_quality_per_nt, b.acc_quality_per_nt)
-            and np.array_equal(a.base_per_nt, b.base_per_nt)
+            and _eq_padded(a.count_quality_per_nt, b.count_quality_per_nt)
+            and _eq_padded(a.acc_quality_per_nt, b.acc_quality_per_nt)
+            and _eq_padded(a.base_per_nt, b.base_per_nt)
             and np.array_equal(a.kmer_counts, b.kmer_counts)
-            and np.array_equal(a.kmer_counts_by_pos, b.kmer_counts_by_pos)
+            and _eq_padded(a.kmer_counts_by_pos, b.kmer_counts_by_pos)
         )
+
+
+def _eq_padded(a: np.ndarray, b: np.ndarray) -> bool:
+    """Equality of position-indexed arrays with different capacities: the
+    shorter one is treated as zero-extended (capacity is an implementation
+    detail, not a value)."""
+    if a.shape == b.shape:
+        return bool(np.array_equal(a, b))
+    m = min(a.shape[-1], b.shape[-1])
+    return bool(
+        np.array_equal(a[..., :m], b[..., :m])
+        and not a[..., m:].any()
+        and not b[..., m:].any()
+    )

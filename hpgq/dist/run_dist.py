@@ -192,11 +192,13 @@ class ShardedCgrSession:
         self._steps = {}
 
         def device_fn(codes, quals, lens, valid):
-            ts, tq, w = cgr_batch_tables(codes, quals, lens, valid, k, phred,
-                                         vary_axis="data")
+            ts, tq_hi, tq_lo, w = cgr_batch_tables(
+                codes, quals, lens, valid, k, phred, vary_axis="data"
+            )
             return (
                 jax.lax.psum(ts, "data"),
-                jax.lax.psum(tq, "data"),
+                jax.lax.psum(tq_hi, "data"),
+                jax.lax.psum(tq_lo, "data"),
                 jax.lax.psum(w, "data"),
             )
 
@@ -212,7 +214,7 @@ class ShardedCgrSession:
                 self._device_fn,
                 mesh=self.mesh,
                 in_specs=(Pp("data"), Pp("data"), Pp("data"), Pp("data")),
-                out_specs=(Pp(), Pp(), Pp()),
+                out_specs=(Pp(), Pp(), Pp(), Pp()),
             ))
             self._steps[L] = fn
         return fn
@@ -233,11 +235,13 @@ class ShardedCgrSession:
             self.mesh, self._sharding,
             (codes, quals, lens.astype(np.int32), valid),
         )
-        ts, tq, w = self._step_for(codes.shape[1])(*batch)
-        host = jax.device_get((ts, tq, w))
+        from ..kernels.cgr import combine_quality_limbs
+
+        ts, tq_hi, tq_lo, w = self._step_for(codes.shape[1])(*batch)
+        host = jax.device_get((ts, tq_hi, tq_lo, w))
         self.table_seq += np.asarray(host[0], dtype=np.int64)
-        self.table_q += np.asarray(host[1], dtype=np.int64)
-        self.word_count += int(host[2])
+        self.table_q += combine_quality_limbs(host[1], host[2])
+        self.word_count += int(host[3])
 
 
 def open_shard_reader(path: str, opts, pidx: int, pcnt: int,

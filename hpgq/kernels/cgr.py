@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import BASE_A, BASE_G, BASE_T, DEFAULT_CGR_K
+from ..io.packer import round_up as _round_up
 from .stats_jnp import _vary
 
 CHUNK = 16384  # windows per matmul chunk (f32-exactness bound, see above)
@@ -82,10 +83,6 @@ def window_qsums(quals, k: int):
     return s
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
                      chunk: int = CHUNK, vary_axis=None):
     """(table_seq i32 [dim, dim], table_q i32 [dim, dim], words i32) for one
@@ -120,7 +117,7 @@ def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
     bins = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
 
     def body(i, carry):
-        ts, tq = carry
+        ts, tq_hi, tq_lo = carry
         sl = i * chunk
         cx = jax.lax.dynamic_slice(fx, (sl,), (chunk,))[:, None]
         cy = jax.lax.dynamic_slice(fy, (sl,), (chunk,))[:, None]
@@ -137,13 +134,30 @@ def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
             qtw, ohy, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return ts + seq.astype(jnp.int32), tq + qt.astype(jnp.int32)
+        # quality totals in two int32 limbs (hi*2^16 + lo): one cell can
+        # exceed 2^31 within a batch (millions of low-complexity windows x
+        # weight <= ~650) and TPUs have no int64 — normalize after each
+        # chunk so lo stays in [0, 2^16)
+        tq_lo = tq_lo + qt.astype(jnp.int32)
+        shift = tq_lo >> 16  # floor for negatives too (arithmetic shift)
+        tq_hi = tq_hi + shift
+        tq_lo = tq_lo - (shift << 16)
+        return ts + seq.astype(jnp.int32), tq_hi, tq_lo
 
     ts0 = _vary(jnp.zeros((dim, dim), jnp.int32), vary_axis)
     tq0 = _vary(jnp.zeros((dim, dim), jnp.int32), vary_axis)
-    ts, tq = jax.lax.fori_loop(0, Np // chunk, body, (ts0, tq0))
+    ts, tq_hi, tq_lo = jax.lax.fori_loop(0, Np // chunk, body, (ts0, tq0, tq0))
     words = ok.astype(jnp.int32).sum()
-    return ts, tq, words
+    return ts, tq_hi, tq_lo, words
+
+
+def combine_quality_limbs(tq_hi, tq_lo):
+    """Host-side int64 recombination of the two quality limbs."""
+    import numpy as np
+
+    return (np.asarray(tq_hi, dtype=np.int64) << 16) + np.asarray(
+        tq_lo, dtype=np.int64
+    )
 
 
 _CGR_STEP_CACHE: dict = {}
@@ -157,10 +171,12 @@ def make_cgr_step(k: int = DEFAULT_CGR_K, phred: int = 33, jit: bool = True):
         return _CGR_STEP_CACHE[key]
 
     def step(acc, codes, quals, lens, valid):
-        ts, tq, w = cgr_batch_tables(codes, quals, lens, valid, k, phred)
+        ts, tq_hi, tq_lo, w = cgr_batch_tables(codes, quals, lens, valid, k,
+                                               phred)
         return {
             "table_seq": acc["table_seq"] + ts,
-            "table_q": acc["table_q"] + tq,
+            "table_q_hi": acc["table_q_hi"] + tq_hi,
+            "table_q_lo": acc["table_q_lo"] + tq_lo,
             "words": acc["words"] + w,
         }
 
@@ -174,6 +190,7 @@ def zero_cgr_acc(k: int):
     dim = 1 << k
     return {
         "table_seq": jnp.zeros((dim, dim), jnp.int32),
-        "table_q": jnp.zeros((dim, dim), jnp.int32),
+        "table_q_hi": jnp.zeros((dim, dim), jnp.int32),
+        "table_q_lo": jnp.zeros((dim, dim), jnp.int32),
         "words": jnp.zeros((), jnp.int32),
     }

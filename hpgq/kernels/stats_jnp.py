@@ -124,7 +124,17 @@ def verdicts(codes, quals, lens, crit: FilterCriteria, phred: int = PHRED33):
     ok = (lens32 >= crit.min_read_length) & (lens32 <= crit.max_read_length)
 
     qn = qsum - phred * lens32
-    ok &= (crit.min_read_quality * lens32 <= qn) & (qn <= crit.max_read_quality * lens32)
+    # Overflow care: the substituted MAX sentinel (100000) times a long read
+    # length wraps int32 (reads > ~21 kb), but the check is vacuous then
+    # (qn <= 126*len < 100000*len always) — skip it.  The MIN sentinel (0)
+    # is NOT vacuous (qn < 0 when quality bytes sit below the offset):
+    # express it multiply-free.  Set thresholds (<~130) are safe to ~16 Mb.
+    if crit.min_read_quality != MIN_VALUE:
+        ok &= crit.min_read_quality * lens32 <= qn
+    else:
+        ok &= qn >= 0
+    if crit.max_read_quality != MAX_VALUE:
+        ok &= qn <= crit.max_read_quality * lens32
 
     if crit.max_out_of_quality != MAX_VALUE:
         nq = quals.astype(jnp.int32) - phred
@@ -142,11 +152,21 @@ def verdicts(codes, quals, lens, crit: FilterCriteria, phred: int = PHRED33):
     if "left" in wins:
         ls, w = wins["left"]
         lqn = ls - phred * w
-        ok &= (crit.min_left_quality * w <= lqn) & (lqn <= crit.max_left_quality * w)
+        if crit.min_left_quality != MIN_VALUE:
+            ok &= crit.min_left_quality * w <= lqn
+        else:
+            ok &= lqn >= 0
+        if crit.max_left_quality != MAX_VALUE:
+            ok &= lqn <= crit.max_left_quality * w
     if "right" in wins:
         rs, w = wins["right"]
         rqn = rs - phred * w
-        ok &= (crit.min_right_quality * w <= rqn) & (rqn <= crit.max_right_quality * w)
+        if crit.min_right_quality != MIN_VALUE:
+            ok &= crit.min_right_quality * w <= rqn
+        else:
+            ok &= rqn >= 0
+        if crit.max_right_quality != MAX_VALUE:
+            ok &= rqn <= crit.max_right_quality * w
 
     ok &= nn <= crit.max_N
     return ok
@@ -166,15 +186,24 @@ def trims(quals, lens, crit: FilterCriteria, phred: int = PHRED33):
         crit.right_length if crit.right_length > MIN_VALUE else 0,
         mask,
     )
+    def window_bad(qn, w, lo, hi):
+        # sentinel-aware (see verdicts): MIN=0 -> qn < 0 multiply-free;
+        # MAX sentinel check is vacuous (qn <= 126*w) and would overflow
+        # int32 for very large windows — skip it
+        bad = (qn < lo * w) if lo != MIN_VALUE else (qn < 0)
+        if hi != MAX_VALUE:
+            bad |= qn > hi * w
+        return bad
+
     if "left" in wins:
         ls, w = wins["left"]
-        lqn = ls - phred * w
-        bad = (lqn < crit.min_left_quality * w) | (lqn > crit.max_left_quality * w)
+        bad = window_bad(ls - phred * w, w,
+                         crit.min_left_quality, crit.max_left_quality)
         lt = jnp.where(bad, w, 0)
     if "right" in wins:
         rs, w = wins["right"]
-        rqn = rs - phred * w
-        bad = (rqn < crit.min_right_quality * w) | (rqn > crit.max_right_quality * w)
+        bad = window_bad(rs - phred * w, w,
+                         crit.min_right_quality, crit.max_right_quality)
         rt = jnp.where(bad, w, 0)
     rt = jnp.minimum(rt, lens32 - lt)
     return lt, rt
@@ -418,6 +447,10 @@ def resolve_engine(engine: Optional[str] = None) -> str:
     engine = engine or os.environ.get("HPGQ_ENGINE") or "auto"
     if engine == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if engine not in ("pallas", "jnp", "pallas_interpret"):
+        raise ValueError(
+            "unknown engine %r (valid: pallas, jnp, pallas_interpret)" % engine
+        )
     return engine
 
 
@@ -454,6 +487,10 @@ def make_stats_step(
     # very long reads (nanopore) fall back to the jnp path, which XLA tiles
     # itself (VMEM ~16 MB/core: 256*L*(1+1+4+4) bytes must fit with slack)
     if engine == "pallas" and lcap > 4096:
+        engine = "jnp"
+    if vary_axis is not None and engine.startswith("pallas"):
+        # shard_map callers need the vma-aware jnp path; the pallas branch
+        # does not thread vary_axis through its kmer scan
         engine = "jnp"
     cache_key = (lcap, phred, kmers_on, _crit_key(crit), engine, donate, wire,
                  vary_axis)

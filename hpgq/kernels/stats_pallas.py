@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BASE_C, BASE_G, BASE_N, MAX_VALUE, MIN_VALUE
+from ..io.packer import round_up as _round_up
 from ..core.counters import GC_BINS, QUAL_BINS
 from ..options import FilterCriteria
 from .stats_jnp import MIN_LENGTH_INIT
@@ -41,10 +42,6 @@ TB = 256  # batch-tile rows (multiple of the int8 sublane tile, 32)
 
 # o_scalars_i lane slots
 _NUM_READS, _ACC_LENGTH, _MIN_LEN, _MAX_LEN, _NUM_PASSED, _NUM_FAILED = range(6)
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _stats_kernel(codes_ref, quals_ref, lens_ref, valid_ref,

@@ -63,10 +63,13 @@ class CgrSession:
         self.feed_packed(codes, quals, lens, valid)
 
     def feed_packed(self, codes, quals, lens, valid):
+        from ..kernels.cgr import combine_quality_limbs
+
         acc = self._step(zero_cgr_acc(self.k), codes, quals, lens, valid)
         host = jax.device_get(acc)
         self.table_seq += np.asarray(host["table_seq"], dtype=np.int64)
-        self.table_q += np.asarray(host["table_q"], dtype=np.int64)
+        self.table_q += combine_quality_limbs(host["table_q_hi"],
+                                              host["table_q_lo"])
         self.word_count += int(host["words"])
 
 

@@ -33,9 +33,10 @@ def _rand_batch(B, L, seed=0, n_prob=0.02, varlen=True):
 @pytest.mark.parametrize("k", [2, 4, 7])
 def test_kernel_matches_loop_oracle(k):
     codes, quals, lens, valid = _rand_batch(48, 96, seed=k)
-    ts, tq, w = kcgr.cgr_batch_tables(
+    ts, th, tl, w = kcgr.cgr_batch_tables(
         codes, quals, lens, valid, k, PHRED33, chunk=1024
     )
+    tq = kcgr.combine_quality_limbs(th, tl)
     ots, otq, ow = fill_tables_loop(codes, quals, lens, valid, k, PHRED33)
     np.testing.assert_array_equal(np.asarray(ts), ots)
     np.testing.assert_array_equal(np.asarray(tq), otq)
@@ -59,8 +60,9 @@ def test_kernel_word_edge_cases():
         codes[i, : len(r)] = r
         quals[i, : len(r)] = 40
     valid = np.ones(4, dtype=bool)
-    ts, tq, w = kcgr.cgr_batch_tables(codes, quals, lens, valid, k, PHRED33,
-                                      chunk=256)
+    ts, th, tl, w = kcgr.cgr_batch_tables(codes, quals, lens, valid, k,
+                                          PHRED33, chunk=256)
+    tq = kcgr.combine_quality_limbs(th, tl)
     ots, otq, ow = fill_tables_loop(codes, quals, lens, valid, k, PHRED33)
     np.testing.assert_array_equal(np.asarray(ts), ots)
     np.testing.assert_array_equal(np.asarray(tq), otq)
@@ -71,15 +73,20 @@ def test_batch_invariance():
     """Accumulating in two halves equals one shot (windows are read-local)."""
     k = 5
     codes, quals, lens, valid = _rand_batch(64, 128, seed=77)
-    ts, tq, w = kcgr.cgr_batch_tables(codes, quals, lens, valid, k, PHRED33,
-                                      chunk=512)
+    ts, th, tl, w = kcgr.cgr_batch_tables(codes, quals, lens, valid, k,
+                                          PHRED33, chunk=512)
+    tq = kcgr.combine_quality_limbs(th, tl)
     h = 32
     t1 = kcgr.cgr_batch_tables(codes[:h], quals[:h], lens[:h], valid[:h], k,
                                PHRED33, chunk=512)
     t2 = kcgr.cgr_batch_tables(codes[h:], quals[h:], lens[h:], valid[h:], k,
                                PHRED33, chunk=512)
     np.testing.assert_array_equal(np.asarray(ts), np.asarray(t1[0]) + np.asarray(t2[0]))
-    np.testing.assert_array_equal(np.asarray(tq), np.asarray(t1[1]) + np.asarray(t2[1]))
+    np.testing.assert_array_equal(
+        tq,
+        kcgr.combine_quality_limbs(t1[1], t1[2])
+        + kcgr.combine_quality_limbs(t2[1], t2[2]),
+    )
 
 
 def test_pgm_format_zoom_and_wrap():
@@ -196,8 +203,32 @@ def test_kernel_large_k():
     """k=10 (dim 1024): the chunk auto-bound keeps memory sane and results
     exact vs the loop oracle."""
     codes, quals, lens, valid = _rand_batch(16, 64, seed=3, n_prob=0.01)
-    ts, tq, w = kcgr.cgr_batch_tables(codes, quals, lens, valid, 10, PHRED33)
+    ts, th, tl, w = kcgr.cgr_batch_tables(codes, quals, lens, valid, 10, PHRED33)
+    tq = kcgr.combine_quality_limbs(th, tl)
     ots, otq, ow = fill_tables_loop(codes, quals, lens, valid, 10, PHRED33)
     np.testing.assert_array_equal(np.asarray(ts), ots)
     np.testing.assert_array_equal(np.asarray(tq), otq)
     assert int(w) == ow
+
+
+def test_quality_table_exceeds_int32():
+    """A single batch can push one quality cell past 2^31 (confirmed wrap in
+    the single-limb int32 design): poly-A high-quality reads all land in one
+    cell; the two-limb accumulation must recover the exact int64 total."""
+    k = 2
+    B, L = 3000, 4096
+    codes = np.zeros((B, L), dtype=np.int8)          # all A
+    quals = np.full((B, L), 126, dtype=np.uint8)     # max ASCII quality
+    lens = np.full(B, L, dtype=np.int32)
+    valid = np.ones(B, dtype=bool)
+    ts, th, tl, w = kcgr.cgr_batch_tables(codes, quals, lens, valid, k,
+                                          PHRED33)
+    tq = kcgr.combine_quality_limbs(th, tl)
+    nwin = B * (L - k + 1)
+    weight = k * 126 - PHRED33 * k
+    assert int(w) == nwin
+    assert int(np.asarray(ts)[3, 0]) == nwin
+    expected = nwin * weight
+    assert expected > 2**31  # the scenario the old code wrapped on
+    assert int(tq[3, 0]) == expected
+    assert tq.sum() == expected

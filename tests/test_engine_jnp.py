@@ -260,3 +260,33 @@ def test_quality_key_half_rounds_up_everywhere():
     pp = batch_partials_pallas(codes, quals, lens, valid, 128, 33, None,
                                interpret=True)
     assert int(np.asarray(pp["quality_hist"])[71]) == 4
+
+
+def test_verdicts_long_read_no_overflow():
+    """A 30 kb Q30 read with only a min-quality bound set must pass — the
+    substituted MAX sentinel (100000) times the length would wrap int32."""
+    import numpy as np
+
+    from hpgq.kernels import stats_jnp
+    from hpgq.options import FilterCriteria
+    from hpgq.oracle import spec
+
+    L = 30720  # 30 kb, multiple of 128
+    codes = np.zeros((2, L), dtype=np.int8)
+    quals = np.full((2, L), 63, dtype=np.uint8)  # Q30 phred33
+    quals[1] = 32  # below the offset: negative normalized sum -> must fail
+    lens = np.full(2, L, dtype=np.int32)
+
+    crit = FilterCriteria(min_read_quality=20)  # max unset -> MAX_VALUE
+    ok = np.asarray(stats_jnp.verdicts(codes, quals, lens, crit, 33))
+    assert ok[0] and not ok[1]
+
+    # min unset (sentinel 0) still rejects negative normalized sums
+    crit2 = FilterCriteria(max_read_quality=60)
+    ok2 = np.asarray(stats_jnp.verdicts(codes, quals, lens, crit2, 33))
+    assert ok2[0] and not ok2[1]
+
+    # oracle agreement
+    seq = b"A" * L
+    assert spec.filter_verdict(seq, bytes([63]) * L, crit.substituted(), 33)
+    assert not spec.filter_verdict(seq, bytes([32]) * L, crit.substituted(), 33)
