@@ -85,8 +85,11 @@ def window_qsums(quals, k: int):
 
 def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
                      chunk: int = CHUNK, vary_axis=None):
-    """(table_seq i32 [dim, dim], table_q i32 [dim, dim], words i32) for one
-    packed batch — exact-integer chunked MXU accumulation.
+    """(table_seq i32, table_q_hi i32, table_q_lo i32, words i32) for one
+    packed batch — exact-integer chunked MXU accumulation.  The quality
+    table is returned as two int32 limbs (true value = hi*2^16 + lo,
+    recombine with :func:`combine_quality_limbs`): a single cell can exceed
+    2^31 within one batch and TPUs have no int64.
 
     ``vary_axis``: set to the mesh axis name when called inside shard_map."""
     dim = 1 << k
@@ -165,7 +168,7 @@ _CGR_STEP_CACHE: dict = {}
 
 def make_cgr_step(k: int = DEFAULT_CGR_K, phred: int = 33, jit: bool = True):
     """step(acc, codes, quals, lens, valid) -> acc for
-    acc = {"table_seq", "table_q", "words"} (device i32)."""
+    acc = {"table_seq", "table_q_hi", "table_q_lo", "words"} (device i32)."""
     key = (k, phred)
     if jit and key in _CGR_STEP_CACHE:
         return _CGR_STEP_CACHE[key]

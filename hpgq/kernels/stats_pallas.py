@@ -16,7 +16,10 @@ the O(TB·L) data pass.
 
 The k-mer fields (optional ``--kmers`` mode) stay on the jnp path
 (``stats_jnp.kmer_codes``/``kmer_hist2d``) and are fused by XLA around this
-kernel; see ``make_batch_partials``.
+kernel; see ``make_batch_partials``.  Note: in kmers+filter mode that jnp
+ride-along recomputes the verdicts for the k-mer mask (a second pass over
+the batch bytes) — the one-HBM-read guarantee below holds for the default
+non-kmers modes.
 
 Differentially tested against ``stats_jnp.batch_partials`` (exact for all
 integer fields; the f32 ``acc_quality`` tile-order sum is compared to 1e-3
