@@ -87,7 +87,7 @@ def run_oracle(path: str, batch_size: int, passes: int = 2,
 
 
 def run_engine(path: str, batch_size: int, batch_reads: int,
-               passes: int = 3) -> "tuple[float, int]":
+               passes: int = 4) -> "tuple[float, int]":
     """End-to-end engine throughput: one warmup pass amortizes jit
     compilation (production runs are long streams — compile cost is not the
     metric), then best of ``passes`` timed passes (host<->device link
