@@ -1,4 +1,4 @@
-set output './trunc.fq.GC.histogram.png'
+set output '<OUTDIR>/in.fq.GC.histogram.png'
 set terminal png nocrop enhanced font arial 10 size 640,360
 set ylabel 'Number of reads'
 set xlabel 'GC content (%)'
@@ -10,4 +10,4 @@ set lmargin '10'
 set rmargin '4'
 set tmargin '3'
 set bmargin '4'
-plot './trunc.fq.GC.histogram.data' using 1:2 title '' with boxes
+plot '<OUTDIR>/in.fq.GC.histogram.data' using 1:2 title '' with boxes

@@ -1,13 +1,13 @@
-set output './trunc.fq.read.quality.histogram.png'
+set output '<OUTDIR>/in.fq.read.quality.histogram.png'
 set terminal png nocrop enhanced font arial 10 size 640,360
 set ylabel 'Number of reads'
 set xlabel 'Read Quality (Phred33 scale)'
 set ytics border in scale 1,0.5 mirror norotate  offset character 0, 0, 0
 set title 'Avg. Read Quality Histogram'
-set xrange [ 0 : 5 ] noreverse nowriteback
+set xrange [ 0 : 14 ] noreverse nowriteback
 set autoscale y
 set lmargin '10'
 set rmargin '4'
 set tmargin '3'
 set bmargin '4'
-plot './trunc.fq.read.quality.histogram.data' using 1:2 title '' with boxes
+plot '<OUTDIR>/in.fq.read.quality.histogram.data' using 1:2 title '' with boxes
