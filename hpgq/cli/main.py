@@ -266,7 +266,7 @@ def main(argv=None) -> int:
         timers = StageTimers()
         from ..pipeline.run import run_stats
 
-        if getattr(opts, "sharded", False) and not opts.paired_end:
+        if getattr(opts, "sharded", False):
             from ..dist.run_dist import run_stats_sharded as run_stats  # noqa: F811
 
         result = run_stats(opts, timers)
@@ -297,6 +297,9 @@ def main(argv=None) -> int:
         timers = StageTimers()
         from ..pipeline.run import run_filter
 
+        if getattr(opts, "sharded", False):
+            from ..dist.run_dist import run_filter_sharded as run_filter  # noqa: F811
+
         res = run_filter(opts, timers)
         if opts.paired_end:
             _results_banner([
@@ -320,6 +323,9 @@ def main(argv=None) -> int:
         display(opts)
         timers = StageTimers()
         from ..pipeline.run import run_edit
+
+        if getattr(opts, "sharded", False):
+            from ..dist.run_dist import run_edit_sharded as run_edit  # noqa: F811
 
         res = run_edit(opts, timers)
         lines = ["Num. edited reads : %d" % res["num_edited"]]

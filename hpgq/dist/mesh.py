@@ -208,6 +208,97 @@ def range_splittable(path: str) -> bool:
     return is_bgzf(path)
 
 
+def _open_logical(path: str):
+    """(file-like, logical_size) — BgzfFile for BGZF, plain file otherwise
+    (offsets are decompressed-stream offsets either way)."""
+    with open(path, "rb") as probe:
+        gz = probe.read(2) == b"\x1f\x8b"
+    if gz:
+        from ..io.bgzf import BgzfFile
+
+        f = BgzfFile(path)
+        return f, f.logical_size
+    f = open(path, "rb")
+    return f, os.path.getsize(path)
+
+
+def count_newlines_in_range(path: str, start: int, end: int) -> int:
+    """Newlines in the logical byte range [start, end) — native memchr
+    streaming scan (records are 4 lines, so record count = newlines // 4
+    for record-aligned ranges)."""
+    from ..io.fastq import _find_newlines
+
+    f, _ = _open_logical(path)
+    try:
+        f.seek(start)
+        total = 0
+        left = end - start
+        while left > 0:
+            data = f.read(min(left, 16 << 20))
+            if not data:
+                break
+            total += int(len(_find_newlines(data)))
+            left -= len(data)
+        return total
+    finally:
+        f.close()
+
+
+def record_offsets(path: str, record_indices) -> "list[int]":
+    """Logical byte offset of the start of each requested record (sorted
+    ascending) via one streaming newline scan — used to map mate-1 shard
+    record counts onto mate-2 byte ranges for paired sharding."""
+    from ..io.fastq import _find_newlines
+
+    want = sorted(int(r) for r in record_indices)
+    out = {}
+    for r in want:
+        if r == 0:
+            out[0] = 0
+    remaining = [r for r in want if r != 0]
+    if remaining:
+        f, _ = _open_logical(path)
+        try:
+            nl_seen = 0
+            base = 0
+            ri = 0
+            while ri < len(remaining):
+                data = f.read(16 << 20)
+                if not data:
+                    # past EOF: offset = file end for any leftover indices
+                    for r in remaining[ri:]:
+                        out[r] = base
+                    break
+                nl = _find_newlines(data)
+                while ri < len(remaining):
+                    need = remaining[ri] * 4  # newline index ending rec-1
+                    if need > nl_seen + len(nl):
+                        break
+                    out[remaining[ri]] = base + int(nl[need - nl_seen - 1]) + 1
+                    ri += 1
+                nl_seen += len(nl)
+                base += len(data)
+        finally:
+            f.close()
+    return [out[int(r)] for r in record_indices]
+
+
+def split_paired_ranges(path1: str, path2: str, n_shards: int):
+    """Record-count-aligned shard ranges for a mate pair:
+    ``[((s1, e1), (s2, e2)), ...]`` such that shard i covers the SAME record
+    indices in both files (mate files have equal record counts but different
+    byte layouts, so mate-2 cuts come from record counting, not byte
+    fractions).  Cost: one streaming newline scan of each file."""
+    r1 = split_byte_ranges(path1, n_shards)
+    counts = [count_newlines_in_range(path1, s, e) // 4 for s, e in r1]
+    prefix = [0]
+    for c in counts:
+        prefix.append(prefix[-1] + c)
+    offs2 = record_offsets(path2, prefix)
+    r2 = [(offs2[i], offs2[i + 1]) for i in range(n_shards)]
+    return list(zip(r1, r2))
+
+
 def split_byte_ranges(path: str, n_shards: int):
     """[(start, end)] record-aligned byte ranges covering a FASTQ file.
 

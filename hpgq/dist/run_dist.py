@@ -45,6 +45,7 @@ from .mesh import (
     range_splittable,
     sharded_counters,
     split_byte_ranges,
+    split_paired_ranges,
     zero_sharded_partials,
 )
 
@@ -154,6 +155,27 @@ class ShardedStatsSession:
 
 
 _jitted_max = jax.jit(jnp.max)
+_jitted_sum0 = jax.jit(lambda x: x.sum(axis=0))
+
+
+def _vote_sum(mesh, values) -> np.ndarray:
+    """Element-wise cross-process sum of a small host-local int64 vector
+    (global output counts for sharded filter/edit).  Single-process: the
+    values unchanged."""
+    vals = np.atleast_1d(np.asarray(values, dtype=np.int64))
+    if jax.process_count() == 1:
+        return vals
+    local = np.zeros((jax.local_device_count(),) + vals.shape, np.int64)
+    local[0] = vals  # one carrier device per process
+    g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local
+    )
+    return np.asarray(jax.device_get(_jitted_sum0(g)))
+
+
+def _barrier(mesh) -> None:
+    """All processes reach this point (one tiny collective)."""
+    _vote_max(mesh, 1)
 
 
 def _vote_max(mesh, value: int) -> int:
@@ -472,17 +494,303 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
     return cgr_run.emit_cgr_outputs(opts, sess, timers)
 
 
+def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
+    """Paired-end sharded stats: record-count-aligned shard ranges for both
+    mates (``split_paired_ranges``), pair-consistent inline filter computed
+    on local devices, per-mate sharded accumulation, lockstep length votes
+    so every process grows its shard_map shapes together.  Mirrors the
+    single-process paired path (``pipeline.run.run_stats``)."""
+    import dataclasses
+
+    from ..kernels.stats_jnp import _crit_key
+    from ..kernels import stats_jnp
+    from ..pipeline.run import _iter_blocks_paired
+    from ..pipeline.session import ShapeCachedFn
+
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    multihost = pcnt > 1
+    phred = opts.quality_encoding_value
+    crit = opts.criteria if opts.filter_on else None
+    br = _sharded_batch_reads(opts, mesh)
+
+    if getattr(opts, "checkpoint_path", None):
+        import logging
+
+        logging.getLogger("hpgq").warning(
+            "--checkpoint is not supported for sharded paired stats; "
+            "running without checkpoints"
+        )
+
+    if multihost:
+        _require_splittable([opts.in_filename, opts.in_filename2],
+                            "paired stats")
+        (s1, e1), (s2, e2) = split_paired_ranges(
+            opts.in_filename, opts.in_filename2, pcnt
+        )[pidx]
+    else:
+        (s1, e1), (s2, e2) = (0, None), (0, None)
+
+    sess1 = ShardedStatsSession(mesh, phred, opts.kmers_on, None,
+                                batch_reads=br)
+    sess2 = ShardedStatsSession(mesh, phred, opts.kmers_on, None,
+                                batch_reads=br)
+    vfn = (
+        ShapeCachedFn(
+            lambda: (
+                lambda c, q, l, v: stats_jnp.verdicts(c, q, l, crit, phred) & v
+            ),
+            br,
+            cache_key=("verdict", _crit_key(crit), phred, br),
+        )
+        if crit is not None
+        else None
+    )
+
+    num_passed = num_failed = 0
+    with FastqReader(opts.in_filename, batch_size=opts.batch_size,
+                     start_offset=s1, end_offset=e1) as r1, \
+         FastqReader(opts.in_filename2, batch_size=opts.batch_size,
+                     start_offset=s2, end_offset=e2) as r2:
+        pairs = _iter_blocks_paired(r1, r2, timers)
+        done = False
+        while True:
+            pair = None if done else next(pairs, None)
+            if pair is None:
+                done = True
+            if multihost:
+                lmax_local = 0 if done else round_up(
+                    max(pair[0].max_len(), pair[1].max_len(), 1), 128
+                )
+                lmax = _vote_max(mesh, lmax_local)
+                if lmax == 0:
+                    break
+            else:
+                if done:
+                    break
+                lmax = round_up(max(pair[0].max_len(), pair[1].max_len(), 1),
+                                128)
+            for sess in (sess1, sess2):
+                if lmax > sess.lcap:
+                    sess._grow(lmax)
+            with timers.stage("compute"):
+                if pair is None:
+                    sess1.feed_empty()
+                    sess2.feed_empty()
+                    continue
+                b1, b2 = pair
+                sel = None
+                if vfn is not None:
+                    both = vfn(b1) & vfn(b2)
+                    num_passed += int(both.sum())
+                    num_failed += int(b1.num_reads - both.sum())
+                    sel = both
+                for sess, blk in ((sess1, b1), (sess2, b2)):
+                    codes, quals, lens, valid = pack_block(
+                        blk, max_len=sess.lcap, pad_reads_to=br
+                    )
+                    if sel is not None:
+                        valid = valid.copy()
+                        valid[: len(sel)] &= sel
+                    sess.feed_packed(codes, quals, lens, valid)
+
+    with timers.stage("compute"):
+        c1, c2 = sess1.finish(), sess2.finish()
+    if crit is not None:
+        gp, gf = (int(x) for x in _vote_sum(mesh, [num_passed, num_failed]))
+    else:
+        gp = gf = 0
+    for c in (c1, c2):
+        c.filter_on = crit is not None
+        c.num_passed, c.num_failed = gp, gf
+    if report and jax.process_index() == 0:
+        with timers.stage("reporting"):
+            stats_report(c1, opts)
+            opts2 = dataclasses.replace(opts, in_filename=opts.in_filename2)
+            stats_report(c2, opts2)
+    return c1, c2
+
+
+# ---------------------------------------------------------------------------
+# sharded filter / edit (per-host output shards, deterministic concat)
+# ---------------------------------------------------------------------------
+
+def _require_splittable(paths, cmd: str):
+    from ..options import OptionsError
+
+    for p in paths:
+        if not range_splittable(p):
+            raise OptionsError(
+                "%s: multi-host --sharded needs a byte-seekable input "
+                "(plain or BGZF FASTQ); %r is plain gzip — recompress with "
+                "bgzip or run without --sharded" % (cmd, p)
+            )
+
+
+def _shard_path(path: str, pidx: int) -> str:
+    return "%s.shard%04d" % (path, pidx)
+
+
+def _concat_shards(mesh, final_paths, pcnt: int) -> bool:
+    """Rank 0: concatenate per-rank output shards (rank order == input
+    order, because byte-range shards are assigned in file order) into the
+    final files and remove the shards.  Needs the output dir to be a shared
+    filesystem; if any shard is missing on rank 0 the shards are left in
+    place for manual concat and False is returned."""
+    import logging
+    import shutil
+
+    _barrier(mesh)  # every rank finished writing its shards
+    if jax.process_index() != 0:
+        _barrier(mesh)
+        return True
+    ok = True
+    try:
+        for final in final_paths:
+            shards = [_shard_path(final, i) for i in range(pcnt)]
+            if not all(os.path.exists(s) for s in shards):
+                logging.getLogger("hpgq").warning(
+                    "output dir is not shared across hosts; per-rank shards "
+                    "left as %s.shard*", final
+                )
+                ok = False
+                continue
+            with open(final, "wb") as out:
+                for s in shards:
+                    with open(s, "rb") as f:
+                        shutil.copyfileobj(f, out, 16 << 20)
+            for s in shards:
+                os.unlink(s)
+    finally:
+        _barrier(mesh)  # ranks may not delete shards before concat is done
+    return ok
+
+
+def run_filter_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
+    """Multi-host `filter`: each process filters its own record-aligned
+    shard (single- or paired-end) and writes per-rank output shards;
+    rank 0 concatenates them in shard order, which reproduces the
+    single-process output byte-for-byte (SURVEY §5 dist row).  Counts are
+    summed with one collective.  Single-process --sharded degenerates to
+    the ordinary pipeline (identical outputs; the verdict kernel is not the
+    bottleneck at one host)."""
+    from ..pipeline.run import run_filter
+
+    timers = timers or StageTimers()
+    initialize_distributed()
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    if pcnt == 1:
+        return run_filter(opts, timers)
+    mesh = mesh if mesh is not None else data_mesh()
+    return _run_output_sharded(opts, timers, mesh, "filter", run_filter,
+                               ("num_passed", "num_failed"))
+
+
+def run_edit_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
+    """Multi-host `edit` — same sharding scheme as :func:`run_filter_sharded`."""
+    from ..pipeline.run import run_edit
+
+    timers = timers or StageTimers()
+    initialize_distributed()
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    if pcnt == 1:
+        return run_edit(opts, timers)
+    mesh = mesh if mesh is not None else data_mesh()
+    return _run_output_sharded(opts, timers, mesh, "edit", run_edit,
+                               ("num_edited", "num_passed", "num_failed"))
+
+
+def _run_output_sharded(opts, timers, mesh, cmd, runner, count_keys):
+    """Shared machinery for sharded filter/edit: rewrite opts to this
+    process's input range + shard-suffixed output dir, run the ordinary
+    pipeline on the shard, then concat + sum counts."""
+    import dataclasses
+    import logging
+
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    inputs = [opts.in_filename] + (
+        [opts.in_filename2] if opts.paired_end else []
+    )
+    _require_splittable(inputs, cmd)
+    if getattr(opts, "checkpoint_path", None):
+        logging.getLogger("hpgq").warning(
+            "--checkpoint is not supported for multi-host %s; running "
+            "without checkpoints", cmd
+        )
+
+    if opts.paired_end:
+        (s1, e1), (s2, e2) = split_paired_ranges(
+            opts.in_filename, opts.in_filename2, pcnt
+        )[pidx]
+        ranges = {opts.in_filename: (s1, e1), opts.in_filename2: (s2, e2)}
+    else:
+        ranges = {opts.in_filename: split_byte_ranges(opts.in_filename,
+                                                      pcnt)[pidx]}
+
+    # run the ordinary pipeline, but over range-bounded readers and into
+    # shard-suffixed outputs (out_dirname gets a per-rank subdir; the
+    # final concat lifts files up)
+    shard_dir = os.path.join(opts.out_dirname, ".shard%04d" % pidx)
+    os.makedirs(shard_dir, exist_ok=True)
+    local = dataclasses.replace(opts) if dataclasses.is_dataclass(opts) else opts
+    local.out_dirname = shard_dir
+    local.checkpoint_path = None
+
+    from ..io import fastq as fq_mod
+
+    orig_reader = fq_mod.FastqReader
+
+    class _RangeReader(orig_reader):  # bound each input to this rank's range
+        def __init__(self, path, batch_size=10000, start_offset=0,
+                     end_offset=None):
+            if path in ranges and end_offset is None:
+                s, e = ranges[path]
+                start_offset, end_offset = max(start_offset, s), e
+            super().__init__(path, batch_size=batch_size,
+                             start_offset=start_offset, end_offset=end_offset)
+
+    from ..pipeline import run as run_mod
+
+    saved = run_mod.FastqReader
+    run_mod.FastqReader = _RangeReader
+    try:
+        out = runner(local, timers)
+    finally:
+        run_mod.FastqReader = saved
+
+    # lift shard outputs: <out>/.shardNNNN/passed.fq -> <out>/passed.fq.shardNNNN
+    finals = []
+    for name in sorted(os.listdir(shard_dir)):
+        final = os.path.join(opts.out_dirname, name)
+        os.replace(os.path.join(shard_dir, name), _shard_path(final, pidx))
+        finals.append(final)
+    os.rmdir(shard_dir)
+
+    # global file list (ranks with empty shards still created all writers,
+    # so the name set is identical on every rank)
+    _concat_shards(mesh, finals, pcnt)
+    summed = _vote_sum(mesh, [int(out.get(k, 0)) for k in count_keys])
+    for k, v in zip(count_keys, summed):
+        out[k] = int(v)
+    for k in list(out):
+        if isinstance(out[k], str) and ".shard" in out[k]:
+            out[k] = out[k].replace(shard_dir, opts.out_dirname)
+    return out
+
+
 def run_stats_sharded(
     opts: StatsOptions,
     timers: Optional[StageTimers] = None,
     mesh=None,
     report: bool = True,
 ):
-    """Multi-device / multi-host `stats` (single-end).  Returns counters
-    (identical on every process after the collective merge)."""
+    """Multi-device / multi-host `stats`.  Returns counters — identical on
+    every process after the collective merge (a (c1, c2) tuple when
+    paired)."""
     timers = timers or StageTimers()
     initialize_distributed()
     mesh = mesh if mesh is not None else data_mesh()
+    if opts.paired_end:
+        return _run_stats_sharded_paired(opts, timers, mesh, report)
     crit = opts.criteria if opts.filter_on else None
     multihost = jax.process_count() > 1
 
