@@ -4,7 +4,7 @@
 BASELINE.md protocol: the reference publishes no numbers, so the baseline is
 the single-CPU oracle (numpy implementation of the SURVEY §2.2 contracts)
 measured in-process on the same corpus; the driver target is >=10x on one
-TPU chip.  Prints ONE JSON line:
+TPU chip.  The headline JSON line (printed LAST on stdout):
 
     {"metric": "stats_filter_reads_per_sec", "value": N, "unit": "reads/s",
      "vs_baseline": N}
@@ -12,6 +12,12 @@ TPU chip.  Prints ONE JSON line:
 where value is the end-to-end engine throughput (file read -> pack ->
 device stats+filter accumulate -> counters) and vs_baseline is the ratio to
 the oracle doing the identical end-to-end work on one CPU core.
+
+The default ``--mode all`` additionally emits one metric line per BASELINE
+config (filter / edit / cgr) plus the scaling-efficiency line from
+``bench_scaling.py`` (8-device CPU mesh), and a per-stage breakdown object
+on stderr (read+index, pack->wire, h2d, device step) so the end-to-end
+bottleneck is attributable from the artifact alone.
 """
 
 import argparse
@@ -113,10 +119,12 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
     one_pass()  # warmup: jit compile (persistent-cached) + file cache
     best = 0.0
     total = 0
+    run_engine.pass_seconds = []
     for i in range(passes):
         t0 = time.perf_counter()
         total = one_pass()
         dt = time.perf_counter() - t0
+        run_engine.pass_seconds.append(round(dt, 3))
         best = max(best, total / dt)
         if time.perf_counter() - t_start > budget:
             break
@@ -199,6 +207,69 @@ def run_cgr_mode(path: str, batch_size: int, n_reads: int, k: int = 7):
     return n_reads / dt, n_reads
 
 
+def stage_breakdown(path: str, batch_reads: int) -> dict:
+    """Per-stage host/device attribution (VERDICT r1 #1a): reads/s for each
+    pipeline stage measured in isolation, so the end-to-end bottleneck is
+    attributable from the bench artifact alone.
+
+    Stages: read+index (host, serial), pack->wire (host, per batch),
+    h2d (device_put + sync of one wire buffer), device_step (donated
+    accumulate step on a device-resident buffer, transfer excluded)."""
+    import jax
+
+    from hpgq.io.packer import pack_block_fused
+    from hpgq.pipeline.session import StatsSession
+
+    out = {}
+
+    # read + newline index (the serial part of the host pipeline)
+    t0 = time.perf_counter()
+    total = 0
+    first = None
+    with FastqReader(path, batch_size=batch_reads) as rd:
+        for block in rd:
+            if first is None or block.num_reads > first.num_reads:
+                first = block
+            total += block.num_reads
+    out["read_index_reads_per_sec"] = round(total / (time.perf_counter() - t0), 1)
+    if first is None:  # empty corpus
+        return out
+
+    n = first.num_reads
+    L = 128
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        buf = pack_block_fused(first, L, pad_reads_to=batch_reads)
+        best = max(best, n / (time.perf_counter() - t0))
+    out["pack_wire_reads_per_sec"] = round(best, 1)
+    out["wire_bytes_per_read"] = buf.shape[1]
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_put(buf).block_until_ready()
+        best = max(best, n / (time.perf_counter() - t0))
+    out["h2d_reads_per_sec"] = round(best, 1)
+    out["h2d_mb_per_sec"] = round(buf.nbytes * best / n / 1e6, 1)
+
+    sess = StatsSession(PHRED, kmers_on=False, crit=CRIT,
+                        batch_reads=batch_reads)
+    if getattr(sess.acc, "wire", None) == "fused4":
+        dbuf = jax.device_put(buf)
+        sess.feed_packed(dbuf)  # compile warmup
+        jax.block_until_ready(sess.acc._acc)
+        steps = 10
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            sess.feed_packed(dbuf)
+        jax.block_until_ready(sess.acc._acc)
+        dt = time.perf_counter() - t0
+        out["device_step_reads_per_sec"] = round(steps * n / dt, 1)
+        out["device_step_ms"] = round(dt / steps * 1e3, 3)
+    return out
+
+
 def run_cgr_oracle(path: str, n_reads: int, k: int = 7):
     """CGR baseline: the faithful per-nucleotide loop (hpgq.oracle.cgr)."""
     from hpgq.io.fastq import FastqReader
@@ -216,11 +287,43 @@ def run_cgr_oracle(path: str, n_reads: int, k: int = 7):
     return total / dt, total
 
 
+def _emit(obj, err=False):
+    stream = sys.stderr if err else sys.stdout
+    print(json.dumps(obj), file=stream)
+    stream.flush()
+
+
+def run_scaling_subprocess(reads: int, timeout_s: float):
+    """bench_scaling.py on an emulated 8-device CPU mesh in a fresh process
+    (backend choice is process-global); forwards its metric line."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "bench_scaling.py"),
+             "--cpu-devices", "8", "--reads", str(reads)],
+            capture_output=True, text=True, timeout=timeout_s, cwd=here,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if obj.get("metric") == "scaling_efficiency":
+            return obj
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="stats",
-                    choices=["stats", "filter", "edit", "cgr"],
-                    help="workload: BASELINE configs #1/#2, #3, #5")
+    ap.add_argument("--mode", default="all",
+                    choices=["all", "stats", "filter", "edit", "cgr"],
+                    help="workload: all = every BASELINE config + scaling")
     ap.add_argument("--reads", type=int, default=400_000)
     ap.add_argument("--len", dest="read_len", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=131_072)
@@ -232,11 +335,70 @@ def main():
     path = corpus(args.reads, args.read_len)
     opath = (path if args.oracle_reads >= args.reads
              else corpus(args.oracle_reads, args.read_len))
+    br = round_up(args.batch_reads, 256)
+
+    if args.mode == "all":
+        # Headline (config #1+#2: stats with inline filter) first — computed
+        # now, printed LAST so the driver's tail-parse lands on it.
+        t_all = time.perf_counter()
+        budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "420"))
+        oracle_rps, _ = run_oracle(opath, args.batch_size)
+        engine_rps, total = run_engine(path, args.batch_size, br, passes=3)
+        headline = {
+            "metric": "stats_filter_reads_per_sec",
+            "value": round(engine_rps, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(engine_rps / oracle_rps, 3),
+        }
+        _emit({"breakdown": stage_breakdown(path, br),
+               "engine_pass_seconds": getattr(run_engine, "pass_seconds", []),
+               "oracle_reads_per_sec": round(oracle_rps, 1),
+               "engine_reads": total, "read_len": args.read_len,
+               "platform": _platform()}, err=True)
+
+        import tempfile
+
+        small = corpus(min(args.reads, 200_000), args.read_len)
+        n_small = min(args.reads, 200_000)
+        if time.perf_counter() - t_all < budget:
+            rps, _ = run_filter_mode(small, args.batch_size,
+                                     tempfile.mkdtemp(prefix="hpgq_bench_"))
+            _emit({"metric": "filter_reads_per_sec", "value": round(rps, 1),
+                   "unit": "reads/s",
+                   "vs_baseline": round(rps / oracle_rps, 3)})
+        if time.perf_counter() - t_all < budget:
+            vpath = os.path.join(BENCH_DIR, "bench_var_%d.fq" % n_small)
+            if not os.path.exists(vpath):
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tests"))
+                from gen import make_fastq
+
+                make_fastq(vpath, n_small, min_len=60, max_len=160,
+                           n_prob=0.005, seed=11)
+            rps, _ = run_edit_mode(vpath, args.batch_size,
+                                   tempfile.mkdtemp(prefix="hpgq_bench_"))
+            _emit({"metric": "edit_reads_per_sec", "value": round(rps, 1),
+                   "unit": "reads/s",
+                   "vs_baseline": round(rps / oracle_rps, 3)})
+        if time.perf_counter() - t_all < budget:
+            ocorpus = corpus(5_000, args.read_len)
+            cgr_oracle_rps, _ = run_cgr_oracle(ocorpus, 5_000)
+            rps, _ = run_cgr_mode(small, args.batch_size, n_small)
+            _emit({"metric": "cgr_reads_per_sec", "value": round(rps, 1),
+                   "unit": "reads/s",
+                   "vs_baseline": round(rps / cgr_oracle_rps, 3)})
+        if time.perf_counter() - t_all < budget:
+            sc = run_scaling_subprocess(
+                100_000, timeout_s=max(60.0, budget - (time.perf_counter() - t_all)))
+            if sc:
+                _emit(sc)
+        _emit(headline)
+        return
 
     if args.mode == "stats":
         oracle_rps, _ = run_oracle(opath, args.batch_size)
-        engine_rps, total = run_engine(path, args.batch_size,
-                                       round_up(args.batch_reads, 256))
+        engine_rps, total = run_engine(path, args.batch_size, br)
+        _emit({"breakdown": stage_breakdown(path, br)}, err=True)
         metric = "stats_filter_reads_per_sec"
     elif args.mode == "cgr":
         ocorpus = corpus(min(args.oracle_reads, 5_000), args.read_len)
@@ -252,18 +414,18 @@ def main():
         oracle_rps, _ = run_oracle(opath, args.batch_size)
         metric = "%s_reads_per_sec" % args.mode
 
-    print(json.dumps({
-        "metric": metric,
-        "value": round(engine_rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(engine_rps / oracle_rps, 3),
-    }))
-    print(json.dumps({
+    _emit({
         "oracle_reads_per_sec": round(oracle_rps, 1),
         "engine_reads": total,
         "read_len": args.read_len,
         "platform": _platform(),
-    }), file=sys.stderr)
+    }, err=True)
+    _emit({
+        "metric": metric,
+        "value": round(engine_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(engine_rps / oracle_rps, 3),
+    })
 
 
 def _platform() -> str:

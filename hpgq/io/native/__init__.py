@@ -94,6 +94,18 @@ def get_lib():
         lib.hpgq_find_newlines_mt.argtypes = [
             u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int,
         ]
+        lib.hpgq_pack_fused.restype = None
+        lib.hpgq_pack_fused.argtypes = [
+            u8p, i64p, i64p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
+            ctypes.c_int,
+        ]
+        lib.hpgq_pack_bitwire.restype = None
+        lib.hpgq_pack_bitwire.argtypes = [
+            u8p, i64p, i64p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -160,6 +172,53 @@ def concat_spans(buf, starts, ends) -> memoryview:
     n = lib.hpgq_concat_spans(arr, starts, ends, len(starts), out)
     assert n == total, (n, total)
     return memoryview(out)  # zero-copy; file.write accepts buffers
+
+
+def pack_fused(buf, seq_starts, q_starts, lens, L: int, nrows: int,
+               num_threads: int = 0) -> np.ndarray:
+    """Fused4 wire buffer uint8 [nrows, L/2+L+8] straight from chunk bytes
+    (single OpenMP pass; see hpgq_pack_fused / stats_jnp.wire_fuse)."""
+    lib = get_lib()
+    n = len(lens)
+    W = L // 2 + L + 8
+    out = np.empty((nrows, W), dtype=np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    from ..packer import BASE_LUT
+
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    lib.hpgq_pack_fused(
+        arr,
+        np.ascontiguousarray(seq_starts, dtype=np.int64),
+        np.ascontiguousarray(q_starts, dtype=np.int64),
+        np.ascontiguousarray(lens, dtype=np.int32),
+        n, L, nrows, BASE_LUT, out.reshape(-1), num_threads,
+    )
+    return out
+
+
+def pack_bitwire(buf, seq_starts, q_starts, lens, L: int, nrows: int,
+                 num_threads: int = 0) -> np.ndarray:
+    """Bitpack wire buffer uint8 [nrows, 3L/8 + 7L/8 + 8] (L % 8 == 0)
+    straight from chunk bytes — see hpgq_pack_bitwire / stats_jnp.wire_unbits."""
+    lib = get_lib()
+    assert L % 8 == 0, L
+    n = len(lens)
+    W = 3 * L // 8 + 7 * L // 8 + 8
+    out = np.empty((nrows, W), dtype=np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    from ..packer import BASE_LUT
+
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    lib.hpgq_pack_bitwire(
+        arr,
+        np.ascontiguousarray(seq_starts, dtype=np.int64),
+        np.ascontiguousarray(q_starts, dtype=np.int64),
+        np.ascontiguousarray(lens, dtype=np.int32),
+        n, L, nrows, BASE_LUT, out.reshape(-1), num_threads,
+    )
+    return out
 
 
 def pack_rows(buf, seq_starts, q_starts, lens, lmax: int, nrows: int,

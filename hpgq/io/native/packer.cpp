@@ -129,6 +129,126 @@ int64_t hpgq_find_newlines_mt(const uint8_t* buf, int64_t n, int64_t* nl,
     return offs[(size_t)nseg];
 }
 
+// Pack `n` reads straight into the fused4 wire layout (one uint8 row per
+// read: [codes4 | quals | len_le32 | valid | pad3], row width W = L/2+L+8 —
+// see hpgq.kernels.stats_jnp.wire_fuse).  This replaces the two-tensor pack
+// + numpy nibble-pack + concatenate with ONE OpenMP pass from the chunk
+// bytes to the transfer buffer: the host->device wire buffer is written
+// exactly once.  Rows i >= n are padding (codes nibble 5 -> 0x55, quals 0,
+// len 0, valid 0).
+void hpgq_pack_fused(const uint8_t* buf, const int64_t* seq_starts,
+                     const int64_t* q_starts, const int32_t* lens, int64_t n,
+                     int64_t L, int64_t nrows, const int8_t* lut,
+                     uint8_t* out, int num_threads) {
+    const int64_t L2 = L / 2;
+    const int64_t W = L2 + L + 8;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(num_threads)
+#endif
+    for (int64_t i = 0; i < nrows; ++i) {
+        uint8_t* row = out + i * W;
+        if (i >= n) {
+            memset(row, 0x55, L2);      // BASE_OTHER=5 in both nibbles
+            memset(row + L2, 0, L + 8); // quals, len, valid, pad
+            continue;
+        }
+        const int64_t len_orig = lens[i];  // wire carries the unclipped
+        int64_t len = len_orig;            // length (pack_block semantics)
+        if (len > L) len = L;
+        const uint8_t* seq = buf + seq_starts[i];
+        // nibble-packed base codes, even position in the low nibble
+        int64_t pairs = len / 2;
+        for (int64_t j = 0; j < pairs; ++j) {
+            row[j] = (uint8_t)(lut[seq[2 * j]] & 0xF) |
+                     (uint8_t)((lut[seq[2 * j + 1]] & 0xF) << 4);
+        }
+        if (len & 1) {
+            // odd tail: high nibble is padding (BASE_OTHER)
+            row[pairs] = (uint8_t)(lut[seq[len - 1]] & 0xF) | 0x50;
+            ++pairs;
+        }
+        if (pairs < L2) memset(row + pairs, 0x55, L2 - pairs);
+        uint8_t* qrow = row + L2;
+        memcpy(qrow, buf + q_starts[i], len);
+        if (len < L) memset(qrow + len, 0, L - len);
+        uint8_t* tail = row + L2 + L;
+        uint32_t l32 = (uint32_t)len_orig;
+        tail[0] = (uint8_t)(l32 & 0xFF);
+        tail[1] = (uint8_t)((l32 >> 8) & 0xFF);
+        tail[2] = (uint8_t)((l32 >> 16) & 0xFF);
+        tail[3] = (uint8_t)((l32 >> 24) & 0xFF);
+        tail[4] = 1;  // valid
+        tail[5] = tail[6] = tail[7] = 0;
+    }
+}
+
+// Pack `n` reads into the bitpack wire layout: one uint8 row per read of
+// width W = 3L/8 + 7L/8 + 8 (L % 8 == 0):
+//   [codes3 | quals7 | len_le32 | valid | pad3]
+// codes are 3-bit (A..N,other = 0..5, pad 5), quals the raw 7-bit ASCII
+// byte (pad 0), both little-endian bitstreams (value LSB first).  This is
+// the minimum-byte transfer format for latency-/bandwidth-bound
+// host->device links: ~31% fewer bytes than fused4 at equal information.
+// Decoded on device by hpgq.kernels.stats_jnp.wire_unbits.
+void hpgq_pack_bitwire(const uint8_t* buf, const int64_t* seq_starts,
+                       const int64_t* q_starts, const int32_t* lens,
+                       int64_t n, int64_t L, int64_t nrows, const int8_t* lut,
+                       uint8_t* out, int num_threads) {
+    const int64_t c3 = 3 * L / 8;
+    const int64_t q7 = 7 * L / 8;
+    const int64_t W = c3 + q7 + 8;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(num_threads)
+#endif
+    for (int64_t i = 0; i < nrows; ++i) {
+        uint8_t* row = out + i * W;
+        if (i >= n) {
+            memset(row, 0, W);
+            continue;
+        }
+        const int64_t len_orig = lens[i];
+        int64_t len = len_orig;
+        if (len > L) len = L;
+        const uint8_t* seq = buf + seq_starts[i];
+        const uint8_t* q = buf + q_starts[i];
+        uint32_t reg = 0;
+        int bits = 0;
+        uint8_t* p = row;
+        for (int64_t j = 0; j < L; ++j) {
+            uint32_t v = j < len ? (uint32_t)(lut[seq[j]] & 7) : 5u;
+            reg |= v << bits;
+            bits += 3;
+            if (bits >= 8) {
+                *p++ = (uint8_t)(reg & 0xFF);
+                reg >>= 8;
+                bits -= 8;
+            }
+        }
+        // L % 8 == 0 -> 3L % 8 == 0 -> bits == 0 here
+        reg = 0;
+        bits = 0;
+        p = row + c3;
+        for (int64_t j = 0; j < L; ++j) {
+            uint32_t v = j < len ? (uint32_t)(q[j] & 0x7F) : 0u;
+            reg |= v << bits;
+            bits += 7;
+            if (bits >= 8) {
+                *p++ = (uint8_t)(reg & 0xFF);
+                reg >>= 8;
+                bits -= 8;
+            }
+        }
+        uint8_t* tail = row + c3 + q7;
+        uint32_t l32 = (uint32_t)len_orig;
+        tail[0] = (uint8_t)(l32 & 0xFF);
+        tail[1] = (uint8_t)((l32 >> 8) & 0xFF);
+        tail[2] = (uint8_t)((l32 >> 16) & 0xFF);
+        tail[3] = (uint8_t)((l32 >> 24) & 0xFF);
+        tail[4] = 1;
+        tail[5] = tail[6] = tail[7] = 0;
+    }
+}
+
 // Concatenate byte spans buf[starts[i]:ends[i]) into out.  Returns total
 // bytes written.  The filter/edit writers express whole records (and
 // trimmed record pieces) as span lists over the original chunk buffer, so
@@ -145,6 +265,6 @@ int64_t hpgq_concat_spans(const uint8_t* buf, const int64_t* starts,
     return total;
 }
 
-int hpgq_abi_version(void) { return 2; }
+int hpgq_abi_version(void) { return 3; }
 
 }  // extern "C"

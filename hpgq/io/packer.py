@@ -45,6 +45,82 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pack_block_fused(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
+    """Pack a RecordBlock straight into the fused4 wire buffer
+    (uint8 ``[nrows, L/2 + L + 8]``, see ``stats_jnp.wire_fuse``).
+
+    Single native OpenMP pass from the chunk bytes to the transfer buffer —
+    the hot path of the streaming engine (the wire buffer is written exactly
+    once instead of codes/quals tensors + numpy nibble-pack + concat).
+    Falls back to ``pack_block`` + ``wire_fuse`` without the native library
+    (differentially tested: tests/test_native.py)."""
+    n = block.num_reads
+    L = int(max_len)
+    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    from . import native
+
+    if n and native.available():
+        return native.pack_fused(
+            block.arr, block.starts[:, 1], block.starts[:, 3],
+            block.seq_lens, L, nrows, num_threads=_NUM_THREADS,
+        )
+    from ..kernels.stats_jnp import wire_fuse
+
+    return wire_fuse(*pack_block(block, max_len=L, pad_reads_to=nrows))
+
+
+def _bitpack_np(vals: np.ndarray, nbits: int) -> np.ndarray:
+    """[N, L] small-int values -> little-endian bitstream [N, nbits*L/8]
+    (value LSB first; matches hpgq_pack_bitwire's register order)."""
+    n, L = vals.shape
+    bits = (vals[:, :, None].astype(np.uint8) >> np.arange(nbits)) & 1
+    return np.packbits(bits.reshape(n, L * nbits), axis=1, bitorder="little")
+
+
+def wire_bitpack_np(codes, quals, lens, valid) -> np.ndarray:
+    """Numpy reference of the bitpack wire: rows
+    [codes3 | quals7 | len_le32 | valid | pad3] (see hpgq_pack_bitwire).
+    Differential oracle for the native packer and the engine-feed fallback
+    when packed arrays (not a RecordBlock) are supplied."""
+    B, L = np.asarray(quals).shape
+    assert L % 8 == 0, L
+    c = np.where(np.asarray(valid)[:, None], np.asarray(codes, dtype=np.uint8),
+                 np.uint8(0))
+    q = np.where(np.asarray(valid)[:, None], np.asarray(quals, dtype=np.uint8),
+                 np.uint8(0))
+    lens_b = np.where(np.asarray(valid), np.asarray(lens), 0).astype(
+        "<i4").view(np.uint8).reshape(B, 4)
+    v = np.asarray(valid, dtype=np.uint8).reshape(B, 1)
+    row = np.concatenate(
+        [_bitpack_np(c & 7, 3), _bitpack_np(q & 0x7F, 7), lens_b, v,
+         np.zeros((B, 3), dtype=np.uint8)], axis=1
+    )
+    return row
+
+
+def pack_block_bitwire(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
+    """Pack a RecordBlock straight into the bitpack wire buffer
+    (uint8 ``[nrows, 3L/8 + 7L/8 + 8]``, ``max_len % 8 == 0``): 3-bit base
+    codes + 7-bit ASCII quals, ~31% fewer wire bytes than fused4 — the
+    preferred format when the host->device link is the pipeline bottleneck
+    (remote/tunneled TPU).  Native single pass; numpy fallback is the
+    differential oracle (tests/test_native.py)."""
+    n = block.num_reads
+    L = int(max_len)
+    assert L % 8 == 0, L
+    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    from . import native
+
+    if n and native.available():
+        return native.pack_bitwire(
+            block.arr, block.starts[:, 1], block.starts[:, 3],
+            block.seq_lens, L, nrows, num_threads=_NUM_THREADS,
+        )
+    return wire_bitpack_np(*pack_block(block, max_len=L, pad_reads_to=nrows))
+
+
 def pack_block(block, max_len: int = 0, pad_reads_to: int = 0):
     """Pack a RecordBlock into (codes, quals, lens, valid).
 

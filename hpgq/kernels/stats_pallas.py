@@ -48,7 +48,7 @@ _NUM_READS, _ACC_LENGTH, _MIN_LEN, _MAX_LEN, _NUM_PASSED, _NUM_FAILED = range(6)
 
 
 def _stats_kernel(codes_ref, quals_ref, lens_ref, valid_ref,
-                  o_si, o_sf, o_lh, o_qh, o_gh, o_cov, o_qpn, o_bpn,
+                  o_si, o_sf, o_lh, o_qh, o_gh, o_cov, o_qpn, o_bpn, o_pass,
                   *, lcap: int, phred: int, crit, lhp: int):
     """Per-tile body. crit is a substituted FilterCriteria or None (static)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -108,6 +108,8 @@ def _stats_kernel(codes_ref, quals_ref, lens_ref, valid_ref,
         v = valid
 
     v32 = v.astype(jnp.int32)                       # [TB, 1]
+    o_pass[:] = v32  # per-read final selection (valid & verdict) — lets the
+    # kmer ride-along reuse the in-kernel verdicts instead of recomputing
     vmask = mask & v
 
     # ---- per-position stats (one pass over the tile) ----
@@ -199,11 +201,13 @@ def batch_partials_pallas(codes, quals, lens, valid, lcap: int, phred: int,
         jax.ShapeDtypeStruct((1, L), jnp.int32),          # coverage per nt
         jax.ShapeDtypeStruct((1, L), jnp.int32),          # qual sum per nt
         jax.ShapeDtypeStruct((8, L), jnp.int32),          # base per nt (5 used)
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),         # per-read pass mask
     )
     out_specs = tuple(
-        pl.BlockSpec(s.shape, fixed, memory_space=pltpu.VMEM) for s in out_shapes
-    )
-    si, sf, lh, qh, gh, cov, qpn, bpn = pl.pallas_call(
+        pl.BlockSpec(s.shape, fixed, memory_space=pltpu.VMEM)
+        for s in out_shapes[:-1]
+    ) + (pl.BlockSpec((TB, 1), row, memory_space=pltpu.VMEM),)
+    si, sf, lh, qh, gh, cov, qpn, bpn, passed = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -238,6 +242,7 @@ def batch_partials_pallas(codes, quals, lens, valid, lcap: int, phred: int,
         "qual_per_nt": jnp.pad(qpn[0], (0, pad_l)),
         "base_per_nt": jnp.pad(bpn, ((0, 0), (0, pad_l))),
     }
+    p["_passed_mask"] = passed[:B, 0] != 0
     if crit is not None:
         p["_num_passed"] = si[0, _NUM_PASSED]
         p["_num_failed"] = si[0, _NUM_FAILED]
@@ -255,14 +260,10 @@ def make_batch_partials(lcap: int, phred: int, kmers_on: bool, crit=None,
         p = batch_partials_pallas(
             codes, quals, lens, valid, lcap, phred, crit, interpret=interpret
         )
+        kvalid = p.pop("_passed_mask")  # in-kernel verdicts, not recomputed
         if kmers_on:
             from ..constants import KMER_K, NUM_KMERS
 
-            if crit is not None:
-                ok = stats_jnp.verdicts(codes, quals, lens, crit, phred)
-                kvalid = valid & ok
-            else:
-                kvalid = valid
             L = codes.shape[1]
             if L >= KMER_K:
                 kc, okw = stats_jnp.kmer_codes(codes, lens.astype(jnp.int32))

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..io.fastq import FastqReader, FastqWriter
 from ..kernels.stats_jnp import _crit_key
-from ..io.packer import pack_block, round_up
+from ..io.packer import pack_block, pack_block_fused, round_up
 from ..kernels import stats_jnp
 from ..options import EditOptions, FilterOptions, StatsOptions
 from ..report.stats_report import stats_report
@@ -52,31 +52,41 @@ def _iter_blocks(reader, timers, prefetch_depth: int = 3):
         yield block
 
 
-def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 3):
-    """(block, device_arrays) with pack + host->device transfer running in
-    the producer thread — the device step of batch n overlaps the read,
-    pack, and transfer of batch n+1 (double buffering; SURVEY §2.3 P1)."""
+def _pack_workers() -> int:
+    """Transform-pool width for the packed pipeline (HPGQ_PACK_THREADS;
+    0/unset = auto).  Several pack+transfer stages in flight hide both the
+    host pack time and the H2D transfer latency of a tunneled/remote TPU."""
+    n = int(os.environ.get("HPGQ_PACK_THREADS", "0") or 0)
+    if n > 0:
+        return n
+    return max(1, min(4, (os.cpu_count() or 2) - 1))
+
+
+def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0):
+    """(block, device_arrays) with pack + host->device transfer fanned out
+    over a small thread pool — the device step of batch n overlaps the
+    read, pack, and transfer of batches n+1..n+depth (SURVEY §2.3 P1/P2)."""
     import jax
 
     from .prefetch import prefetched
 
     def transform(block):
         lmax = round_up(max(block.max_len(), 1), 128)
-        packed = pack_block(
-            block, max_len=max(lmax, sess.lcap), pad_reads_to=batch_reads
-        )
+        L = max(lmax, sess.lcap)
         wire = getattr(sess.acc, "wire", None)
         if wire == "fused4":
-            from ..kernels.stats_jnp import wire_fuse
-
-            return block, (jax.device_put(wire_fuse(*packed)),)
+            buf = pack_block_fused(block, L, pad_reads_to=batch_reads)
+            return block, (jax.device_put(buf),)
+        packed = pack_block(block, max_len=L, pad_reads_to=batch_reads)
         if wire == "pack4":
             from ..kernels.stats_jnp import wire_pack4
 
             packed = (wire_pack4(packed[0]),) + packed[1:]
         return block, jax.device_put(packed)
 
-    it = prefetched(iter(reader), depth=depth, transform=transform)
+    workers = _pack_workers()
+    it = prefetched(iter(reader), depth=depth or (workers + 2),
+                    transform=transform, workers=workers)
     while True:
         with timers.stage("read"):
             item = next(it, None)

@@ -53,6 +53,41 @@ def test_pack_block_matches_numpy(tmp_path, varlen):
                     np.testing.assert_array_equal(x, y, err_msg=name)
 
 
+@pytest.mark.parametrize("varlen", [False, True])
+def test_pack_block_fused_matches_wire_fuse(tmp_path, varlen):
+    """Native single-pass fused wire buffer == numpy pack + wire_fuse
+    (byte-exact), including row padding and odd-length nibble tails."""
+    from hpgq.io.packer import pack_block_fused
+    from hpgq.kernels.stats_jnp import wire_fuse
+
+    path = tmp_path / "r.fq"
+    kw = dict(min_len=41, max_len=151) if varlen else dict(min_len=90, max_len=90)
+    make_fastq(str(path), 3000, n_prob=0.01, lowercase_prob=0.1, seed=5, **kw)
+    with FastqReader(str(path), batch_size=1024) as rd:
+        for block in rd:
+            for L, pr in ((256, 0), (256, 4096), (128, 2048)):
+                got = pack_block_fused(block, L, pad_reads_to=pr)
+                want = wire_fuse(*_np_pack(block, max_len=L, pad_reads_to=pr))
+                np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("varlen", [False, True])
+def test_pack_block_bitwire_matches_numpy(tmp_path, varlen):
+    """Native single-pass bitpack wire == numpy pack + wire_bitpack_np
+    (byte-exact): 3-bit codes, 7-bit quals, len/valid tail, row padding."""
+    from hpgq.io.packer import pack_block_bitwire, wire_bitpack_np
+
+    path = tmp_path / "r.fq"
+    kw = dict(min_len=41, max_len=151) if varlen else dict(min_len=90, max_len=90)
+    make_fastq(str(path), 3000, n_prob=0.01, lowercase_prob=0.1, seed=6, **kw)
+    with FastqReader(str(path), batch_size=1024) as rd:
+        for block in rd:
+            for L, pr in ((256, 0), (256, 4096), (128, 2048)):
+                got = pack_block_bitwire(block, L, pad_reads_to=pr)
+                want = wire_bitpack_np(*_np_pack(block, max_len=L, pad_reads_to=pr))
+                np.testing.assert_array_equal(got, want)
+
+
 def test_reader_native_vs_numpy(tmp_path):
     path = tmp_path / "big.fq"
     make_fastq(str(path), 5000, min_len=60, max_len=200, seed=8)
