@@ -217,10 +217,13 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
     accumulate step on a device-resident buffer, transfer excluded)."""
     import jax
 
-    from hpgq.io.packer import pack_block_fused
+    from hpgq.core.accumulator import resolve_wire
+    from hpgq.io.packer import pack_block_bitwire, pack_block_fused
     from hpgq.pipeline.session import StatsSession
 
-    out = {}
+    wire = resolve_wire()
+    pack = pack_block_bitwire if wire == "bitpack" else pack_block_fused
+    out = {"wire": wire}
 
     # read + newline index (the serial part of the host pipeline)
     t0 = time.perf_counter()
@@ -240,7 +243,7 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        buf = pack_block_fused(first, L, pad_reads_to=batch_reads)
+        buf = pack(first, L, pad_reads_to=batch_reads)
         best = max(best, n / (time.perf_counter() - t0))
     out["pack_wire_reads_per_sec"] = round(best, 1)
     out["wire_bytes_per_read"] = buf.shape[1]
@@ -255,7 +258,7 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
 
     sess = StatsSession(PHRED, kmers_on=False, crit=CRIT,
                         batch_reads=batch_reads)
-    if getattr(sess.acc, "wire", None) == "fused4":
+    if getattr(sess.acc, "wire", None) in ("fused4", "bitpack"):
         dbuf = jax.device_put(buf)
         sess.feed_packed(dbuf)  # compile warmup
         jax.block_until_ready(sess.acc._acc)

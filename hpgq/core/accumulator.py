@@ -26,18 +26,20 @@ from ..kernels.stats_jnp import (
 
 
 def resolve_wire(wire=None):
-    """'fused4' | 'pack4' | None.  Auto: fused4 on TPU (one RPC per batch,
-    4-bit codes), off on CPU.  Env override: HPGQ_WIRE=fused4|pack4|off."""
+    """'bitpack' | 'fused4' | 'pack4' | None.  Auto: bitpack on TPU (one
+    RPC per batch, 3-bit codes + 7-bit quals — the minimum-byte format for
+    a bandwidth-/latency-bound host->device link), off on CPU.  Env
+    override: HPGQ_WIRE=bitpack|fused4|pack4|off."""
     import os
 
     w = wire if wire is not None else os.environ.get("HPGQ_WIRE", "auto")
     if w == "auto":
-        return "fused4" if jax.default_backend() == "tpu" else None
+        return "bitpack" if jax.default_backend() == "tpu" else None
     if w in ("off", "none", ""):
         return None
-    if w not in ("fused4", "pack4"):
+    if w not in ("bitpack", "fused4", "pack4"):
         raise ValueError(
-            "unknown wire format %r (valid: fused4, pack4, off)" % w
+            "unknown wire format %r (valid: bitpack, fused4, pack4, off)" % w
         )
     return w
 
@@ -93,10 +95,16 @@ class DeviceAccumulator:
     def update(self, codes, quals=None, lens=None, valid=None) -> None:
         """Feed one batch: either the four packed arrays, or — with the
         fused wire format — a single pre-fused buffer as ``codes``."""
-        if self.wire == "fused4":
-            buf = codes if quals is None else wire_fuse(
-                np.asarray(codes), np.asarray(quals), lens, valid
-            )
+        if self.wire in ("fused4", "bitpack"):
+            if quals is None:
+                buf = codes
+            elif self.wire == "fused4":
+                buf = wire_fuse(np.asarray(codes), np.asarray(quals),
+                                lens, valid)
+            else:
+                from ..io.packer import wire_bitpack_np
+
+                buf = wire_bitpack_np(codes, quals, lens, valid)
             self._acc = self._step(self._acc, buf)
         else:
             if self.wire == "pack4" and codes.shape[1] == quals.shape[1]:

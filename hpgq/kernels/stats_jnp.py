@@ -439,6 +439,50 @@ def wire_unfuse(buf):
     return codes, quals, lens, valid
 
 
+def bitwire_logical_len(row_width: int) -> int:
+    """Logical read length L encoded by a bitpack wire row
+    (W = 3L/8 + 7L/8 + 8)."""
+    return (row_width - 8) * 8 // 10
+
+
+def wire_unbits(buf):
+    """Device-side decoder of the bitpack wire (see
+    ``hpgq.io.packer.pack_block_bitwire``) -> (codes, quals, lens, valid).
+
+    Row layout (W = 3L/8 + 7L/8 + 8, L % 8 == 0): little-endian bitstreams
+    of 3-bit base codes and 7-bit ASCII quals, then len_le32|valid|pad3.
+    The decode is reshape + static shifts only (no gathers): every 3 code
+    bytes hold 8 values in a 24-bit word; every 7 qual bytes hold 8 values
+    in a 56-bit word carried as two uint32 limbs — XLA fuses the whole
+    decode into the consuming kernel's first HBM read."""
+    B, W = buf.shape
+    L = bitwire_logical_len(W)
+    c3 = 3 * L // 8
+    q7 = 7 * L // 8
+    cb = buf[:, :c3].reshape(B, L // 8, 3).astype(jnp.int32)
+    w24 = cb[..., 0] | (cb[..., 1] << 8) | (cb[..., 2] << 16)
+    shifts = jnp.arange(8, dtype=jnp.int32) * 3
+    codes = ((w24[..., None] >> shifts) & 7).astype(jnp.int8).reshape(B, L)
+    qb = buf[:, c3 : c3 + q7].reshape(B, L // 8, 7).astype(jnp.uint32)
+    lo = qb[..., 0] | (qb[..., 1] << 8) | (qb[..., 2] << 16) | (qb[..., 3] << 24)
+    hi = qb[..., 4] | (qb[..., 5] << 8) | (qb[..., 6] << 16)
+    fields = []
+    for k in range(8):  # field k = bits [7k, 7k+7) of the 56-bit word
+        s = 7 * k
+        if s + 7 <= 32:
+            v = lo >> s
+        elif s < 32:
+            v = (lo >> s) | (hi << (32 - s))
+        else:
+            v = hi >> (s - 32)
+        fields.append(v & 0x7F)
+    quals = jnp.stack(fields, axis=-1).astype(jnp.uint8).reshape(B, L)
+    lb = buf[:, c3 + q7 : c3 + q7 + 4].astype(jnp.int32)
+    lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+    valid = buf[:, c3 + q7 + 4] != 0
+    return codes, quals, lens, valid
+
+
 def resolve_engine(engine: Optional[str] = None) -> str:
     """'pallas' | 'jnp' | 'pallas_interpret'. Auto: pallas on TPU, else jnp.
     Overridable via HPGQ_ENGINE."""
@@ -479,8 +523,9 @@ def make_stats_step(
 
     ``wire='pack4'``: the step's ``codes`` argument is nibble-packed
     ``[B, L//2]`` uint8 (see :func:`wire_pack4`) and unpacked on device.
-    ``wire='fused4'``: the step signature becomes ``step(acc, buf)`` where
-    ``buf`` is the single fused uint8 wire buffer (:func:`wire_fuse`).
+    ``wire='fused4'`` / ``wire='bitpack'``: the step signature becomes
+    ``step(acc, buf)`` where ``buf`` is the single uint8 wire buffer
+    (:func:`wire_fuse` / ``hpgq.io.packer.pack_block_bitwire``).
     """
     engine = resolve_engine(engine)
     # the pallas kernel holds a [TB, L] int8+int32 working set in VMEM; for
@@ -536,11 +581,12 @@ def make_stats_step(
                                kmers_on, vary_axis=vary_axis)
             return merge_into(acc, p)
 
-    if wire == "fused4":
+    if wire in ("fused4", "bitpack"):
         inner = step
+        unfuse = wire_unfuse if wire == "fused4" else wire_unbits
 
         def step(acc, buf):  # noqa: F811 — fused single-buffer entry
-            codes, quals, lens, valid = wire_unfuse(buf)
+            codes, quals, lens, valid = unfuse(buf)
             return inner(acc, codes, quals, lens, valid)
 
     if jit:

@@ -77,6 +77,11 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0):
         if wire == "fused4":
             buf = pack_block_fused(block, L, pad_reads_to=batch_reads)
             return block, (jax.device_put(buf),)
+        if wire == "bitpack":
+            from ..io.packer import pack_block_bitwire
+
+            buf = pack_block_bitwire(block, L, pad_reads_to=batch_reads)
+            return block, (jax.device_put(buf),)
         packed = pack_block(block, max_len=L, pad_reads_to=batch_reads)
         if wire == "pack4":
             from ..kernels.stats_jnp import wire_pack4

@@ -56,12 +56,13 @@ class StatsSession:
         self.feed_packed(codes, quals, lens, valid)
 
     def feed_packed(self, codes, quals=None, lens=None, valid=None):
-        # quals carry the logical L; a lone fused wire buffer encodes L in
-        # its row width (W = L/2 + L + 8)
+        # quals carry the logical L; a lone wire buffer encodes L in its
+        # row width (fused4: W = L/2 + L + 8; bitpack: W = 10L/8 + 8)
         if quals is None:
-            from ..kernels.stats_jnp import fused_logical_len
+            from ..kernels.stats_jnp import bitwire_logical_len, fused_logical_len
 
-            L = fused_logical_len(codes.shape[1])
+            L = (bitwire_logical_len if self.acc.wire == "bitpack"
+                 else fused_logical_len)(codes.shape[1])
         else:
             L = quals.shape[1]
         if L > self.lcap:

@@ -326,6 +326,12 @@ def test_stats_pipeline_with_wire_fused4(tmp_path, monkeypatch):
     wired = run_stats(opts(b))
     assert wired.equals(plain)
     assert (b / "wf.fq.summary.txt").read_bytes() == (a / "wf.fq.summary.txt").read_bytes()
+    c = tmp_path / "c"
+    c.mkdir()
+    monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+    bp = run_stats(opts(c))
+    assert bp.equals(plain)
+    assert (c / "wf.fq.summary.txt").read_bytes() == (a / "wf.fq.summary.txt").read_bytes()
 
 
 def test_phred64_encoding_and_aliases(tmp_path):

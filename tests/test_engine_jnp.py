@@ -228,6 +228,44 @@ def test_wire_fused4_roundtrip_and_step():
     assert fused2.finish().equals(ref)
 
 
+def test_wire_bitpack_roundtrip_and_step():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hpgq.io.packer import wire_bitpack_np
+    from hpgq.kernels import stats_jnp
+    from hpgq.core.accumulator import DeviceAccumulator
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(1, 129, size=64).astype(np.int32)
+    pos = np.arange(128)[None, :]
+    codes = np.where(pos < lens[:, None],
+                     rng.integers(0, 6, size=(64, 128)), 5).astype(np.int8)
+    quals = np.where(pos < lens[:, None],
+                     rng.integers(33, 74, size=(64, 128)), 0).astype(np.uint8)
+    valid = rng.random(64) < 0.9
+
+    buf = wire_bitpack_np(codes, quals, lens, valid)
+    assert buf.shape == (64, 3 * 128 // 8 + 7 * 128 // 8 + 8)
+    c2, q2, l2, v2 = (np.asarray(x) for x in
+                      stats_jnp.wire_unbits(jnp.asarray(buf)))
+    # invalid rows are wire-zeroed (their content never reaches the kernel)
+    np.testing.assert_array_equal(c2, np.where(valid[:, None], codes, 0))
+    np.testing.assert_array_equal(q2, np.where(valid[:, None], quals, 0))
+    np.testing.assert_array_equal(l2, np.where(valid, lens, 0))
+    np.testing.assert_array_equal(v2, valid)
+
+    plain = DeviceAccumulator(128, 33, wire="off")
+    bp = DeviceAccumulator(128, 33, wire="bitpack")
+    plain.update(codes, quals, lens, valid)
+    bp.update(codes, quals, lens, valid)      # host-side bitpack path
+    bp2 = DeviceAccumulator(128, 33, wire="bitpack")
+    bp2.update(jnp.asarray(buf))              # pre-packed single-buffer path
+    ref = plain.finish()
+    assert bp.finish().equals(ref)
+    assert bp2.finish().equals(ref)
+
+
 def test_quality_key_half_rounds_up_everywhere():
     """Reads whose rational mean quality is exactly k+0.5 must bin to k+1
     (round-half-up) in the spec, numpy baseline, jnp and pallas engines —
