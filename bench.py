@@ -63,6 +63,18 @@ def corpus(n_reads: int, read_len: int) -> str:
     return path
 
 
+def gz_corpus(plain_path: str) -> str:
+    """Gzipped twin of a corpus file (BASELINE config #5 is gzipped input)."""
+    import gzip
+    import shutil
+
+    path = plain_path + ".gz"
+    if not os.path.exists(path):
+        with open(plain_path, "rb") as f, gzip.open(path, "wb", 6) as g:
+            shutil.copyfileobj(f, g, 4 << 20)
+    return path
+
+
 def run_oracle(path: str, batch_size: int, passes: int = 2,
                budget_s: float = 120.0) -> "tuple[float, int]":
     """Single-CPU end-to-end oracle pass (the reference-semantics baseline).
@@ -383,6 +395,15 @@ def main():
             _emit({"metric": "edit_reads_per_sec", "value": round(rps, 1),
                    "unit": "reads/s",
                    "vs_baseline": round(rps / oracle_rps, 3)})
+        if time.perf_counter() - t_all < budget:
+            # config #5: gzipped input through the same engine pass — the
+            # vs line here is gz-engine vs plain-engine (decode overhead;
+            # ~1 means inflate is fully hidden by the readahead thread)
+            rps, _ = run_engine(gz_corpus(path), args.batch_size, br,
+                                passes=2)
+            _emit({"metric": "stats_gz_reads_per_sec", "value": round(rps, 1),
+                   "unit": "reads/s",
+                   "vs_baseline": round(rps / max(engine_rps, 1e-9), 3)})
         if time.perf_counter() - t_all < budget:
             ocorpus = corpus(5_000, args.read_len)
             cgr_oracle_rps, _ = run_cgr_oracle(ocorpus, 5_000)

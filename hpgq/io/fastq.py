@@ -17,11 +17,87 @@ from __future__ import annotations
 
 import gzip
 import os
+import queue
+import threading
 from typing import Iterator, Optional
 
 import numpy as np
 
 _CHUNK = 16 * 1024 * 1024
+
+
+class ReadaheadFile:
+    """Background decode thread over a serial file-like (plain gzip).
+
+    DEFLATE decode of a single-member gzip stream is inherently serial, but
+    it need not run on the pipeline's critical path: a daemon thread
+    inflates ahead into a bounded queue (``depth`` x ``chunk_bytes`` of
+    decompressed readahead) while the consumer indexes/packs the previous
+    chunks — zlib releases the GIL, so decode genuinely overlaps the numpy
+    and native-packer work.  This is the plain-gzip analog of the BGZF
+    reader's parallel block readahead (``hpgq.io.bgzf``) and replaces the
+    reference's in-thread ``gzFile`` reads (gzip-capable ``fastq_fopen``,
+    src/stats_fastq.c:425)."""
+
+    def __init__(self, fh, chunk_bytes: int = 8 << 20, depth: int = 6):
+        self._fh = fh
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._cur = memoryview(b"")
+        self._stop = threading.Event()
+        self._eof = False
+        self._thread = threading.Thread(
+            target=self._fill, args=(chunk_bytes,), daemon=True,
+            name="hpgq-gunzip",
+        )
+        self._thread.start()
+
+    def _fill(self, chunk_bytes: int):
+        def put(item) -> bool:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        try:
+            while not self._stop.is_set():
+                data = self._fh.read(chunk_bytes)
+                if not put(data):
+                    return
+                if not data:
+                    return
+        except BaseException as e:  # surface at the consumer's next read()
+            put(e)
+
+    def read(self, n: int) -> bytes:
+        """Up to ``n`` bytes (short reads are fine for the block reader;
+        b'' means EOF)."""
+        if not self._cur:
+            if self._eof:
+                return b""
+            item = self._q.get()
+            if isinstance(item, BaseException):
+                self._eof = True
+                raise item
+            if not item:
+                self._eof = True
+                return b""
+            self._cur = memoryview(item)
+        take = self._cur[:n]
+        self._cur = self._cur[n:]
+        return bytes(take) if len(take) != len(take.obj) else take.obj
+
+    def close(self):
+        self._stop.set()
+        while True:  # unblock a producer stuck on a full queue
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5)
+        self._fh.close()
 
 
 def _find_newlines(chunk) -> np.ndarray:
@@ -238,6 +314,10 @@ class FastqReader:
         self._fh = open_maybe_gzip(path, "rb")
         if start_offset:
             self._fh.seek(start_offset)
+        if isinstance(self._fh, gzip.GzipFile):
+            # plain (non-BGZF) gzip: pipeline the serial inflate off the
+            # critical path (seek done above — the wrapper is read-only)
+            self._fh = ReadaheadFile(self._fh)
         self._end = end_offset
         self._tail = b""
         self._eof = False

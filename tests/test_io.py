@@ -31,6 +31,38 @@ def test_reader_roundtrip(tmp_path, gz, batch_size):
         assert qual == rqual
 
 
+def test_gzip_readahead_multichunk(tmp_path):
+    """ReadaheadFile with tiny chunks: many queue handoffs, byte-exact
+    stream, and the decode thread exits on early close."""
+    import gzip as _gzip
+
+    from hpgq.io.fastq import ReadaheadFile
+
+    path = str(tmp_path / "a.fq.gz")
+    make_fastq(path, 2000, min_len=50, max_len=150, seed=7)
+    want = _gzip.open(path, "rb").read()
+    ra = ReadaheadFile(_gzip.open(path, "rb"), chunk_bytes=4096, depth=3)
+    got = bytearray()
+    while True:
+        d = ra.read(1000)
+        if not d:
+            break
+        got += d
+    ra.close()
+    assert bytes(got) == want
+
+    # early close: the fill thread must not linger
+    ra = ReadaheadFile(_gzip.open(path, "rb"), chunk_bytes=1024, depth=2)
+    assert ra.read(10)
+    ra.close()
+    assert not ra._thread.is_alive()
+
+    # reader path: .gz input goes through the readahead wrapper
+    with FastqReader(path, batch_size=500) as rd:
+        assert isinstance(rd._fh, ReadaheadFile)
+        assert sum(b.num_reads for b in rd) == 2000
+
+
 def test_reader_no_trailing_newline(tmp_path):
     path = str(tmp_path / "a.fq")
     records = make_records(3, min_len=10, max_len=10)
