@@ -32,7 +32,11 @@ def resolve_wire(wire=None):
     override: HPGQ_WIRE=bitpack|fused4|pack4|off."""
     import os
 
-    w = wire if wire is not None else os.environ.get("HPGQ_WIRE", "auto")
+    # precedence: explicit format > HPGQ_WIRE env > backend auto-default
+    # ('auto' — the DeviceAccumulator default — must NOT shadow the env)
+    w = wire
+    if w in (None, "auto"):
+        w = os.environ.get("HPGQ_WIRE", "auto")
     if w == "auto":
         return "bitpack" if jax.default_backend() == "tpu" else None
     if w in ("off", "none", ""):

@@ -528,10 +528,11 @@ def make_stats_step(
     (:func:`wire_fuse` / ``hpgq.io.packer.pack_block_bitwire``).
     """
     engine = resolve_engine(engine)
-    # the pallas kernel holds a [TB, L] int8+int32 working set in VMEM; for
-    # very long reads (nanopore) fall back to the jnp path, which XLA tiles
-    # itself (VMEM ~16 MB/core: 256*L*(1+1+4+4) bytes must fit with slack)
-    if engine == "pallas" and lcap > 4096:
+    # long reads: lcap in (4096, 65536] rides the blockwise-L pallas kernel
+    # (stats_pallas.batch_partials_pallas_long); beyond that the full-width
+    # per-position outputs outgrow VMEM and the jnp path (which XLA tiles
+    # itself) takes over
+    if engine == "pallas" and lcap > 65536:
         engine = "jnp"
     if vary_axis is not None and engine.startswith("pallas"):
         # shard_map callers need the vma-aware jnp path; the pallas branch

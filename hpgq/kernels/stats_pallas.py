@@ -249,6 +249,280 @@ def batch_partials_pallas(codes, quals, lens, valid, lcap: int, phred: int,
     return p
 
 
+_MAX_SINGLE_L = 4096  # above this, the [TB, L] single-block tile outgrows VMEM
+_MAX_BLOCKWISE_L = 65536  # full-width per-position outputs must stay VMEM-resident
+_HIST_CHUNK = 4096  # one-hot bin chunk for the wide length histogram
+
+
+def _stats_kernel_blockwise(codes_ref, quals_ref, lens_ref, valid_ref,
+                            o_si, o_sf, o_lh, o_qh, o_gh, o_cov, o_qpn,
+                            o_bpn, o_pass,
+                            s_qsum, s_nn, s_ngc, s_lq, s_rq, s_oo, s_v,
+                            *, LB: int, nL: int, sweeps: int, lcap: int,
+                            phred: int, crit, lhp: int):
+    """Blockwise-L body: grid (batch_tile i, L-block step jj).
+
+    Per-read reductions (qsum, N-count, GC, filter windows) accumulate in
+    VMEM scratch across the read's L-blocks; the verdict + all per-read
+    histograms finalize when the last block of the tile has been seen
+    (jj == nL-1).  With a filter criteria the per-position outputs need the
+    verdict, so the grid makes a second sweep over the same L-blocks
+    (inputs re-fetched from HBM: 2 reads of the batch bytes — still far
+    below the jnp path's materialized intermediates at these lengths).
+    Without criteria the selection mask is just ``valid`` and one sweep
+    does everything.  Per-position outputs are full-width VMEM-resident
+    (fixed index maps keep accumulation safe across the whole grid);
+    blocks land via 128-aligned dynamic lane stores."""
+    i = pl.program_id(0)
+    jj = pl.program_id(1)
+    jb = jax.lax.rem(jj, nL) if sweeps == 2 else jj
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    @pl.when((i == 0) & (jj == 0))
+    def _init_outputs():
+        o_si[:] = jnp.where(lane == _MIN_LEN, MIN_LENGTH_INIT, 0)
+        o_sf[:] = jnp.zeros_like(o_sf)
+        o_lh[:] = jnp.zeros_like(o_lh)
+        o_qh[:] = jnp.zeros_like(o_qh)
+        o_gh[:] = jnp.zeros_like(o_gh)
+        o_cov[:] = jnp.zeros_like(o_cov)
+        o_qpn[:] = jnp.zeros_like(o_qpn)
+        o_bpn[:] = jnp.zeros_like(o_bpn)
+
+    @pl.when(jj == 0)
+    def _init_tile_scratch():
+        for s in (s_qsum, s_nn, s_ngc, s_lq, s_rq, s_oo, s_v):
+            s[:] = jnp.zeros_like(s)
+
+    codes = codes_ref[:].astype(jnp.int32)          # [TB, LB]
+    quals = quals_ref[:].astype(jnp.int32)          # [TB, LB]
+    lens = lens_ref[:]                              # [TB, 1]
+    valid = valid_ref[:] != 0                       # [TB, 1] bool
+
+    base = jb * LB
+    gpos = base + jax.lax.broadcasted_iota(jnp.int32, (TB, LB), 1)
+    mask = gpos < lens
+    qm = jnp.where(mask, quals, 0)
+
+    def acc_per_read():
+        s_qsum[:] += qm.sum(axis=1, keepdims=True)
+        s_nn[:] += ((codes == BASE_N) & mask).sum(
+            axis=1, keepdims=True, dtype=jnp.int32
+        )
+        s_ngc[:] += (((codes == BASE_C) | (codes == BASE_G)) & mask).sum(
+            axis=1, keepdims=True, dtype=jnp.int32
+        )
+        if crit is not None:
+            if crit.max_out_of_quality != MAX_VALUE:
+                nq = quals - phred
+                s_oo[:] += (
+                    ((nq < crit.min_read_quality)
+                     | (nq > crit.max_read_quality)) & mask
+                ).sum(axis=1, keepdims=True, dtype=jnp.int32)
+            if crit.left_length > MIN_VALUE:
+                s_lq[:] += jnp.where(gpos < crit.left_length, qm, 0).sum(
+                    axis=1, keepdims=True
+                )
+            if crit.right_length > MIN_VALUE:
+                s_rq[:] += jnp.where(gpos >= lens - crit.right_length, qm,
+                                     0).sum(axis=1, keepdims=True)
+
+    def finalize():
+        qsum = s_qsum[:]
+        nn = s_nn[:]
+        ngc = s_ngc[:]
+        if crit is not None:
+            ok = (lens >= crit.min_read_length) & (lens <= crit.max_read_length)
+            qn = qsum - phred * lens
+            ok &= (crit.min_read_quality * lens <= qn) & (
+                qn <= crit.max_read_quality * lens
+            )
+            if crit.max_out_of_quality != MAX_VALUE:
+                ok &= s_oo[:] <= crit.max_out_of_quality
+            if crit.left_length > MIN_VALUE:
+                w = jnp.minimum(lens, crit.left_length)
+                lqn = s_lq[:] - phred * w
+                ok &= (crit.min_left_quality * w <= lqn) & (
+                    lqn <= crit.max_left_quality * w
+                )
+            if crit.right_length > MIN_VALUE:
+                w = jnp.minimum(lens, crit.right_length)
+                rqn = s_rq[:] - phred * w
+                ok &= (crit.min_right_quality * w <= rqn) & (
+                    rqn <= crit.max_right_quality * w
+                )
+            ok &= nn <= crit.max_N
+            v = valid & ok
+            n_passed = v.astype(jnp.int32).sum()
+            n_failed = (valid & ~ok).astype(jnp.int32).sum()
+        else:
+            v = valid
+            n_passed = jnp.int32(0)
+            n_failed = jnp.int32(0)
+        v32 = v.astype(jnp.int32)
+        s_v[:] = v32
+        o_pass[:] = v32
+
+        mean_q = jnp.where(
+            lens > 0, qsum.astype(jnp.float32) / lens.astype(jnp.float32), 0.0
+        )
+        tile_nr = v32.sum()
+        tile_al = (lens * v32).sum()
+        tile_min = jnp.where(v, lens, MIN_LENGTH_INIT).min()
+        tile_max = jnp.where(v, lens, 0).max()
+        tile_aq = jnp.where(v, mean_q, 0.0).sum()
+        sumvec = (
+            jnp.where(lane == _NUM_READS, tile_nr, 0)
+            + jnp.where(lane == _ACC_LENGTH, tile_al, 0)
+            + jnp.where(lane == _NUM_PASSED, n_passed, 0)
+            + jnp.where(lane == _NUM_FAILED, n_failed, 0)
+        )
+        cur = o_si[:]
+        upd = cur + sumvec
+        upd = jnp.where(lane == _MIN_LEN, jnp.minimum(cur, tile_min), upd)
+        upd = jnp.where(lane == _MAX_LEN, jnp.maximum(cur, tile_max), upd)
+        o_si[:] = upd
+        o_sf[:] += jnp.where(lane == 0, tile_aq, 0.0)
+
+        def hist(keys, weight, bins):
+            b = jax.lax.broadcasted_iota(jnp.int32, (1, bins), 1)
+            eq = (keys == b).astype(jnp.int32) * weight
+            return eq.sum(axis=0, keepdims=True)
+
+        # wide length hist in bin chunks: a single [TB, lhp] one-hot would
+        # be ~67 MB of VMEM intermediates at lcap 64k
+        lkey = jnp.clip(lens, 0, lcap)
+        for c0 in range(0, lhp, _HIST_CHUNK):
+            cb = min(_HIST_CHUNK, lhp - c0)
+            b = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
+            part = ((lkey == b).astype(jnp.int32) * v32).sum(
+                axis=0, keepdims=True
+            )
+            o_lh[:, c0 : c0 + cb] += part
+        qkey = jnp.clip(
+            (2 * qsum + lens) // jnp.maximum(2 * lens, 1), 0, QUAL_BINS - 1
+        )
+        o_qh[:] += hist(qkey, v32, QUAL_BINS)
+        gkey = jnp.clip((100 * ngc) // jnp.maximum(lens, 1), 0, GC_BINS - 1)
+        o_gh[:] += hist(gkey, v32 * (lens > 0).astype(jnp.int32),
+                        _round_up(GC_BINS, 128))
+
+    def acc_per_pos():
+        v = s_v[:] != 0 if sweeps == 2 else valid
+        vmask = mask & v
+        sl = (slice(0, 1), pl.ds(base, LB))
+        o_cov[sl] += vmask.sum(axis=0, keepdims=True, dtype=jnp.int32)
+        o_qpn[sl] += jnp.where(vmask, quals, 0).sum(axis=0, keepdims=True)
+        slb = (slice(0, 8), pl.ds(base, LB))
+        bpn = jnp.stack(
+            [((codes == b) & vmask).sum(axis=0, dtype=jnp.int32)
+             for b in range(5)]
+            + [jnp.zeros((LB,), jnp.int32)] * 3
+        )
+        o_bpn[slb] += bpn
+
+    if sweeps == 1:
+        acc_per_read()
+        pl.when(jj == nL - 1)(finalize)
+        acc_per_pos()
+    else:
+        pl.when(jj < nL)(acc_per_read)
+        pl.when(jj == nL - 1)(finalize)
+        pl.when(jj >= nL)(acc_per_pos)
+
+
+def batch_partials_pallas_long(codes, quals, lens, valid, lcap: int,
+                               phred: int, crit=None,
+                               interpret: bool = False):
+    """Blockwise-L pallas partials for long reads (L > 4096): same contract
+    as :func:`batch_partials_pallas` (SURVEY §5 long-context row).  Keeps
+    the fused in-VMEM design up to lcap 65536 by tiling the read dimension;
+    with an inline filter the batch bytes are read twice from HBM (the
+    verdict must complete before the per-position accumulation)."""
+    B, L = codes.shape
+    assert L % 128 == 0 and L <= lcap <= _MAX_BLOCKWISE_L, (L, lcap)
+    if crit is not None:
+        crit = crit.substituted()
+
+    LB = next(lb for lb in (512, 256, 128) if L % lb == 0)
+    nL = L // LB
+    sweeps = 1 if crit is None else 2
+    Bp = _round_up(max(B, 1), TB)
+    if Bp != B:
+        pad = Bp - B
+        codes = jnp.pad(codes, ((0, pad), (0, 0)), constant_values=5)
+        quals = jnp.pad(quals, ((0, pad), (0, 0)))
+        lens = jnp.pad(lens, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+
+    lhp = _round_up(lcap + 1, 128)
+    kernel = functools.partial(
+        _stats_kernel_blockwise, LB=LB, nL=nL, sweeps=sweeps, lcap=lcap,
+        phred=phred, crit=crit, lhp=lhp,
+    )
+    grid = (Bp // TB, sweeps * nL)
+    lblk = lambda i, j: (i, j % nL)
+    tile = lambda i, j: (i, 0)
+    fixed = lambda i, j: (0, 0)
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, 128), jnp.int32),        # scalars int
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),      # scalars f32
+        jax.ShapeDtypeStruct((1, lhp), jnp.int32),        # length hist
+        jax.ShapeDtypeStruct((1, QUAL_BINS), jnp.int32),  # quality hist
+        jax.ShapeDtypeStruct((1, _round_up(GC_BINS, 128)), jnp.int32),
+        jax.ShapeDtypeStruct((1, L), jnp.int32),          # coverage per nt
+        jax.ShapeDtypeStruct((1, L), jnp.int32),          # qual sum per nt
+        jax.ShapeDtypeStruct((8, L), jnp.int32),          # base per nt (5 used)
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),         # per-read pass mask
+    )
+    out_specs = tuple(
+        pl.BlockSpec(s.shape, fixed, memory_space=pltpu.VMEM)
+        for s in out_shapes[:-1]
+    ) + (pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),)
+    scratch = [pltpu.VMEM((TB, 1), jnp.int32) for _ in range(7)]
+    si, sf, lh, qh, gh, cov, qpn, bpn, passed = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, LB), lblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LB), lblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(
+        codes,
+        quals.astype(jnp.int8),
+        lens.astype(jnp.int32).reshape(Bp, 1),
+        valid.astype(jnp.int32).reshape(Bp, 1),
+    )
+
+    bpn = bpn[:5]
+    pad_l = lcap - L
+    p = {
+        "num_reads": si[0, _NUM_READS],
+        "acc_length": si[0, _ACC_LENGTH],
+        "min_length": si[0, _MIN_LEN],
+        "max_length": si[0, _MAX_LEN],
+        "acc_quality": sf[0, 0],
+        "base_totals": bpn.sum(axis=1),
+        "length_hist": lh[0, : lcap + 1],
+        "quality_hist": qh[0],
+        "gc_hist": gh[0, :GC_BINS],
+        "cov_per_nt": jnp.pad(cov[0], (0, pad_l)),
+        "qual_per_nt": jnp.pad(qpn[0], (0, pad_l)),
+        "base_per_nt": jnp.pad(bpn, ((0, 0), (0, pad_l))),
+    }
+    p["_passed_mask"] = passed[:B, 0] != 0
+    if crit is not None:
+        p["_num_passed"] = si[0, _NUM_PASSED]
+        p["_num_failed"] = si[0, _NUM_FAILED]
+    return p
+
+
 def make_batch_partials(lcap: int, phred: int, kmers_on: bool, crit=None,
                         interpret: bool = False):
     """Fused-partials fn matching the jnp contract, with verdicts computed
@@ -257,7 +531,12 @@ def make_batch_partials(lcap: int, phred: int, kmers_on: bool, crit=None,
     from . import stats_jnp
 
     def fn(codes, quals, lens, valid):
-        p = batch_partials_pallas(
+        # the single-block kernel's tile AND its [TB, lhp] length-hist
+        # one-hot must fit VMEM, so dispatch on lcap (which sizes lhp),
+        # not just the batch L
+        bp = (batch_partials_pallas_long if lcap > _MAX_SINGLE_L
+              else batch_partials_pallas)
+        p = bp(
             codes, quals, lens, valid, lcap, phred, crit, interpret=interpret
         )
         kvalid = p.pop("_passed_mask")  # in-kernel verdicts, not recomputed

@@ -114,6 +114,51 @@ def test_kmers_ride_along():
     )
 
 
+@pytest.mark.parametrize("crit", [None, CRIT], ids=["plain", "filtered"])
+@pytest.mark.parametrize("B,L,lcap", [
+    (TB, 4608, 4608),      # just past the single-block limit
+    (100, 8192, 8192),     # padded batch rows + 512-lane blocks
+    (64, 4608, 8192),      # lcap wider than the batch L
+])
+def test_blockwise_long_matches_jnp(B, L, lcap, crit):
+    """Blockwise-L kernel (lcap > 4096) vs the jnp engine at long-read
+    lengths — the SURVEY §5 long-context row (VERDICT r1 #5)."""
+    from hpgq.kernels.stats_pallas import batch_partials_pallas_long
+
+    codes, quals, lens, valid = _rand_batch(B, L, seed=B + L)
+    if crit is not None:
+        ok = np.asarray(stats_jnp.verdicts(codes, quals, lens, crit, PHRED33))
+        sel = valid & ok
+    else:
+        sel = valid
+    p_jnp = stats_jnp.batch_partials(codes, quals, lens, sel, lcap, PHRED33)
+    p_pal = batch_partials_pallas_long(
+        codes, quals, lens, valid, lcap, PHRED33, crit, interpret=True
+    )
+    if crit is not None:
+        assert int(p_pal["_num_passed"]) == int(sel.sum())
+        assert int(p_pal["_num_failed"]) == int((valid & ~ok).sum())
+    np.testing.assert_array_equal(np.asarray(p_pal["_passed_mask"]), sel)
+    _compare(p_jnp, p_pal, int(sel.sum()))
+
+
+def test_blockwise_long_via_make_stats_step():
+    """lcap > 4096 keeps the pallas engine (no silent jnp fallback) and
+    matches the jnp step."""
+    L = 4608
+    codes, quals, lens, valid = _rand_batch(TB, L, seed=31)
+    step_j = stats_jnp.make_stats_step(L, PHRED33, crit=CRIT, jit=False,
+                                       engine="jnp")
+    step_p = stats_jnp.make_stats_step(L, PHRED33, crit=CRIT, jit=False,
+                                       engine="pallas_interpret")
+    acc_j = step_j(stats_jnp.zero_partials(L), codes, quals, lens, valid)
+    acc_p = step_p(stats_jnp.zero_partials(L), codes, quals, lens, valid)
+    for k in INT_KEYS + ("num_passed", "num_failed"):
+        np.testing.assert_array_equal(
+            np.asarray(acc_j[k]), np.asarray(acc_p[k]), err_msg=k
+        )
+
+
 def test_stats_step_engine_pallas_end_to_end():
     """Full step contract through make_stats_step(engine='pallas_interpret')."""
     codes, quals, lens, valid = _rand_batch(TB * 2, 128, seed=11)
