@@ -70,6 +70,9 @@ def _add_common(p: argparse.ArgumentParser, with_windows=True, with_encoding=Fal
     p.add_argument("--num-threads", type=int, default=2, help="Number of threads")
     p.add_argument("--batch-size", type=int, default=10000,
                    help="Batch size (in number of alignments)")
+    p.add_argument("--batch-list-size", type=int, default=0,
+                   help="Max read batches queued ahead of the engine "
+                        "(legacy knob; 0 = auto)")
     if with_encoding:
         p.add_argument("--quality-encoding", dest="quality_encoding_name",
                        help="Encoding for quality scores: phred33, phred64")
@@ -145,6 +148,7 @@ def _apply_conf(ns: argparse.Namespace, conf: dict):
         "num-threads": "num_threads",
         "cpu-num-threads": "num_threads",
         "batch-size": "batch_size",
+        "batch-list-size": "batch_list_size",
         "quality-encoding": "quality_encoding_name",
         "read-length-range": "read_length_range",
         "read-quality-range": "read_quality_range",
@@ -206,6 +210,7 @@ def _ns_to_opts(ns: argparse.Namespace, cls):
 
         set_num_threads(ns.num_threads)
     opts.batch_size = ns.batch_size
+    opts.batch_list_size = ns.batch_list_size
     opts.quality_encoding_name = getattr(ns, "quality_encoding_name", None)
     opts.read_length_range = ns.read_length_range
     opts.read_quality_range = ns.read_quality_range

@@ -44,7 +44,9 @@ class OptionsError(SystemExit):
 
     def __init__(self, message: str = ""):
         if message:
-            print(message)
+            import sys
+
+            print(message, file=sys.stderr)
         super().__init__(-1)
 
 
@@ -167,6 +169,9 @@ class CommandOptions:
     out_dirname: Optional[str] = None
     num_threads: int = DEFAULT_NUM_THREADS
     batch_size: int = DEFAULT_BATCH_SIZE
+    # legacy --batch-list-size (old/README:57): how many read batches may be
+    # queued ahead of the consumer; 0 = auto (pack workers + 2)
+    batch_list_size: int = 0
     log_level: int = 0
     verbose: int = 0
     time_on: bool = False

@@ -62,7 +62,8 @@ def _pack_workers() -> int:
     return max(1, min(4, (os.cpu_count() or 2) - 1))
 
 
-def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0):
+def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0,
+                 workers: int = 0):
     """(block, device_arrays) with pack + host->device transfer fanned out
     over a small thread pool — the device step of batch n overlaps the
     read, pack, and transfer of batches n+1..n+depth (SURVEY §2.3 P1/P2)."""
@@ -89,7 +90,7 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0):
             packed = (wire_pack4(packed[0]),) + packed[1:]
         return block, jax.device_put(packed)
 
-    workers = _pack_workers()
+    workers = workers or _pack_workers()
     it = prefetched(iter(reader), depth=depth or (workers + 2),
                     transform=transform, workers=workers)
     while True:
@@ -184,6 +185,77 @@ class _Profiler:
             jax.profiler.stop_trace()
 
 
+def _read_shards() -> int:
+    """Concurrent byte-range readers for order-invariant pipelines
+    (HPGQ_READ_SHARDS; 0/unset = auto).  Each shard runs its own
+    read->index->pack->transfer chain, so the serial chunk indexing stops
+    being the pipeline ceiling — the single-host reshaping of the
+    reference's N parser threads (``workflow_run_with``,
+    src/stats_fastq.c:465)."""
+    n = int(os.environ.get("HPGQ_READ_SHARDS", "0") or 0)
+    if n > 0:
+        return n
+    return max(1, min(4, (os.cpu_count() or 2) // 2))
+
+
+_PARALLEL_MIN_BYTES = 32 << 20  # below this, shard setup outweighs the win
+
+
+def _run_stats_parallel(opts, timers, crit, br, nshards: int):
+    """Single-end stats over ``nshards`` concurrent byte-range readers.
+
+    Stats accumulation is a commutative monoid, so shards process their
+    record-aligned ranges independently (each with its own device
+    accumulator) and the host counters merge IN SHARD ORDER at the end —
+    results are deterministic for every integer field; the f32
+    ``acc_quality`` device sum may differ from the serial order in the last
+    bits (same tolerance as batch-order effects, see CLAUDE.md notes)."""
+    import threading
+
+    from ..dist.mesh import split_byte_ranges
+
+    ranges = split_byte_ranges(opts.in_filename, nshards)
+    results = [None] * nshards
+    errors = []
+
+    def work(i: int, start: int, end: int):
+        try:
+            t = StageTimers()
+            sess = StatsSession(
+                opts.quality_encoding_value, opts.kmers_on, crit,
+                batch_reads=br, engine=_engine_of(opts),
+            )
+            with FastqReader(opts.in_filename, batch_size=opts.batch_size,
+                             start_offset=start, end_offset=end) as rd:
+                for block, arrs in _iter_packed(rd, sess, br, t, workers=1):
+                    with t.stage("compute"):
+                        sess.feed_packed(*arrs)
+            with t.stage("compute"):
+                results[i] = (sess.finish(), t)
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(i, s, e), daemon=True,
+                         name="hpgq-shard%d" % i)
+        for i, (s, e) in enumerate(ranges)
+    ]
+    with _Profiler(opts.profile_dir):
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    if errors:
+        raise errors[0]
+    counters = None
+    for res, t in results:
+        timers.merge_from(t)
+        counters = res if counters is None else counters.merge(res)
+    with timers.stage("reporting"):
+        stats_report(counters, opts)
+    return counters
+
+
 def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
     """The `stats` command (single- or paired-end). Returns counters
     (a (counters1, counters2) tuple when paired)."""
@@ -196,6 +268,18 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
             load_counters_checkpoint,
             save_counters_checkpoint,
         )
+
+        nshards = _read_shards()
+        if (
+            nshards > 1
+            and not opts.checkpoint_path  # resume needs sequential offsets
+            and os.path.exists(opts.in_filename)
+            and os.path.getsize(opts.in_filename) >= _PARALLEL_MIN_BYTES
+        ):
+            from ..dist.mesh import range_splittable
+
+            if range_splittable(opts.in_filename):
+                return _run_stats_parallel(opts, timers, crit, br, nshards)
 
         ck_path = opts.checkpoint_path
         ck_every = opts.checkpoint_every or 50
@@ -219,7 +303,7 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
         with FastqReader(
             opts.in_filename, batch_size=opts.batch_size, start_offset=start
         ) as rd, _Profiler(opts.profile_dir):
-            for block, arrs in _iter_packed(rd, sess, br, timers):
+            for block, arrs in _iter_packed(rd, sess, br, timers, depth=getattr(opts, "batch_list_size", 0)):
                 with timers.stage("compute"):
                     sess.feed_packed(*arrs)
                 nb += 1
@@ -363,7 +447,7 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
                          start_offset=start) as rd, \
              FastqWriter(passed_path, append_at=sizes.get("passed")) as pw, \
              FastqWriter(failed_path, append_at=sizes.get("failed")) as fw:
-            for block in _iter_blocks(rd, timers):
+            for block in _iter_blocks(rd, timers, prefetch_depth=getattr(opts, "batch_list_size", 0) or 3):
                 with timers.stage("compute"):
                     ok = vfn(block)
                 with timers.stage("write"):
@@ -546,7 +630,7 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
                 if opts.filter_on else None
             )
             try:
-                for block in _iter_blocks(rd, timers):
+                for block in _iter_blocks(rd, timers, prefetch_depth=getattr(opts, "batch_list_size", 0) or 3):
                     process(block, ew, fw)
                     writers = {"edit": ew}
                     if fw:

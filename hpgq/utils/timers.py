@@ -28,6 +28,16 @@ class StageTimers:
     def total(self) -> float:
         return time.perf_counter() - self._t0
 
+    def merge_from(self, other: "StageTimers") -> None:
+        """Fold a worker's timers in (parallel shard readers): stage totals
+        are summed CPU-time-style, so per-batch columns stay meaningful;
+        wall-clock `total()` remains this timer's own."""
+        for k, v in other.totals.items():
+            self.totals[k] = self.totals.get(k, 0.0) + v
+        self.num_batches += other.num_batches
+        self.total_reads += other.total_reads
+        self.total_bytes += other.total_bytes
+
     def report(self, out=None) -> None:
         import sys
 

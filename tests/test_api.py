@@ -40,6 +40,46 @@ def test_api_errors(tmp_path):
         hpgq.stats(fq, outdir=str(tmp_path), encoding="phred99")
 
 
+def test_parallel_shard_reader_matches_serial(tmp_path, monkeypatch):
+    """run_stats with concurrent byte-range readers == serial run on every
+    integer counter and the summary bytes (f32 acc_quality folds in shard
+    order — deterministic; tolerance only on the derived mean)."""
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline import run as run_mod
+
+    fq = str(tmp_path / "p.fq")
+    make_fastq(fq, 4000, min_len=60, max_len=120, n_prob=0.02, seed=13)
+
+    def opts(out, kmers=False, flt=False):
+        o = StatsOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 700
+        o.kmers_on = kmers
+        if flt:
+            o.read_quality_range = "18,40"
+            o.criteria.min_read_quality = 18
+            o.criteria.max_read_quality = 40
+            o.filter_on = True
+        return o
+
+    for kw in ({}, {"kmers": True}, {"flt": True}):
+        a, b = tmp_path / ("a%s" % kw), tmp_path / ("b%s" % kw)
+        a.mkdir(), b.mkdir()
+        serial = run_mod.run_stats(opts(a, **kw))
+        monkeypatch.setenv("HPGQ_READ_SHARDS", "3")
+        monkeypatch.setattr(run_mod, "_PARALLEL_MIN_BYTES", 1)
+        par = run_mod.run_stats(opts(b, **kw))
+        monkeypatch.delenv("HPGQ_READ_SHARDS")
+        monkeypatch.setattr(run_mod, "_PARALLEL_MIN_BYTES", 32 << 20)
+        assert par.equals(serial), kw
+        assert (b / "p.fq.summary.txt").read_bytes() == (
+            a / "p.fq.summary.txt"
+        ).read_bytes(), kw
+
+
 def test_api_stats_inline_filter_and_sharded(tmp_path):
     fq = str(tmp_path / "b.fq")
     make_fastq(fq, 600, min_len=50, max_len=100, n_prob=0.02, seed=2)
