@@ -23,8 +23,10 @@ longest read); the reference's per-read size is not observable from the
 vendored code (SURVEY §2.2).  Tie-breaks in the k-mer sort are by id
 ascending (reference qsort is unstable).
 
-gnuplot PNG rendering runs only when a ``gnuplot`` binary exists (the
-reference shells out unconditionally, ``src/stats_report.c:654-655``).
+PNG rendering: gnuplot when a binary exists (the reference shells out
+unconditionally, ``src/stats_report.c:654-655``), otherwise a native
+matplotlib-Agg renderer of the same charts (``hpgq.report.charts``);
+HPGQ_CHARTS=gnuplot|native|off|auto overrides.
 """
 
 from __future__ import annotations
@@ -104,8 +106,15 @@ def _generate_gnuplot_image(graph: ReportGraph, data_filename: str, prefix: str)
                    ytitle, graph.type)
             )
         f.write("plot" + "".join(parts) + "\n")
-    if _HAVE_GNUPLOT:
+    mode = os.environ.get("HPGQ_CHARTS", "auto")
+    if mode == "off":
+        return
+    if mode != "native" and _HAVE_GNUPLOT:
         subprocess.run(["gnuplot", gnuplot_filename], check=False)
+    elif mode != "gnuplot":
+        from .charts import render_native
+
+        render_native(graph, data_filename, prefix)
 
 
 def sorted_kmers(counters: StatsCounters):

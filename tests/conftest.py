@@ -22,6 +22,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# PNG chart rendering fires inside every stats_report call; keep the suite
+# fast by disabling it globally — tests/test_report.py re-enables it for
+# the dedicated chart test.
+os.environ.setdefault("HPGQ_CHARTS", "off")
+
 if os.environ.get("HPGQ_DEBUG_NANS"):
     # SURVEY §5 sanitizer row: run the kernel/oracle differential suite with
     # NaN trapping (HPGQ_DEBUG_NANS=1 python -m pytest tests/ -q)

@@ -167,6 +167,30 @@ def test_filtered_summary_omits_unset_threshold_lines(tmp_path):
     assert b"Left length" not in txt
 
 
+def test_native_png_charts(tmp_path, monkeypatch):
+    """HPGQ_CHARTS=native renders one valid 640x360 PNG per chart (the
+    image half of the report contract, src/stats_report.c:654-655) without
+    a gnuplot binary."""
+    monkeypatch.setenv("HPGQ_CHARTS", "native")
+    path, pairs = _counters(tmp_path, min_len=40, max_len=60, n_prob=0.02,
+                            seed=23)
+    counters = spec.stats_of_file(pairs, kmers_on=True)
+    opts = StatsOptions(in_filename=path, out_dirname=str(tmp_path),
+                        kmers_on=True)
+    stats_report(counters, opts)
+
+    from PIL import Image
+
+    pngs = sorted(f for f in os.listdir(tmp_path) if f.endswith(".png"))
+    gnuplots = [f for f in os.listdir(tmp_path) if f.endswith(".gnuplot")]
+    assert len(pngs) == len(gnuplots) and len(pngs) >= 7
+    for p in pngs:
+        with Image.open(os.path.join(str(tmp_path), p)) as im:
+            im.verify()
+        with Image.open(os.path.join(str(tmp_path), p)) as im:
+            assert im.size == (640, 360), p
+
+
 def test_f32pct_large_count_semantics():
     """Percentages follow the C float chain: f32(100f * f32(count)) / f32(b)."""
     from hpgq.utils.cfmt import f32pct, fmt2f
