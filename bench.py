@@ -110,21 +110,29 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
     compilation (production runs are long streams — compile cost is not the
     metric), then best of ``passes`` timed passes (host<->device link
     bandwidth fluctuates heavily in tunneled environments)."""
-    from hpgq.pipeline.session import StatsSession
-    from hpgq.pipeline.run import _iter_packed
-    from hpgq.utils.timers import StageTimers
+    import dataclasses
+    import tempfile
+
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    outdir = tempfile.mkdtemp(prefix="hpgq_bench_rep_")
 
     def one_pass():
-        sess = StatsSession(PHRED, kmers_on=False, crit=CRIT, batch_reads=batch_reads)
-        total = 0
-        timers = StageTimers()
-        with FastqReader(path, batch_size=batch_size) as rd:
-            for block, arrs in _iter_packed(rd, sess, batch_reads, timers):
-                sess.feed_packed(*arrs)
-                total += block.num_reads
-        counters = sess.finish()
+        # the REAL production path (run_stats: parallel shard readers when
+        # eligible, wire packing, report emission) — not a bench-only loop
+        o = StatsOptions()
+        o.in_filename = path
+        o.out_dirname = outdir
+        o.quality_encoding_value = PHRED
+        o.quality_encoding_name = "phred33"
+        o.batch_size = batch_size
+        o.device_batch_reads = batch_reads
+        o.criteria = dataclasses.replace(CRIT)
+        o.filter_on = True
+        counters = run_stats(o)
         assert counters.num_reads >= 0
-        return total
+        return counters.num_passed + counters.num_failed
 
     budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "300"))
     t_start = time.perf_counter()
