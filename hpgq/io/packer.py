@@ -16,6 +16,8 @@ replace this transparently (see ``hpgq/io/native``).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..constants import BASE_A, BASE_C, BASE_G, BASE_N, BASE_OTHER, BASE_T
@@ -39,6 +41,13 @@ for ch, code in (
     ("N", BASE_N), ("n", BASE_N),
 ):
     BASE_LUT[ord(ch)] = code
+if os.environ.get("HPGQ_STRICT_CASE"):
+    # strict-compat toggle for deviation [D6] (oracle/spec.py): the
+    # reference's observable per-position consumer counts only the
+    # UPPERCASE letters (src/stats_fastq.c:360-372); lowercase soft-masked
+    # bases then count toward length but no base bin.  See PARITY.md.
+    for ch in "acgtn":
+        BASE_LUT[ord(ch)] = BASE_OTHER
 
 
 def round_up(x: int, m: int) -> int:

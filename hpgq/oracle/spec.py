@@ -50,6 +50,14 @@ from ..options import FilterCriteria
 
 _BASE_INDEX = {65: 0, 67: 1, 71: 2, 84: 3, 78: 4,
                97: 0, 99: 1, 103: 2, 116: 3, 110: 4}  # A C G T N (+lower)
+import os as _os  # noqa: E402
+
+if _os.environ.get("HPGQ_STRICT_CASE"):
+    # [D6] strict-compat: literal reference semantics — uppercase only
+    # (src/stats_fastq.c:360-372).  Mirrors the engine's BASE_LUT toggle
+    # (hpgq.io.packer) so differential tests hold in both modes; PARITY.md
+    # quantifies the divergence.
+    _BASE_INDEX = {k: v for k, v in _BASE_INDEX.items() if k < 97}
 
 
 def read_stats(seq: bytes, qual: bytes):

@@ -191,6 +191,56 @@ def test_native_png_charts(tmp_path, monkeypatch):
             assert im.size == (640, 360), p
 
 
+def test_strict_case_mode(tmp_path):
+    """HPGQ_STRICT_CASE=1 ([D6] strict-compat): lowercase bases drop out of
+    the base counters in BOTH engine and oracle (they stay differentially
+    equal), and counts shrink vs the default case-folding mode."""
+    import subprocess
+    import sys
+
+    fq = str(tmp_path / "lc.fq")
+    make_fastq(fq, 400, min_len=50, max_len=80, lowercase_prob=0.3, seed=31)
+    prog = r"""
+import sys
+sys.path.insert(0, %r)
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from gen import make_fastq  # noqa
+from hpgq.oracle import spec
+from hpgq.options import StatsOptions
+from hpgq.pipeline.run import run_stats
+o = StatsOptions()
+o.in_filename = %r
+o.out_dirname = %r
+o.quality_encoding_value = 33
+o.quality_encoding_name = "phred33"
+c = run_stats(o)
+w = spec.stats_of_file(spec.iter_seq_qual(%r))
+assert c.equals(w), "engine != oracle in this case mode"
+print("ACGT", c.num_As + c.num_Cs + c.num_Gs + c.num_Ts + c.num_Ns)
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tests = os.path.join(repo, "tests")
+
+    def run(strict):
+        env = dict(os.environ, HPGQ_CHARTS="off")
+        env.pop("HPGQ_STRICT_CASE", None)
+        if strict:
+            env["HPGQ_STRICT_CASE"] = "1"
+        out = str(tmp_path / ("s" if strict else "d"))
+        os.makedirs(out, exist_ok=True)
+        r = subprocess.run(
+            [sys.executable, "-c", prog % (repo, tests, fq, out, fq)],
+            capture_output=True, text=True, env=env, timeout=180,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        return int(r.stdout.split("ACGT")[1].split()[0])
+
+    folded, strict = run(False), run(True)
+    assert strict < folded  # lowercase bases no longer counted
+
+
 def test_f32pct_large_count_semantics():
     """Percentages follow the C float chain: f32(100f * f32(count)) / f32(b)."""
     from hpgq.utils.cfmt import f32pct, fmt2f
