@@ -15,11 +15,13 @@ over the tile's read dim — O(TB·BINS) VPU ops per tile, negligible next to
 the O(TB·L) data pass.
 
 The k-mer fields (optional ``--kmers`` mode) stay on the jnp path
-(``stats_jnp.kmer_codes``/``kmer_hist2d``) and are fused by XLA around this
-kernel; see ``make_batch_partials``.  Note: in kmers+filter mode that jnp
-ride-along recomputes the verdicts for the k-mer mask (a second pass over
-the batch bytes) — the one-HBM-read guarantee below holds for the default
-non-kmers modes.
+(``stats_jnp.kmer_codes``/``kmer_hist2d``) around this kernel; see
+``make_batch_partials``.  The kernel exports its per-read pass mask, so the
+ride-along reuses the in-kernel verdicts instead of recomputing them — its
+only extra HBM traffic is one more read of the codes tensor (~10 us/batch;
+a VMEM-resident [1024, L] per-position one-hot inside the kernel would cost
+O(TB*L*1024) VPU ops per tile, ~250x the data pass, so the second read is
+the right trade).
 
 Differentially tested against ``stats_jnp.batch_partials`` (exact for all
 integer fields; the f32 ``acc_quality`` tile-order sum is compared to 1e-3
