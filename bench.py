@@ -364,7 +364,7 @@ def main():
         # Headline (config #1+#2: stats with inline filter) first — computed
         # now, printed LAST so the driver's tail-parse lands on it.
         t_all = time.perf_counter()
-        budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "420"))
+        budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "520"))
         oracle_rps, _ = run_oracle(opath, args.batch_size)
         engine_rps, total = run_engine(path, args.batch_size, br, passes=3)
         headline = {

@@ -82,7 +82,12 @@ class ShapeCachedFn:
     ``cache_key`` (when hashable and non-None) keys a process-global compile
     cache, so repeated runs with identical static config reuse the jitted
     executable instead of recompiling (jax.jit caches per function object).
-    """
+
+    When a wire format is active (bitpack/fused4 — TPU default), the block
+    is packed host-side into the single wire buffer and decoded on device,
+    so filter/edit/paired-stats verdict+trim calls ship the same minimal
+    bytes per read as the stats engine (H2D is the pipeline ceiling on
+    tunneled/remote links — see bench.py's breakdown)."""
 
     def __init__(self, build_fn, batch_reads: int, cache_key=None):
         self._build = build_fn
@@ -90,23 +95,44 @@ class ShapeCachedFn:
         self._key = cache_key
         self.batch_reads = batch_reads
 
-    def _fn_for(self, shape):
+    def _fn_for(self, shape, wire, wrap):
         if self._key is not None:
-            key = (self._key, shape)
+            key = (self._key, wire, shape)
             fn = _FN_CACHE.get(key)
             if fn is None:
-                fn = _FN_CACHE[key] = jax.jit(self._build())
+                fn = _FN_CACHE[key] = jax.jit(wrap(self._build()))
             return fn
-        fn = self._cache.get(shape)
+        key = (wire, shape)
+        fn = self._cache.get(key)
         if fn is None:
-            fn = self._cache[shape] = jax.jit(self._build())
+            fn = self._cache[key] = jax.jit(wrap(self._build()))
         return fn
 
     def __call__(self, block):
+        from ..core.accumulator import resolve_wire
+
         lmax = round_up(max(block.max_len(), 1), 128)
-        codes, quals, lens, valid = pack_block(
-            block, max_len=lmax, pad_reads_to=self.batch_reads
-        )
-        out = self._fn_for(codes.shape)(codes, quals, lens, valid)
         n = block.num_reads
+        wire = resolve_wire()
+        if wire in ("bitpack", "fused4"):
+            from ..io.packer import pack_block_bitwire, pack_block_fused
+            from ..kernels.stats_jnp import wire_unbits, wire_unfuse
+
+            if wire == "bitpack":
+                buf = pack_block_bitwire(block, lmax,
+                                         pad_reads_to=self.batch_reads)
+                unf = wire_unbits
+            else:
+                buf = pack_block_fused(block, lmax,
+                                       pad_reads_to=self.batch_reads)
+                unf = wire_unfuse
+            wrap = lambda inner: (lambda b: inner(*unf(b)))  # noqa: E731
+            out = self._fn_for(buf.shape, wire, wrap)(buf)
+        else:
+            codes, quals, lens, valid = pack_block(
+                block, max_len=lmax, pad_reads_to=self.batch_reads
+            )
+            out = self._fn_for(codes.shape, None, lambda f: f)(
+                codes, quals, lens, valid
+            )
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)

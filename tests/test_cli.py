@@ -334,6 +334,60 @@ def test_stats_pipeline_with_wire_fused4(tmp_path, monkeypatch):
     assert (c / "wf.fq.summary.txt").read_bytes() == (a / "wf.fq.summary.txt").read_bytes()
 
 
+def test_filter_edit_through_wire(tmp_path, monkeypatch):
+    """filter/edit verdict+trim kernels through the wire formats (the
+    ShapeCachedFn wire path, used on TPU) == the plain-array path,
+    byte-identical outputs."""
+    from gen import make_fastq
+    from hpgq.options import EditOptions, FilterOptions
+    from hpgq.pipeline.run import run_edit, run_filter
+
+    fq = str(tmp_path / "w.fq")
+    make_fastq(fq, 1200, min_len=40, max_len=100, n_prob=0.02, seed=17)
+
+    def fopts(out):
+        o = FilterOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 300
+        o.criteria.min_read_quality = 18
+        o.criteria.max_read_quality = 40
+        o.criteria.max_N = 1
+        o.filter_on = True
+        return o
+
+    def eopts(out):
+        o = EditOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 300
+        o.criteria.left_length = 8
+        o.criteria.min_left_quality = 30
+        o.criteria.max_left_quality = 60
+        return o
+
+    outs = {}
+    for wire in ("off", "bitpack", "fused4"):
+        monkeypatch.setenv("HPGQ_WIRE", wire)
+        d = tmp_path / ("f_" + wire)
+        d.mkdir()
+        rf = run_filter(fopts(d))
+        e = tmp_path / ("e_" + wire)
+        e.mkdir()
+        re_ = run_edit(eopts(e))
+        outs[wire] = (
+            (d / "passed.fq").read_bytes(), (d / "failed.fq").read_bytes(),
+            (e / "edit.fq").read_bytes(),
+            rf["num_passed"], rf["num_failed"], re_["num_edited"],
+        )
+    assert outs["bitpack"] == outs["off"]
+    assert outs["fused4"] == outs["off"]
+
+
 def test_phred64_encoding_and_aliases(tmp_path):
     """phred64 quality encoding: stats summary normalizes with offset 64;
     filter thresholds apply in normalized space; legacy aliases accepted."""
