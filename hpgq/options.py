@@ -190,6 +190,9 @@ class CommandOptions:
     quality_encoding_value: int = PHRED33
 
     # engine knobs (new; absent in reference)
+    # (start, end) logical byte range to process (record-aligned); internal —
+    # set by the parallel shard runners (pipeline.run) and multi-host paths
+    input_range: Optional[tuple] = None
     device_batch_reads: int = 0      # 0 = auto
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 0

@@ -422,6 +422,96 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
 # filter
 # ---------------------------------------------------------------------------
 
+def _output_parallel_eligible(opts) -> bool:
+    """Parallel shard readers for the output commands (filter/edit):
+    single-end, no checkpoint (resume needs sequential offsets), no explicit
+    range (that IS a shard), big enough, byte-seekable input."""
+    if (
+        opts.paired_end
+        or opts.checkpoint_path
+        or getattr(opts, "input_range", None) is not None
+        or _read_shards() <= 1
+        or not os.path.exists(opts.in_filename)
+        or os.path.getsize(opts.in_filename) < _PARALLEL_MIN_BYTES
+    ):
+        return False
+    from ..dist.mesh import range_splittable
+
+    return range_splittable(opts.in_filename)
+
+
+def _run_output_parallel(opts, timers, runner, count_keys):
+    """filter/edit over concurrent record-aligned byte-range shards.
+
+    Each shard thread runs the ordinary serial pipeline into a private
+    ``.pshardNNNN`` output dir; the final files are the shard files
+    concatenated in shard order — byte-identical to the serial run (shards
+    are assigned in file order and each shard preserves input order).  The
+    in-process analog of the multi-host ``--sharded`` output path
+    (hpgq.dist.run_dist._run_output_sharded) and of the reference's N
+    worker threads (src/filter_fastq.c:161-170)."""
+    import dataclasses
+    import shutil
+    import threading
+
+    from ..dist.mesh import split_byte_ranges
+
+    nshards = _read_shards()
+    ranges = split_byte_ranges(opts.in_filename, nshards)
+    results = [None] * nshards
+    errors = []
+
+    def work(i: int, rng):
+        try:
+            local = dataclasses.replace(opts)
+            sd = os.path.join(opts.out_dirname or ".", ".pshard%04d" % i)
+            os.makedirs(sd, exist_ok=True)
+            local.out_dirname = sd
+            local.input_range = rng
+            t = StageTimers()
+            results[i] = (runner(local, t), t, sd)
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(i, r), daemon=True,
+                         name="hpgq-oshard%d" % i)
+        for i, r in enumerate(ranges)
+    ]
+    with _Profiler(opts.profile_dir):
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    if errors:
+        for _, _, sd in filter(None, results):
+            shutil.rmtree(sd, ignore_errors=True)
+        raise errors[0]
+
+    out = {k: 0 for k in count_keys}
+    names = sorted(os.listdir(results[0][2]))
+    with timers.stage("write"):
+        for name in names:
+            final = os.path.join(opts.out_dirname or ".", name)
+            with open(final, "wb") as dst:
+                for _, _, sd in results:
+                    p = os.path.join(sd, name)
+                    if os.path.exists(p):
+                        with open(p, "rb") as src:
+                            shutil.copyfileobj(src, dst, 16 << 20)
+    for res, t, sd in results:
+        timers.merge_from(t)
+        for k in count_keys:
+            out[k] += int(res.get(k, 0))
+        shutil.rmtree(sd, ignore_errors=True)
+    base = dict(results[0][0])  # non-count keys (output filenames, flags)
+    for k, v in base.items():
+        if isinstance(v, str) and k.endswith("_filename"):
+            base[k] = os.path.join(opts.out_dirname or ".", os.path.basename(v))
+    base.update(out)
+    return base
+
+
 def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
     """The `filter` command → passed/failed FASTQ files. Returns counts."""
     timers = timers or StageTimers()
@@ -436,6 +526,10 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
     out = {"num_passed": 0, "num_failed": 0}
 
     if not opts.paired_end:
+        if _output_parallel_eligible(opts):
+            return _run_output_parallel(
+                opts, timers, run_filter, ("num_passed", "num_failed")
+            )
         passed_path = os.path.join(opts.out_dirname, "passed.fq")
         failed_path = os.path.join(opts.out_dirname, "failed.fq")
         ck = _OutputCheckpointer(
@@ -443,8 +537,10 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
             out, ("num_passed", "num_failed"),
         )
         start, sizes = ck.resume()
+        rng = getattr(opts, "input_range", None) or (0, None)
         with FastqReader(opts.in_filename, batch_size=opts.batch_size,
-                         start_offset=start) as rd, \
+                         start_offset=max(start, rng[0]),
+                         end_offset=rng[1]) as rd, \
              FastqWriter(passed_path, append_at=sizes.get("passed")) as pw, \
              FastqWriter(failed_path, append_at=sizes.get("failed")) as fw:
             for block in _iter_blocks(rd, timers, prefetch_depth=getattr(opts, "batch_list_size", 0) or 3):
@@ -610,6 +706,11 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
                 block.write_trimmed(ew, lt, rt)
 
     if not opts.paired_end:
+        if _output_parallel_eligible(opts):
+            return _run_output_parallel(
+                opts, timers, run_edit,
+                ("num_edited", "num_passed", "num_failed"),
+            )
         edit_path = os.path.join(opts.out_dirname, "edit.fq")
         failed_path = os.path.join(opts.out_dirname, "failed.fq")
         out["edit_filename"] = edit_path
@@ -622,8 +723,10 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
             ("num_edited", "num_passed", "num_failed"),
         )
         start, sizes = ck.resume()
+        rng = getattr(opts, "input_range", None) or (0, None)
         with FastqReader(opts.in_filename, batch_size=opts.batch_size,
-                         start_offset=start) as rd, \
+                         start_offset=max(start, rng[0]),
+                         end_offset=rng[1]) as rd, \
              FastqWriter(edit_path, append_at=sizes.get("edit")) as ew:
             fw = (
                 FastqWriter(failed_path, append_at=sizes.get("failed"))

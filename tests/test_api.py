@@ -80,6 +80,58 @@ def test_parallel_shard_reader_matches_serial(tmp_path, monkeypatch):
         ).read_bytes(), kw
 
 
+def test_parallel_output_shards_match_serial(tmp_path, monkeypatch):
+    """filter/edit over concurrent byte-range shards: byte-identical
+    passed/failed/edit files and equal counts vs the serial run."""
+    from hpgq.options import EditOptions, FilterOptions
+    from hpgq.pipeline import run as run_mod
+
+    fq = str(tmp_path / "po.fq")
+    make_fastq(fq, 5000, min_len=50, max_len=110, n_prob=0.02, seed=19)
+
+    def fopts(out):
+        o = FilterOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 600
+        o.criteria.min_read_quality = 18
+        o.criteria.max_read_quality = 40
+        o.filter_on = True
+        return o
+
+    def eopts(out):
+        o = EditOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 600
+        o.criteria.left_length = 6
+        o.criteria.min_left_quality = 28
+        o.criteria.max_left_quality = 60
+        return o
+
+    for which, opts_of, runner, files in (
+        ("filter", fopts, run_mod.run_filter, ("passed.fq", "failed.fq")),
+        ("edit", eopts, run_mod.run_edit, ("edit.fq",)),
+    ):
+        a, b = tmp_path / ("sa_" + which), tmp_path / ("sb_" + which)
+        a.mkdir(), b.mkdir()
+        serial = runner(opts_of(a))
+        monkeypatch.setenv("HPGQ_READ_SHARDS", "3")
+        monkeypatch.setattr(run_mod, "_PARALLEL_MIN_BYTES", 1)
+        par = runner(opts_of(b))
+        monkeypatch.delenv("HPGQ_READ_SHARDS")
+        monkeypatch.setattr(run_mod, "_PARALLEL_MIN_BYTES", 32 << 20)
+        for f in files:
+            assert (b / f).read_bytes() == (a / f).read_bytes(), (which, f)
+        for k in ("num_passed", "num_failed", "num_edited"):
+            assert par.get(k, 0) == serial.get(k, 0), (which, k)
+        assert not [d for d in os.listdir(b) if d.startswith(".pshard")]
+
+
 def test_api_stats_inline_filter_and_sharded(tmp_path):
     fq = str(tmp_path / "b.fq")
     make_fastq(fq, 600, min_len=50, max_len=100, n_prob=0.02, seed=2)
