@@ -166,10 +166,15 @@ def combine_quality_limbs(tq_hi, tq_lo):
 _CGR_STEP_CACHE: dict = {}
 
 
-def make_cgr_step(k: int = DEFAULT_CGR_K, phred: int = 33, jit: bool = True):
+def make_cgr_step(k: int = DEFAULT_CGR_K, phred: int = 33, jit: bool = True,
+                  wire=None):
     """step(acc, codes, quals, lens, valid) -> acc for
-    acc = {"table_seq", "table_q_hi", "table_q_lo", "words"} (device i32)."""
-    key = (k, phred)
+    acc = {"table_seq", "table_q_hi", "table_q_lo", "words"} (device i32).
+
+    ``wire='bitpack'``/``'fused4'``: signature becomes ``step(acc, buf)``
+    with the single uint8 wire buffer decoded on device (same minimal-H2D
+    trick as the stats engine; see ``stats_jnp.wire_unbits``)."""
+    key = (k, phred, wire)
     if jit and key in _CGR_STEP_CACHE:
         return _CGR_STEP_CACHE[key]
 
@@ -182,6 +187,15 @@ def make_cgr_step(k: int = DEFAULT_CGR_K, phred: int = 33, jit: bool = True):
             "table_q_lo": acc["table_q_lo"] + tq_lo,
             "words": acc["words"] + w,
         }
+
+    if wire in ("bitpack", "fused4"):
+        from .stats_jnp import wire_unbits, wire_unfuse
+
+        inner = step
+        unf = wire_unbits if wire == "bitpack" else wire_unfuse
+
+        def step(acc, buf):  # noqa: F811 — fused single-buffer entry
+            return inner(acc, *unf(buf))
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,))

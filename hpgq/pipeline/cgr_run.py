@@ -46,6 +46,8 @@ class CgrSession:
     """Streaming CGR accumulation (host int64 tables, device batch kernel)."""
 
     def __init__(self, k: int, phred: int, batch_reads: int):
+        from ..core.accumulator import resolve_wire
+
         self.k = k
         self.phred = phred
         self.batch_reads = batch_reads
@@ -53,19 +55,40 @@ class CgrSession:
         self.table_seq = np.zeros((dim, dim), dtype=np.int64)
         self.table_q = np.zeros((dim, dim), dtype=np.int64)
         self.word_count = 0
-        self._step = make_cgr_step(k, phred)
+        self.wire = resolve_wire()
+        self._step = make_cgr_step(k, phred, wire=self.wire)
 
     def feed_block(self, block):
         lmax = round_up(max(block.max_len(), self.k), 128)
+        if self.wire in ("bitpack", "fused4"):
+            from ..io.packer import pack_block_bitwire, pack_block_fused
+
+            pack = (pack_block_bitwire if self.wire == "bitpack"
+                    else pack_block_fused)
+            buf = pack(block, lmax, pad_reads_to=self.batch_reads)
+            self._feed_wire(buf)
+            return
         codes, quals, lens, valid = pack_block(
             block, max_len=lmax, pad_reads_to=self.batch_reads
         )
         self.feed_packed(codes, quals, lens, valid)
 
+    def _feed_wire(self, buf):
+        from ..kernels.cgr import combine_quality_limbs
+
+        acc = self._step(zero_cgr_acc(self.k), buf)
+        host = jax.device_get(acc)
+        self.table_seq += np.asarray(host["table_seq"], dtype=np.int64)
+        self.table_q += combine_quality_limbs(host["table_q_hi"],
+                                              host["table_q_lo"])
+        self.word_count += int(host["words"])
+
     def feed_packed(self, codes, quals, lens, valid):
         from ..kernels.cgr import combine_quality_limbs
 
-        acc = self._step(zero_cgr_acc(self.k), codes, quals, lens, valid)
+        step = (self._step if self.wire not in ("bitpack", "fused4")
+                else make_cgr_step(self.k, self.phred))  # plain-array entry
+        acc = step(zero_cgr_acc(self.k), codes, quals, lens, valid)
         host = jax.device_get(acc)
         self.table_seq += np.asarray(host["table_seq"], dtype=np.int64)
         self.table_q += combine_quality_limbs(host["table_q_hi"],

@@ -199,6 +199,33 @@ def test_cgr_against_oracle_from_file(tmp_path):
     assert sess.word_count == ow
 
 
+def test_cgr_session_through_wire(tmp_path, monkeypatch):
+    """CgrSession through the wire formats == plain-array session (the TPU
+    H2D path; tables and word count exactly equal)."""
+    from hpgq.io.fastq import FastqReader
+    from hpgq.pipeline.cgr_run import CgrSession
+
+    fq = str(tmp_path / "w.fq")
+    make_fastq(fq, 300, min_len=30, max_len=90, n_prob=0.03, seed=14)
+    k = 4
+
+    def run(wire):
+        monkeypatch.setenv("HPGQ_WIRE", wire)
+        sess = CgrSession(k, PHRED33, batch_reads=256)
+        with FastqReader(fq, batch_size=120) as rd:
+            for block in rd:
+                sess.feed_block(block)
+        return sess
+
+    ref = run("off")
+    for wire in ("bitpack", "fused4"):
+        got = run(wire)
+        assert got.wire == wire
+        np.testing.assert_array_equal(got.table_seq, ref.table_seq)
+        np.testing.assert_array_equal(got.table_q, ref.table_q)
+        assert got.word_count == ref.word_count
+
+
 def test_kernel_large_k():
     """k=10 (dim 1024): the chunk auto-bound keeps memory sane and results
     exact vs the loop oracle."""
