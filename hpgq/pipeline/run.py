@@ -435,6 +435,15 @@ def _output_parallel_eligible(opts) -> bool:
         or os.path.getsize(opts.in_filename) < _PARALLEL_MIN_BYTES
     ):
         return False
+    # auto mode: only worth it when each shard's device round-trip is
+    # latency-bound (accelerator H2D); on the local CPU backend XLA already
+    # uses every core and shard threads just contend.  An explicit
+    # HPGQ_READ_SHARDS always wins.
+    if not os.environ.get("HPGQ_READ_SHARDS"):
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return False
     from ..dist.mesh import range_splittable
 
     return range_splittable(opts.in_filename)
