@@ -105,6 +105,28 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0,
         yield block, arrs
 
 
+def _iter_with(reader, fn, timers, depth: int = 0):
+    """(block, fn(block)) with ``fn`` (device verdict/trim kernels) running
+    in the producer pool — the pack+H2D+compute of batch n+1 overlaps the
+    span writes of batch n.  Input order is preserved (the pool resolves
+    futures in submission order), so outputs stay byte-identical."""
+    from .prefetch import prefetched
+
+    workers = _pack_workers()
+
+    def transform(block):
+        with timers.stage("compute"):
+            return block, fn(block)
+
+    it = prefetched(iter(reader), depth=depth or (workers + 2),
+                    transform=transform, workers=workers)
+    for block, out in it:
+        timers.num_batches += 1
+        timers.total_reads += block.num_reads
+        timers.total_bytes += block.span_bytes
+        yield block, out
+
+
 def _iter_blocks_paired(r1, r2, timers):
     """Lockstep paired iteration, re-sliced to common record counts.
 
@@ -380,14 +402,7 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
                 else:
                     sel = None
                 for sess, blk in ((sess1, b1), (sess2, b2)):
-                    lmax = round_up(max(blk.max_len(), 1), 128)
-                    codes, quals, lens, valid = pack_block(
-                        blk, max_len=max(lmax, sess.lcap), pad_reads_to=br
-                    )
-                    if sel is not None:
-                        valid = valid.copy()
-                        valid[: len(sel)] &= sel
-                    sess.feed_packed(codes, quals, lens, valid)
+                    sess.feed_block(blk, sel=sel)
             nb += 1
             if ck_path and nb % ck_every == 0:
                 with timers.stage("checkpoint"):
@@ -552,9 +567,10 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
                          end_offset=rng[1]) as rd, \
              FastqWriter(passed_path, append_at=sizes.get("passed")) as pw, \
              FastqWriter(failed_path, append_at=sizes.get("failed")) as fw:
-            for block in _iter_blocks(rd, timers, prefetch_depth=getattr(opts, "batch_list_size", 0) or 3):
-                with timers.stage("compute"):
-                    ok = vfn(block)
+            for block, ok in _iter_with(
+                rd, vfn, timers,
+                depth=getattr(opts, "batch_list_size", 0),
+            ):
                 with timers.stage("write"):
                     out["num_passed"] += block.write_selected(pw, ok)
                     out["num_failed"] += block.write_selected(fw, ~ok)
@@ -703,9 +719,8 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
     efn = _make_edit_fn(opts, br)
     out = {"num_edited": 0, "num_passed": 0, "num_failed": 0}
 
-    def process(block, ew, fw):
-        with timers.stage("compute"):
-            lt, rt, ok = efn(block)
+    def emit(block, trims, ew, fw):
+        lt, rt, ok = trims
         with timers.stage("write"):
             out["num_edited"] += int(((lt > 0) | (rt > 0)).sum())
             if opts.filter_on:
@@ -713,6 +728,11 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
                 out["num_failed"] += block.write_trimmed(fw, lt, rt, select=~ok)
             else:
                 block.write_trimmed(ew, lt, rt)
+
+    def process(block, ew, fw):
+        with timers.stage("compute"):
+            trims = efn(block)
+        emit(block, trims, ew, fw)
 
     if not opts.paired_end:
         if _output_parallel_eligible(opts):
@@ -742,8 +762,11 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
                 if opts.filter_on else None
             )
             try:
-                for block in _iter_blocks(rd, timers, prefetch_depth=getattr(opts, "batch_list_size", 0) or 3):
-                    process(block, ew, fw)
+                for block, trims in _iter_with(
+                    rd, efn, timers,
+                    depth=getattr(opts, "batch_list_size", 0),
+                ):
+                    emit(block, trims, ew, fw)
                     writers = {"edit": ew}
                     if fw:
                         writers["failed"] = fw

@@ -46,13 +46,34 @@ class StatsSession:
         self.acc.counters = old
         old.ensure_length(lcap)
 
-    def feed_block(self, block, timers=None):
+    def feed_block(self, block, timers=None, sel=None):
+        """Feed a RecordBlock; ``sel`` (bool [num_reads]) restricts which
+        reads count (the paired pair-consistent filter).  Uses the native
+        single-pass wire packer when a wire format is active — the selection
+        is applied by zeroing the per-row valid byte in the wire buffer
+        (one scatter) instead of re-packing."""
         lmax = round_up(max(block.max_len(), 1), 128)
         if lmax > self.lcap:
             self._grow(lmax)
+        wire = self.acc.wire
+        if wire in ("bitpack", "fused4"):
+            from ..io.packer import pack_block_bitwire, pack_block_fused
+
+            pack = (pack_block_bitwire if wire == "bitpack"
+                    else pack_block_fused)
+            buf = pack(block, self.lcap, pad_reads_to=self.batch_reads)
+            if sel is not None:
+                drop = np.flatnonzero(~np.asarray(sel, bool))
+                if drop.size:
+                    buf[drop, buf.shape[1] - 4] = 0  # tail valid byte
+            self.acc.update(buf)
+            return
         codes, quals, lens, valid = pack_block(
             block, max_len=self.lcap, pad_reads_to=self.batch_reads
         )
+        if sel is not None:
+            valid = valid.copy()
+            valid[: len(sel)] &= np.asarray(sel, bool)
         self.feed_packed(codes, quals, lens, valid)
 
     def feed_packed(self, codes, quals=None, lens=None, valid=None):

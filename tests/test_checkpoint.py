@@ -128,7 +128,7 @@ def test_filter_resume_equals_uninterrupted(tmp_path):
     ck = str(tmp_path / "f.ck.npz")
     ob = fopts(out_b, checkpoint_path=ck, checkpoint_every=1)
 
-    real_iter = run_mod._iter_blocks
+    real_iter = run_mod._iter_with
     calls = {"n": 0}
 
     def limited(*a, **k):
@@ -138,12 +138,12 @@ def test_filter_resume_equals_uninterrupted(tmp_path):
             calls["n"] += 1
             yield b
 
-    run_mod._iter_blocks = limited
+    run_mod._iter_with = limited
     try:
         with pytest.raises(KeyboardInterrupt):
             run_filter(ob)
     finally:
-        run_mod._iter_blocks = real_iter
+        run_mod._iter_with = real_iter
     assert os.path.exists(ck)
 
     res = run_filter(ob)
@@ -183,7 +183,7 @@ def test_edit_resume_equals_uninterrupted(tmp_path):
     ck = str(tmp_path / "e.ck.npz")
     ob = eopts(out_b, checkpoint_path=ck, checkpoint_every=2)
 
-    real_iter = run_mod._iter_blocks
+    real_iter = run_mod._iter_with
     calls = {"n": 0}
 
     def limited(*a, **k):
@@ -193,12 +193,12 @@ def test_edit_resume_equals_uninterrupted(tmp_path):
             calls["n"] += 1
             yield b
 
-    run_mod._iter_blocks = limited
+    run_mod._iter_with = limited
     try:
         with pytest.raises(KeyboardInterrupt):
             run_edit(ob)
     finally:
-        run_mod._iter_blocks = real_iter
+        run_mod._iter_with = real_iter
     assert os.path.exists(ck)
 
     res = run_edit(ob)

@@ -334,6 +334,44 @@ def test_stats_pipeline_with_wire_fused4(tmp_path, monkeypatch):
     assert (c / "wf.fq.summary.txt").read_bytes() == (a / "wf.fq.summary.txt").read_bytes()
 
 
+def test_paired_stats_filter_through_wire(tmp_path, monkeypatch):
+    """Paired stats + pair-consistent inline filter with the wire feed (the
+    valid-byte zeroing in StatsSession.feed_block(sel=...)) == plain path."""
+    from gen import make_fastq
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    f1 = str(tmp_path / "m1.fq")
+    f2 = str(tmp_path / "m2.fq")
+    make_fastq(f1, 800, min_len=50, max_len=90, n_prob=0.02, seed=41)
+    make_fastq(f2, 800, min_len=50, max_len=90, n_prob=0.02, seed=42)
+
+    def opts(out):
+        o = StatsOptions()
+        o.in_filename = f1
+        o.in_filename2 = f2
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 150
+        o.criteria.min_read_quality = 18
+        o.criteria.max_read_quality = 40
+        o.filter_on = True
+        return o
+
+    a = tmp_path / "a"
+    a.mkdir()
+    monkeypatch.setenv("HPGQ_WIRE", "off")
+    c1, c2 = run_stats(opts(a))
+    for wire in ("bitpack", "fused4"):
+        b = tmp_path / ("b_" + wire)
+        b.mkdir()
+        monkeypatch.setenv("HPGQ_WIRE", wire)
+        w1, w2 = run_stats(opts(b))
+        assert w1.equals(c1) and w2.equals(c2), wire
+        assert (w1.num_passed, w1.num_failed) == (c1.num_passed, c1.num_failed)
+
+
 def test_filter_edit_through_wire(tmp_path, monkeypatch):
     """filter/edit verdict+trim kernels through the wire formats (the
     ShapeCachedFn wire path, used on TPU) == the plain-array path,
