@@ -364,20 +364,46 @@ def main():
         # Headline (config #1+#2: stats with inline filter) first — computed
         # now, printed LAST so the driver's tail-parse lands on it.
         t_all = time.perf_counter()
+        phase_s = {}
+
+        def mark(name, t0):
+            phase_s[name] = round(time.perf_counter() - t0, 1)
+            return time.perf_counter()
+
         budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "520"))
+        t = time.perf_counter()
         oracle_rps, _ = run_oracle(opath, args.batch_size)
+        t = mark("oracle", t)
         engine_rps, total = run_engine(path, args.batch_size, br, passes=3)
+        t = mark("engine_warmup_and_passes", t)
         headline = {
             "metric": "stats_filter_reads_per_sec",
             "value": round(engine_rps, 1),
             "unit": "reads/s",
             "vs_baseline": round(engine_rps / oracle_rps, 3),
         }
-        _emit({"breakdown": stage_breakdown(path, br),
+        bd = stage_breakdown(path, br)
+        t = mark("breakdown", t)
+        # the end-to-end number is tunnel-bound in this environment: show
+        # how close the engine runs to the host->device ceiling, and what
+        # the chip itself sustains (the per-chip capability the BASELINE
+        # north star is really about)
+        if "h2d_reads_per_sec" in bd:
+            bd["engine_vs_h2d_ceiling"] = round(
+                engine_rps / bd["h2d_reads_per_sec"], 3
+            )
+        _emit({"breakdown": bd,
                "engine_pass_seconds": getattr(run_engine, "pass_seconds", []),
                "oracle_reads_per_sec": round(oracle_rps, 1),
                "engine_reads": total, "read_len": args.read_len,
+               "bench_phase_seconds": phase_s,
                "platform": _platform()}, err=True)
+        if "device_step_reads_per_sec" in bd:
+            _emit({"metric": "device_step_reads_per_sec",
+                   "value": bd["device_step_reads_per_sec"],
+                   "unit": "reads/s",
+                   "vs_baseline": round(
+                       bd["device_step_reads_per_sec"] / oracle_rps, 3)})
 
         import tempfile
 
@@ -419,11 +445,14 @@ def main():
             _emit({"metric": "cgr_reads_per_sec", "value": round(rps, 1),
                    "unit": "reads/s",
                    "vs_baseline": round(rps / cgr_oracle_rps, 3)})
+        t = mark("modes_filter_edit_gz_cgr", t)
         if time.perf_counter() - t_all < budget:
             sc = run_scaling_subprocess(
                 100_000, timeout_s=max(60.0, budget - (time.perf_counter() - t_all)))
             if sc:
                 _emit(sc)
+        mark("scaling", t)
+        _emit({"bench_phase_seconds": phase_s}, err=True)
         _emit(headline)
         return
 
