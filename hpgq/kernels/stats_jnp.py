@@ -459,24 +459,28 @@ def wire_unbits(buf):
     L = bitwire_logical_len(W)
     c3 = 3 * L // 8
     q7 = 7 * L // 8
-    cb = buf[:, :c3].reshape(B, L // 8, 3).astype(jnp.int32)
-    w24 = cb[..., 0] | (cb[..., 1] << 8) | (cb[..., 2] << 16)
-    shifts = jnp.arange(8, dtype=jnp.int32) * 3
-    codes = ((w24[..., None] >> shifts) & 7).astype(jnp.int8).reshape(B, L)
-    qb = buf[:, c3 : c3 + q7].reshape(B, L // 8, 7).astype(jnp.uint32)
-    lo = qb[..., 0] | (qb[..., 1] << 8) | (qb[..., 2] << 16) | (qb[..., 3] << 24)
-    hi = qb[..., 4] | (qb[..., 5] << 8) | (qb[..., 6] << 16)
-    fields = []
-    for k in range(8):  # field k = bits [7k, 7k+7) of the 56-bit word
-        s = 7 * k
-        if s + 7 <= 32:
-            v = lo >> s
-        elif s < 32:
-            v = (lo >> s) | (hi << (32 - s))
-        else:
-            v = hi >> (s - 32)
-        fields.append(v & 0x7F)
-    quals = jnp.stack(fields, axis=-1).astype(jnp.uint8).reshape(B, L)
+
+    def fields(bytes3d, nbits: int, mask: int):
+        """[B, L/8, nbytes] uint8 bitstream groups -> 8 decoded fields.
+
+        All-uint8 arithmetic: field k of a group spans at most two bytes
+        (nbits + 7 <= 15), so each field is one shift-or-shift per byte —
+        intermediates stay uint8 (8x smaller than a widened-word decode;
+        this path is HBM-bound)."""
+        out = []
+        for k in range(8):
+            s = nbits * k
+            i0, r = s >> 3, s & 7
+            v = bytes3d[..., i0] >> r
+            if r + nbits > 8:
+                v = v | (bytes3d[..., i0 + 1] << (8 - r))
+            out.append(v & mask)
+        return jnp.stack(out, axis=-1)
+
+    cb = buf[:, :c3].reshape(B, L // 8, 3)
+    codes = fields(cb, 3, 7).astype(jnp.int8).reshape(B, L)
+    qb = buf[:, c3 : c3 + q7].reshape(B, L // 8, 7)
+    quals = fields(qb, 7, 0x7F).reshape(B, L)
     lb = buf[:, c3 + q7 : c3 + q7 + 4].astype(jnp.int32)
     lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
     valid = buf[:, c3 + q7 + 4] != 0
