@@ -347,7 +347,7 @@ def main():
     ap.add_argument("--mode", default="all",
                     choices=["all", "stats", "filter", "edit", "cgr"],
                     help="workload: all = every BASELINE config + scaling")
-    ap.add_argument("--reads", type=int, default=400_000)
+    ap.add_argument("--reads", type=int, default=1_000_000)
     ap.add_argument("--len", dest="read_len", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=131_072)
     ap.add_argument("--batch-reads", type=int, default=131_072)
