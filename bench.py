@@ -105,7 +105,8 @@ def run_oracle(path: str, batch_size: int, passes: int = 2,
 
 
 def run_engine(path: str, batch_size: int, batch_reads: int,
-               passes: int = 4, read_len: int = 100) -> "tuple[float, int]":
+               passes: int = 4, read_len: int = 100,
+               budget_s: float = None) -> "tuple[float, int]":
     """End-to-end engine throughput: one warmup pass amortizes jit
     compilation (production runs are long streams — compile cost is not the
     metric), then best of ``passes`` timed passes (host<->device link
@@ -134,7 +135,8 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
         assert counters.num_reads >= 0
         return counters.num_passed + counters.num_failed
 
-    budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "300"))
+    budget = (budget_s if budget_s is not None
+              else float(os.environ.get("HPGQ_BENCH_BUDGET_S", "300")))
     t_start = time.perf_counter()
     # warmup on a small same-shape corpus: blocks pad to the same
     # [batch_reads, L] device shapes, so this warms the jit/persistent cache
@@ -143,11 +145,15 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
     one_pass(corpus_override=corpus(50_000, read_len))
     best = 0.0
     total = 0
+    last_dt = 0.0
     run_engine.pass_seconds = []
     for i in range(passes):
+        # predictive: don't start a pass we can't finish inside the budget
+        if best and time.perf_counter() - t_start + last_dt > budget:
+            break
         t0 = time.perf_counter()
         total = one_pass()
-        dt = time.perf_counter() - t0
+        last_dt = dt = time.perf_counter() - t0
         run_engine.pass_seconds.append(round(dt, 3))
         best = max(best, total / dt)
         if time.perf_counter() - t_start > budget:
@@ -378,7 +384,9 @@ def main():
         t = time.perf_counter()
         oracle_rps, _ = run_oracle(opath, args.batch_size)
         t = mark("oracle", t)
-        engine_rps, total = run_engine(path, args.batch_size, br, passes=3, read_len=args.read_len)
+        engine_rps, total = run_engine(path, args.batch_size, br, passes=3,
+                                       read_len=args.read_len,
+                                       budget_s=budget * 0.5)
         t = mark("engine_warmup_and_passes", t)
         headline = {
             "metric": "stats_filter_reads_per_sec",
@@ -386,6 +394,24 @@ def main():
             "unit": "reads/s",
             "vs_baseline": round(engine_rps / oracle_rps, 3),
         }
+        # if an external timeout kills the remaining mode ladder, the
+        # headline must still reach stdout — guard with SIGTERM + an alarm
+        # a bit past the internal budget
+        import signal
+
+        def _bail(sig, frame):
+            _emit({"bench_phase_seconds": phase_s, "truncated_by": sig},
+                  err=True)
+            _emit(headline)
+            sys.stdout.flush()
+            os._exit(0)
+
+        for s in (signal.SIGTERM, signal.SIGALRM):
+            try:
+                signal.signal(s, _bail)
+            except (ValueError, OSError):
+                pass
+        signal.alarm(int(max(60.0, budget - (time.perf_counter() - t_all))))
         bd = stage_breakdown(path, br)
         t = mark("breakdown", t)
         # the end-to-end number is tunnel-bound in this environment: show
@@ -456,6 +482,7 @@ def main():
             if sc:
                 _emit(sc)
         mark("scaling", t)
+        signal.alarm(0)
         _emit({"bench_phase_seconds": phase_s}, err=True)
         _emit(headline)
         return
