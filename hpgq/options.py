@@ -191,8 +191,11 @@ class CommandOptions:
 
     # engine knobs (new; absent in reference)
     # (start, end) logical byte range to process (record-aligned); internal —
-    # set by the parallel shard runners (pipeline.run) and multi-host paths
+    # set by the parallel shard runners (pipeline.run) and multi-host paths.
+    # input_range2 is the mate-2 range covering the SAME record indices
+    # (paired files have equal record counts but different byte layouts).
     input_range: Optional[tuple] = None
+    input_range2: Optional[tuple] = None
     device_batch_reads: int = 0      # 0 = auto
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 0

@@ -278,9 +278,59 @@ def _run_stats_parallel(opts, timers, crit, br, nshards: int):
     return counters
 
 
-def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
+def _run_stats_parallel_paired(opts, timers):
+    """Paired stats over concurrent record-count-aligned shard pairs
+    (``split_paired_ranges``): each shard thread runs the serial paired
+    loop on its range pair (pair-consistency is per record index, so shard
+    boundaries are safe), counters merge in shard order, one report."""
+    import dataclasses
+    import threading
+
+    from ..dist.mesh import split_paired_ranges
+
+    nshards = _read_shards()
+    pairs = split_paired_ranges(opts.in_filename, opts.in_filename2, nshards)
+    results = [None] * nshards
+    errors = []
+
+    def work(i: int, rp):
+        try:
+            local = dataclasses.replace(opts)
+            local.input_range, local.input_range2 = rp
+            t = StageTimers()
+            results[i] = (run_stats(local, t, report=False), t)
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(i, rp), daemon=True,
+                         name="hpgq-pshard%d" % i)
+        for i, rp in enumerate(pairs)
+    ]
+    with _Profiler(opts.profile_dir):
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    if errors:
+        raise errors[0]
+    c1 = c2 = None
+    for (r1, r2), t in results:
+        timers.merge_from(t)
+        c1 = r1 if c1 is None else c1.merge(r1)
+        c2 = r2 if c2 is None else c2.merge(r2)
+    with timers.stage("reporting"):
+        stats_report(c1, opts)
+        opts2 = dataclasses.replace(opts, in_filename=opts.in_filename2)
+        stats_report(c2, opts2)
+    return c1, c2
+
+
+def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
+              report: bool = True):
     """The `stats` command (single- or paired-end). Returns counters
-    (a (counters1, counters2) tuple when paired)."""
+    (a (counters1, counters2) tuple when paired).  ``report=False`` skips
+    the file emission (shard workers; the merged result reports once)."""
     timers = timers or StageTimers()
     crit = opts.criteria if opts.filter_on else None
     br = _batch_reads(opts)
@@ -295,6 +345,7 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
         if (
             nshards > 1
             and not opts.checkpoint_path  # resume needs sequential offsets
+            and getattr(opts, "input_range", None) is None
             and os.path.exists(opts.in_filename)
             and os.path.getsize(opts.in_filename) >= _PARALLEL_MIN_BYTES
         ):
@@ -322,8 +373,10 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
             resumed.ensure_length(sess.lcap)
             sess.acc.counters = resumed
         nb = 0
+        rng = getattr(opts, "input_range", None) or (0, None)
         with FastqReader(
-            opts.in_filename, batch_size=opts.batch_size, start_offset=start
+            opts.in_filename, batch_size=opts.batch_size,
+            start_offset=max(start, rng[0]), end_offset=rng[1]
         ) as rd, _Profiler(opts.profile_dir):
             for block, arrs in _iter_packed(rd, sess, br, timers, depth=getattr(opts, "batch_list_size", 0)):
                 with timers.stage("compute"):
@@ -339,12 +392,16 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
             counters = sess.finish()
         if ck_path and os.path.exists(ck_path):
             os.unlink(ck_path)  # run completed; stale resume would re-read
-        with timers.stage("reporting"):
-            stats_report(counters, opts)
+        if report:
+            with timers.stage("reporting"):
+                stats_report(counters, opts)
         return counters
 
     # paired-end: two accumulators; with filtering, stats cover pairs where
     # BOTH mates pass (pair-consistent), counted per pair.
+    if _output_parallel_eligible(opts):
+        return _run_stats_parallel_paired(opts, timers)
+
     from ..utils.checkpoint import (
         load_counters_checkpoint,
         save_counters_checkpoint,
@@ -388,10 +445,14 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
             num_passed = int(extra["num_passed"])
             num_failed = int(extra["num_failed"])
     nb = 0
+    rng1 = getattr(opts, "input_range", None) or (0, None)
+    rng2 = getattr(opts, "input_range2", None) or (0, None)
     with FastqReader(opts.in_filename, batch_size=opts.batch_size,
-                     start_offset=start1) as r1, \
+                     start_offset=max(start1, rng1[0]),
+                     end_offset=rng1[1]) as r1, \
          FastqReader(opts.in_filename2, batch_size=opts.batch_size,
-                     start_offset=start2) as r2:
+                     start_offset=max(start2, rng2[0]),
+                     end_offset=rng2[1]) as r2:
         for b1, b2 in _iter_blocks_paired(r1, r2, timers):
             with timers.stage("compute"):
                 if vfn is not None:
@@ -424,12 +485,13 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
     for c in (c1, c2):
         c.filter_on = crit is not None
         c.num_passed, c.num_failed = num_passed, num_failed
-    with timers.stage("reporting"):
-        import dataclasses
+    if report:
+        with timers.stage("reporting"):
+            import dataclasses
 
-        stats_report(c1, opts)
-        opts2 = dataclasses.replace(opts, in_filename=opts.in_filename2)
-        stats_report(c2, opts2)
+            stats_report(c1, opts)
+            opts2 = dataclasses.replace(opts, in_filename=opts.in_filename2)
+            stats_report(c2, opts2)
     return c1, c2
 
 
@@ -438,15 +500,18 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None):
 # ---------------------------------------------------------------------------
 
 def _output_parallel_eligible(opts) -> bool:
-    """Parallel shard readers for the output commands (filter/edit):
-    single-end, no checkpoint (resume needs sequential offsets), no explicit
-    range (that IS a shard), big enough, byte-seekable input."""
+    """Parallel shard readers for the output commands (filter/edit): no
+    checkpoint (resume needs sequential offsets), no explicit range (that
+    IS a shard), big enough, byte-seekable input(s).  Paired inputs shard
+    by record-count-aligned range pairs (``split_paired_ranges``)."""
+    inputs = [opts.in_filename]
+    if opts.paired_end:
+        inputs.append(opts.in_filename2)
     if (
-        opts.paired_end
-        or opts.checkpoint_path
+        opts.checkpoint_path
         or getattr(opts, "input_range", None) is not None
         or _read_shards() <= 1
-        or not os.path.exists(opts.in_filename)
+        or not all(p and os.path.exists(p) for p in inputs)
         or os.path.getsize(opts.in_filename) < _PARALLEL_MIN_BYTES
     ):
         return False
@@ -461,7 +526,7 @@ def _output_parallel_eligible(opts) -> bool:
             return False
     from ..dist.mesh import range_splittable
 
-    return range_splittable(opts.in_filename)
+    return all(range_splittable(p) for p in inputs)
 
 
 def _run_output_parallel(opts, timers, runner, count_keys):
@@ -478,10 +543,15 @@ def _run_output_parallel(opts, timers, runner, count_keys):
     import shutil
     import threading
 
-    from ..dist.mesh import split_byte_ranges
+    from ..dist.mesh import split_byte_ranges, split_paired_ranges
 
     nshards = _read_shards()
-    ranges = split_byte_ranges(opts.in_filename, nshards)
+    if opts.paired_end:
+        ranges = split_paired_ranges(opts.in_filename, opts.in_filename2,
+                                     nshards)
+    else:
+        ranges = [(r, None) for r in split_byte_ranges(opts.in_filename,
+                                                       nshards)]
     results = [None] * nshards
     errors = []
 
@@ -491,7 +561,7 @@ def _run_output_parallel(opts, timers, runner, count_keys):
             sd = os.path.join(opts.out_dirname or ".", ".pshard%04d" % i)
             os.makedirs(sd, exist_ok=True)
             local.out_dirname = sd
-            local.input_range = rng
+            local.input_range, local.input_range2 = rng
             t = StageTimers()
             results[i] = (runner(local, t), t, sd)
         except BaseException as e:
@@ -530,7 +600,7 @@ def _run_output_parallel(opts, timers, runner, count_keys):
         shutil.rmtree(sd, ignore_errors=True)
     base = dict(results[0][0])  # non-count keys (output filenames, flags)
     for k, v in base.items():
-        if isinstance(v, str) and k.endswith("_filename"):
+        if isinstance(v, str) and ".pshard" in v:
             base[k] = os.path.join(opts.out_dirname or ".", os.path.basename(v))
     base.update(out)
     return base
@@ -580,6 +650,10 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
         out["failed_filename"] = failed_path
         return out
 
+    if _output_parallel_eligible(opts):
+        return _run_output_parallel(
+            opts, timers, run_filter, ("num_passed", "num_failed")
+        )
     paths = {
         "passed_1": os.path.join(opts.out_dirname, "passed_1.fq"),
         "passed_2": os.path.join(opts.out_dirname, "passed_2.fq"),
@@ -590,10 +664,14 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
         opts, "filter-paired", crit, paths, out, ("num_passed", "num_failed")
     )
     start1, sizes, aux = ck.resume(aux_keys=("offset2",))
+    rng1 = getattr(opts, "input_range", None) or (0, None)
+    rng2 = getattr(opts, "input_range2", None) or (0, None)
     with FastqReader(opts.in_filename, batch_size=opts.batch_size,
-                     start_offset=start1) as r1, \
+                     start_offset=max(start1, rng1[0]),
+                     end_offset=rng1[1]) as r1, \
          FastqReader(opts.in_filename2, batch_size=opts.batch_size,
-                     start_offset=aux.get("offset2", 0)) as r2, \
+                     start_offset=max(aux.get("offset2", 0), rng2[0]),
+                     end_offset=rng2[1]) as r2, \
          FastqWriter(paths["passed_1"], append_at=sizes.get("passed_1")) as p1, \
          FastqWriter(paths["passed_2"], append_at=sizes.get("passed_2")) as p2, \
          FastqWriter(paths["failed_1"], append_at=sizes.get("failed_1")) as f1, \
@@ -778,6 +856,11 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
         return out
 
     # paired-end edit: trim mates independently; pair-consistent post-filter
+    if _output_parallel_eligible(opts):
+        return _run_output_parallel(
+            opts, timers, run_edit,
+            ("num_edited", "num_passed", "num_failed"),
+        )
     paths = {
         "edit_1": os.path.join(opts.out_dirname, "edit_1.fq"),
         "edit_2": os.path.join(opts.out_dirname, "edit_2.fq"),
@@ -793,10 +876,14 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
     writers = {k: FastqWriter(v, append_at=sizes.get(k))
                for k, v in paths.items()}
     try:
+        rng1 = getattr(opts, "input_range", None) or (0, None)
+        rng2 = getattr(opts, "input_range2", None) or (0, None)
         with FastqReader(opts.in_filename, batch_size=opts.batch_size,
-                         start_offset=start1) as r1, \
+                         start_offset=max(start1, rng1[0]),
+                         end_offset=rng1[1]) as r1, \
              FastqReader(opts.in_filename2, batch_size=opts.batch_size,
-                         start_offset=aux.get("offset2", 0)) as r2:
+                         start_offset=max(aux.get("offset2", 0), rng2[0]),
+                         end_offset=rng2[1]) as r2:
             for b1, b2 in _iter_blocks_paired(r1, r2, timers):
                 with timers.stage("compute"):
                     lt1, rt1, ok1 = efn(b1)

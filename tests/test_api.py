@@ -132,6 +132,64 @@ def test_parallel_output_shards_match_serial(tmp_path, monkeypatch):
         assert not [d for d in os.listdir(b) if d.startswith(".pshard")]
 
 
+def test_parallel_paired_shards_match_serial(tmp_path, monkeypatch):
+    """Paired stats/filter over record-count-aligned shard pairs ==
+    serial: equal counters, byte-identical passed/failed mate files."""
+    from hpgq.options import FilterOptions, StatsOptions
+    from hpgq.pipeline import run as run_mod
+
+    f1 = str(tmp_path / "pm1.fq")
+    f2 = str(tmp_path / "pm2.fq")
+    make_fastq(f1, 3000, min_len=50, max_len=110, n_prob=0.02, seed=23)
+    make_fastq(f2, 3000, min_len=50, max_len=110, n_prob=0.02, seed=24)
+
+    def sopts(out):
+        o = StatsOptions()
+        o.in_filename, o.in_filename2 = f1, f2
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 500
+        o.criteria.min_read_quality = 18
+        o.criteria.max_read_quality = 40
+        o.filter_on = True
+        return o
+
+    def fopts(out):
+        o = FilterOptions()
+        o.in_filename, o.in_filename2 = f1, f2
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 500
+        o.criteria.max_N = 1
+        o.filter_on = True
+        return o
+
+    a, b = tmp_path / "sa", tmp_path / "sb"
+    a.mkdir(), b.mkdir()
+    s1, s2 = run_mod.run_stats(sopts(a))
+    fa, fb = tmp_path / "fa", tmp_path / "fb"
+    fa.mkdir(), fb.mkdir()
+    rf = run_mod.run_filter(fopts(fa))
+
+    monkeypatch.setenv("HPGQ_READ_SHARDS", "3")
+    monkeypatch.setattr(run_mod, "_PARALLEL_MIN_BYTES", 1)
+    p1, p2 = run_mod.run_stats(sopts(b))
+    pf = run_mod.run_filter(fopts(fb))
+    monkeypatch.delenv("HPGQ_READ_SHARDS")
+    monkeypatch.setattr(run_mod, "_PARALLEL_MIN_BYTES", 32 << 20)
+
+    assert p1.equals(s1) and p2.equals(s2)
+    assert (p1.num_passed, p1.num_failed) == (s1.num_passed, s1.num_failed)
+    assert (b / "pm1.fq.summary.txt").read_bytes() == (
+        a / "pm1.fq.summary.txt").read_bytes()
+    for f in ("passed_1.fq", "passed_2.fq", "failed_1.fq", "failed_2.fq"):
+        assert (fb / f).read_bytes() == (fa / f).read_bytes(), f
+    assert (pf["num_passed"], pf["num_failed"]) == (
+        rf["num_passed"], rf["num_failed"])
+
+
 def test_api_stats_inline_filter_and_sharded(tmp_path):
     fq = str(tmp_path / "b.fq")
     make_fastq(fq, 600, min_len=50, max_len=100, n_prob=0.02, seed=2)
