@@ -58,7 +58,10 @@ class CgrSession:
         self.wire = resolve_wire()
         self._step = make_cgr_step(k, phred, wire=self.wire)
 
-    def feed_block(self, block):
+    def block_tables(self, block) -> dict:
+        """Host copy of one block's device tables (fresh zero accumulator
+        per batch, so calls are independent and thread-safe: no session
+        state is touched until :meth:`fold_host`)."""
         lmax = round_up(max(block.max_len(), self.k), 128)
         if self.wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_bitwire, pack_block_fused
@@ -66,34 +69,30 @@ class CgrSession:
             pack = (pack_block_bitwire if self.wire == "bitpack"
                     else pack_block_fused)
             buf = pack(block, lmax, pad_reads_to=self.batch_reads)
-            self._feed_wire(buf)
-            return
-        codes, quals, lens, valid = pack_block(
-            block, max_len=lmax, pad_reads_to=self.batch_reads
-        )
-        self.feed_packed(codes, quals, lens, valid)
+            acc = self._step(zero_cgr_acc(self.k), buf)
+        else:
+            codes, quals, lens, valid = pack_block(
+                block, max_len=lmax, pad_reads_to=self.batch_reads
+            )
+            acc = self._step(zero_cgr_acc(self.k), codes, quals, lens, valid)
+        return jax.device_get(acc)
 
-    def _feed_wire(self, buf):
+    def fold_host(self, host: dict) -> None:
         from ..kernels.cgr import combine_quality_limbs
 
-        acc = self._step(zero_cgr_acc(self.k), buf)
-        host = jax.device_get(acc)
         self.table_seq += np.asarray(host["table_seq"], dtype=np.int64)
         self.table_q += combine_quality_limbs(host["table_q_hi"],
                                               host["table_q_lo"])
         self.word_count += int(host["words"])
 
-    def feed_packed(self, codes, quals, lens, valid):
-        from ..kernels.cgr import combine_quality_limbs
+    def feed_block(self, block):
+        self.fold_host(self.block_tables(block))
 
+    def feed_packed(self, codes, quals, lens, valid):
         step = (self._step if self.wire not in ("bitpack", "fused4")
                 else make_cgr_step(self.k, self.phred))  # plain-array entry
         acc = step(zero_cgr_acc(self.k), codes, quals, lens, valid)
-        host = jax.device_get(acc)
-        self.table_seq += np.asarray(host["table_seq"], dtype=np.int64)
-        self.table_q += combine_quality_limbs(host["table_q_hi"],
-                                              host["table_q_lo"])
-        self.word_count += int(host["words"])
+        self.fold_host(jax.device_get(acc))
 
 
 def run_cgr(opts: CgrOptions, timers: Optional[StageTimers] = None) -> dict:
@@ -142,21 +141,36 @@ def run_cgr(opts: CgrOptions, timers: Optional[StageTimers] = None) -> dict:
         offset = start_offset if idx == start_input else 0
         with FastqReader(path, batch_size=opts.batch_size,
                          start_offset=offset) as rd:
-            for block in _iter_blocks(rd, timers):
-                with timers.stage("compute"):
-                    sess.feed_block(block)
-                nb += 1
-                if ck_path and nb % ck_every == 0:
-                    with timers.stage("checkpoint"):
-                        save_counters_checkpoint(
-                            ck_path, None, block.end_offset, ck_key,
-                            extra={
-                                "table_seq": sess.table_seq,
-                                "table_q": sess.table_q,
-                                "words": sess.word_count,
-                                "input_idx": idx,
-                            },
-                        )
+            if ck_path:
+                # checkpointing needs a sequential fold (offsets advance
+                # with the fold state) — keep the serial loop
+                for block in _iter_blocks(rd, timers):
+                    with timers.stage("compute"):
+                        sess.feed_block(block)
+                    nb += 1
+                    if nb % ck_every == 0:
+                        with timers.stage("checkpoint"):
+                            save_counters_checkpoint(
+                                ck_path, None, block.end_offset, ck_key,
+                                extra={
+                                    "table_seq": sess.table_seq,
+                                    "table_q": sess.table_q,
+                                    "words": sess.word_count,
+                                    "input_idx": idx,
+                                },
+                            )
+            else:
+                # per-batch tables are independent (fresh zero accumulator
+                # each batch) — fan pack+H2D+device+D2H out over the
+                # producer pool and fold host-side in input order
+                from .run import _iter_with
+
+                def tables(block):
+                    return sess.block_tables(block)
+
+                for _block, host in _iter_with(rd, tables, timers):
+                    with timers.stage("compute"):
+                        sess.fold_host(host)
     if ck_path and os.path.exists(ck_path):
         os.unlink(ck_path)
 
