@@ -734,10 +734,13 @@ def _run_output_sharded(opts, timers, mesh, cmd, runner, count_keys):
     local = dataclasses.replace(opts) if dataclasses.is_dataclass(opts) else opts
     local.out_dirname = shard_dir
     local.checkpoint_path = None
-    # mark the single-end range on the opts as well: this disables the
-    # in-process parallel shard path inside the runner (this host's range
-    # IS one shard; nesting would re-split the whole file)
-    if not opts.paired_end:
+    # mark the ranges on the opts as well: this disables the in-process
+    # parallel shard path inside the runner (this host's range IS one
+    # shard; nesting would re-split the whole file)
+    if opts.paired_end:
+        local.input_range = ranges[opts.in_filename]
+        local.input_range2 = ranges[opts.in_filename2]
+    else:
         local.input_range = ranges[opts.in_filename]
 
     from ..io import fastq as fq_mod
