@@ -381,6 +381,29 @@ def main():
             return time.perf_counter()
 
         budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "520"))
+        # guard from the very start: if an external timeout (or the alarm)
+        # fires at ANY point, emit whatever is already measured — the
+        # headline if computed, else the per-phase timings for forensics
+        import signal
+
+        state = {"headline": None}
+
+        def _bail(sig, frame):
+            _emit({"bench_phase_seconds": phase_s, "truncated_by": sig},
+                  err=True)
+            if state["headline"] is not None:
+                _emit(state["headline"])
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)
+
+        for s in (signal.SIGTERM, signal.SIGALRM):
+            try:
+                signal.signal(s, _bail)
+            except (ValueError, OSError):
+                pass
+        signal.alarm(int(budget * 1.15))
+
         t = time.perf_counter()
         oracle_rps, _ = run_oracle(opath, args.batch_size)
         t = mark("oracle", t)
@@ -394,24 +417,7 @@ def main():
             "unit": "reads/s",
             "vs_baseline": round(engine_rps / oracle_rps, 3),
         }
-        # if an external timeout kills the remaining mode ladder, the
-        # headline must still reach stdout — guard with SIGTERM + an alarm
-        # a bit past the internal budget
-        import signal
-
-        def _bail(sig, frame):
-            _emit({"bench_phase_seconds": phase_s, "truncated_by": sig},
-                  err=True)
-            _emit(headline)
-            sys.stdout.flush()
-            os._exit(0)
-
-        for s in (signal.SIGTERM, signal.SIGALRM):
-            try:
-                signal.signal(s, _bail)
-            except (ValueError, OSError):
-                pass
-        signal.alarm(int(max(60.0, budget - (time.perf_counter() - t_all))))
+        state["headline"] = headline
         bd = stage_breakdown(path, br)
         t = mark("breakdown", t)
         # the end-to-end number is tunnel-bound in this environment: show
