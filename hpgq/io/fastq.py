@@ -87,7 +87,10 @@ class ReadaheadFile:
             self._cur = memoryview(item)
         take = self._cur[:n]
         self._cur = self._cur[n:]
-        return bytes(take) if len(take) != len(take.obj) else take.obj
+        # always bytes: callers concatenate tails / format record slices,
+        # which memoryview does not support (zero-copy when the piece is
+        # consumed whole — the common case, since consumers read >= piece)
+        return take.obj if len(take) == len(take.obj) else bytes(take)
 
     def close(self):
         self._stop.set()

@@ -47,6 +47,7 @@ def test_gzip_readahead_multichunk(tmp_path):
         d = ra.read(1000)
         if not d:
             break
+        assert isinstance(d, bytes)  # partial piece reads must not leak views
         got += d
     ra.close()
     assert bytes(got) == want
