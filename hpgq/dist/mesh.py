@@ -90,6 +90,7 @@ def make_sharded_stats_step(
     kmers_on: bool = False,
     crit=None,
     donate: bool = True,
+    wire=None,
 ):
     """Jitted SPMD stats update over the data mesh.
 
@@ -97,16 +98,38 @@ def make_sharded_stats_step(
     sharded on 'data'.  Each device runs the same fused per-batch kernel on
     its shard and updates its own accumulator slice — no collectives in the
     steady state.
+
+    ``wire='bitpack'``/``'fused4'``: the step takes ONE global uint8 wire
+    buffer ``[ndev*B, W]`` sharded on 'data' and decodes per device inside
+    shard_map — one host->device array per batch per host instead of four
+    (same minimal-H2D design as the single-chip engine).
     """
     step = stats_jnp.make_stats_step(lcap, phred, kmers_on, crit, jit=False,
                                      engine="jnp", vary_axis="data")
+    acc_spec = jax.tree_util.tree_map(lambda _: P("data"), stats_jnp.zero_partials(lcap, kmers_on))
+
+    if wire in ("bitpack", "fused4"):
+        unf = (stats_jnp.wire_unbits if wire == "bitpack"
+               else stats_jnp.wire_unfuse)
+
+        def device_fn(acc, buf):
+            inner = jax.tree_util.tree_map(lambda x: x[0], acc)
+            out = step(inner, *unf(buf))
+            return jax.tree_util.tree_map(lambda x: x[None], out)
+
+        fn = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(acc_spec, P("data")),
+            out_specs=acc_spec,
+        )
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
     def device_fn(acc, codes, quals, lens, valid):
         inner = jax.tree_util.tree_map(lambda x: x[0], acc)
         out = step(inner, codes, quals, lens, valid)
         return jax.tree_util.tree_map(lambda x: x[None], out)
 
-    acc_spec = jax.tree_util.tree_map(lambda _: P("data"), stats_jnp.zero_partials(lcap, kmers_on))
     fn = shard_map(
         device_fn,
         mesh=mesh,

@@ -75,6 +75,8 @@ class ShardedStatsSession:
 
     def __init__(self, mesh, phred: int, kmers_on=False, crit=None,
                  batch_reads: int = 16384, lcap: int = 128):
+        from ..core.accumulator import resolve_wire
+
         self.mesh = mesh if mesh is not None else data_mesh()
         self.ndev = self.mesh.devices.size
         self.phred = phred
@@ -84,13 +86,15 @@ class ShardedStatsSession:
         self.lcap = lcap
         self.carry = None  # StatsCounters folded in on lcap growth/flush
         self._since_flush = 0
+        self.wire = resolve_wire()
         self._reset(lcap)
 
     def _reset(self, lcap: int):
         self.lcap = lcap
         self.acc = zero_sharded_partials(self.mesh, lcap, self.kmers_on)
         self._step = make_sharded_stats_step(
-            self.mesh, lcap, self.phred, self.kmers_on, self.crit
+            self.mesh, lcap, self.phred, self.kmers_on, self.crit,
+            wire=self.wire,
         )
         self._sharding = NamedSharding(self.mesh, P("data"))
 
@@ -109,6 +113,14 @@ class ShardedStatsSession:
         lmax = round_up(max(block.max_len(), 1), 128)
         if lmax > self.lcap:
             self._grow(lmax)
+        if self.wire in ("bitpack", "fused4"):
+            from ..io.packer import pack_block_bitwire, pack_block_fused
+
+            pack = (pack_block_bitwire if self.wire == "bitpack"
+                    else pack_block_fused)
+            self._feed_wire(pack(block, self.lcap,
+                                 pad_reads_to=self.batch_reads))
+            return
         packed = pack_block(
             block, max_len=self.lcap, pad_reads_to=self.batch_reads
         )
@@ -116,6 +128,12 @@ class ShardedStatsSession:
 
     def feed_empty(self):
         """A lockstep step with no local data (exhausted multi-host shard)."""
+        if self.wire in ("bitpack", "fused4"):
+            W = (10 * self.lcap // 8 if self.wire == "bitpack"
+                 else self.lcap // 2 + self.lcap) + 8
+            # all-zero wire rows decode to valid=0 (no reads)
+            self._feed_wire(np.zeros((self.batch_reads, W), np.uint8))
+            return
         z = np.zeros((self.batch_reads, self.lcap), dtype=np.int8)
         self.feed_packed(
             z + np.int8(5),
@@ -124,14 +142,33 @@ class ShardedStatsSession:
             np.zeros(self.batch_reads, bool),
         )
 
+    def _feed_wire(self, buf):
+        (gbuf,) = make_global_batch(self.mesh, self._sharding, (buf,))
+        self.acc = self._step(self.acc, gbuf)
+        self._after_step()
+
     def feed_packed(self, codes, quals, lens, valid):
         if codes.shape[1] > self.lcap:
             self._grow(codes.shape[1])
+        if self.wire in ("bitpack", "fused4"):
+            # wire-mode session fed packed arrays (paired pair-consistent
+            # path): wire-encode host-side so the step signature matches
+            from ..io.packer import wire_bitpack_np
+            from ..kernels.stats_jnp import wire_fuse
+
+            enc = (wire_bitpack_np if self.wire == "bitpack" else wire_fuse)
+            self._feed_wire(np.asarray(
+                enc(codes, quals, lens.astype(np.int32), valid)
+            ))
+            return
         batch = make_global_batch(
             self.mesh, self._sharding,
             (codes, quals, lens.astype(np.int32), valid),
         )
         self.acc = self._step(self.acc, *batch)
+        self._after_step()
+
+    def _after_step(self):
         # periodic int32-overflow-safe fold (same bound as DeviceAccumulator,
         # per-device shard rows)
         from ..core.accumulator import safe_flush_every

@@ -147,6 +147,48 @@ def test_run_stats_sharded_pipeline(tmp_path):
     ).read_bytes()
 
 
+def test_run_stats_sharded_through_wire(tmp_path, monkeypatch):
+    """Sharded pipeline with the wire-buffer step (one global uint8 array
+    per batch, per-device decode inside shard_map) == plain sharded run,
+    incl. the pair-consistent paired path (host wire-encode)."""
+    import dataclasses
+
+    from hpgq.dist.run_dist import run_stats_sharded
+    from hpgq.options import StatsOptions
+
+    f1 = str(tmp_path / "w1.fq")
+    f2 = str(tmp_path / "w2.fq")
+    make_fastq(f1, 2000, min_len=40, max_len=120, n_prob=0.01, seed=61)
+    make_fastq(f2, 2000, min_len=40, max_len=120, n_prob=0.01, seed=62)
+
+    def opts(out, paired=False, flt=False):
+        o = StatsOptions()
+        o.in_filename = f1
+        if paired:
+            o.in_filename2 = f2
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 600
+        if flt:
+            o.criteria = dataclasses.replace(CRIT)
+            o.filter_on = True
+        return o
+
+    for kw in ({}, {"flt": True}, {"paired": True, "flt": True}):
+        a, b = tmp_path / ("wa%s" % kw), tmp_path / ("wb%s" % kw)
+        a.mkdir(), b.mkdir()
+        monkeypatch.setenv("HPGQ_WIRE", "off")
+        plain = run_stats_sharded(opts(a, **kw))
+        monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+        wired = run_stats_sharded(opts(b, **kw))
+        monkeypatch.delenv("HPGQ_WIRE")
+        if kw.get("paired"):
+            assert wired[0].equals(plain[0]) and wired[1].equals(plain[1]), kw
+        else:
+            assert wired.equals(plain), kw
+
+
 def test_striped_blocks_partition(tmp_path):
     """Striping covers every block exactly once across stripes."""
     from hpgq.dist.run_dist import striped_blocks
