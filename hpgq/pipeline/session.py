@@ -37,6 +37,16 @@ class StatsSession:
         return self.acc.lcap
 
     def _grow(self, lcap: int):
+        if lcap * self.batch_reads > (1 << 28):  # ~0.33 GB of wire bytes
+            import logging
+
+            logging.getLogger("hpgq").warning(
+                "long reads: device batch is %d rows x %d nt (~%.1f GB "
+                "packed) — lower --batch-size / --device-batch-reads to "
+                "bound device memory",
+                self.batch_reads, lcap,
+                self.batch_reads * lcap * 1.25 / 1e9,
+            )
         old = self.acc.finish()
         self.acc = DeviceAccumulator(
             lcap, self.phred, self.kmers_on, self.crit,
