@@ -318,6 +318,22 @@ def split_paired_ranges(path1: str, path2: str, n_shards: int):
     fractions).  Cost: one streaming newline scan of each file."""
     r1 = split_byte_ranges(path1, n_shards)
     counts = [count_newlines_in_range(path1, s, e) // 4 for s, e in r1]
+    # a legal FASTQ may lack the final trailing newline (FastqReader
+    # compensates at EOF): the last shard then sees 4N-1 newlines and
+    # newlines//4 would drop its final record, misaligning every mate-2 cut
+    f, size = _open_logical(path1)
+    try:
+        if size:
+            f.seek(size - 1)
+            if f.read(1) != b"\n":
+                # credit the record to the last NONEMPTY shard (tiny files
+                # can collapse trailing shards to empty (size, size) ranges)
+                for i in range(n_shards - 1, -1, -1):
+                    if r1[i][0] < r1[i][1]:
+                        counts[i] += 1
+                        break
+    finally:
+        f.close()
     prefix = [0]
     for c in counts:
         prefix.append(prefix[-1] + c)

@@ -114,12 +114,10 @@ class ShardedStatsSession:
         if lmax > self.lcap:
             self._grow(lmax)
         if self.wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_bitwire, pack_block_fused
+            from ..io.packer import pack_block_wire
 
-            pack = (pack_block_bitwire if self.wire == "bitpack"
-                    else pack_block_fused)
-            self._feed_wire(pack(block, self.lcap,
-                                 pad_reads_to=self.batch_reads))
+            self._feed_wire(pack_block_wire(block, self.wire, self.lcap,
+                                            pad_reads_to=self.batch_reads))
             return
         packed = pack_block(
             block, max_len=self.lcap, pad_reads_to=self.batch_reads
@@ -771,8 +769,8 @@ def _run_output_sharded(opts, timers, mesh, cmd, runner, count_keys):
     local = dataclasses.replace(opts) if dataclasses.is_dataclass(opts) else opts
     local.out_dirname = shard_dir
     local.checkpoint_path = None
-    # mark the ranges on the opts as well: this disables the in-process
-    # parallel shard path inside the runner (this host's range IS one
+    # the range fields both bound the runner's readers AND disable the
+    # in-process parallel shard path inside it (this host's range IS one
     # shard; nesting would re-split the whole file)
     if opts.paired_end:
         local.input_range = ranges[opts.in_filename]
@@ -780,27 +778,7 @@ def _run_output_sharded(opts, timers, mesh, cmd, runner, count_keys):
     else:
         local.input_range = ranges[opts.in_filename]
 
-    from ..io import fastq as fq_mod
-
-    orig_reader = fq_mod.FastqReader
-
-    class _RangeReader(orig_reader):  # bound each input to this rank's range
-        def __init__(self, path, batch_size=10000, start_offset=0,
-                     end_offset=None):
-            if path in ranges and end_offset is None:
-                s, e = ranges[path]
-                start_offset, end_offset = max(start_offset, s), e
-            super().__init__(path, batch_size=batch_size,
-                             start_offset=start_offset, end_offset=end_offset)
-
-    from ..pipeline import run as run_mod
-
-    saved = run_mod.FastqReader
-    run_mod.FastqReader = _RangeReader
-    try:
-        out = runner(local, timers)
-    finally:
-        run_mod.FastqReader = saved
+    out = runner(local, timers)
 
     # lift shard outputs: <out>/.shardNNNN/passed.fq -> <out>/passed.fq.shardNNNN
     finals = []

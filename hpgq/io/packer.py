@@ -108,6 +108,15 @@ def wire_bitpack_np(codes, quals, lens, valid) -> np.ndarray:
     return row
 
 
+def pack_block_wire(block, wire: str, max_len: int,
+                    pad_reads_to: int = 0) -> np.ndarray:
+    """Pack a RecordBlock into the named wire format ('bitpack' | 'fused4')
+    — the one dispatch point for every wire-format consumer (engine feed,
+    verdict/trim calls, CGR, sharded sessions)."""
+    pack = pack_block_bitwire if wire == "bitpack" else pack_block_fused
+    return pack(block, max_len, pad_reads_to=pad_reads_to)
+
+
 def pack_block_bitwire(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
     """Pack a RecordBlock straight into the bitpack wire buffer
     (uint8 ``[nrows, 3L/8 + 7L/8 + 8]``, ``max_len % 8 == 0``): 3-bit base

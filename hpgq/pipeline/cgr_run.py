@@ -64,11 +64,10 @@ class CgrSession:
         state is touched until :meth:`fold_host`)."""
         lmax = round_up(max(block.max_len(), self.k), 128)
         if self.wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_bitwire, pack_block_fused
+            from ..io.packer import pack_block_wire
 
-            pack = (pack_block_bitwire if self.wire == "bitpack"
-                    else pack_block_fused)
-            buf = pack(block, lmax, pad_reads_to=self.batch_reads)
+            buf = pack_block_wire(block, self.wire, lmax,
+                                  pad_reads_to=self.batch_reads)
             acc = self._step(zero_cgr_acc(self.k), buf)
         else:
             codes, quals, lens, valid = pack_block(

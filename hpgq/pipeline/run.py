@@ -75,13 +75,10 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0,
         lmax = round_up(max(block.max_len(), 1), 128)
         L = max(lmax, sess.lcap)
         wire = getattr(sess.acc, "wire", None)
-        if wire == "fused4":
-            buf = pack_block_fused(block, L, pad_reads_to=batch_reads)
-            return block, (jax.device_put(buf),)
-        if wire == "bitpack":
-            from ..io.packer import pack_block_bitwire
+        if wire in ("bitpack", "fused4"):
+            from ..io.packer import pack_block_wire
 
-            buf = pack_block_bitwire(block, L, pad_reads_to=batch_reads)
+            buf = pack_block_wire(block, wire, L, pad_reads_to=batch_reads)
             return block, (jax.device_put(buf),)
         packed = pack_block(block, max_len=L, pad_reads_to=batch_reads)
         if wire == "pack4":
@@ -341,18 +338,9 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
             save_counters_checkpoint,
         )
 
-        nshards = _read_shards()
-        if (
-            nshards > 1
-            and not opts.checkpoint_path  # resume needs sequential offsets
-            and getattr(opts, "input_range", None) is None
-            and os.path.exists(opts.in_filename)
-            and os.path.getsize(opts.in_filename) >= _PARALLEL_MIN_BYTES
-        ):
-            from ..dist.mesh import range_splittable
-
-            if range_splittable(opts.in_filename):
-                return _run_stats_parallel(opts, timers, crit, br, nshards)
+        if _output_parallel_eligible(opts):
+            return _run_stats_parallel(opts, timers, crit, br,
+                                       _read_shards())
 
         ck_path = opts.checkpoint_path
         ck_every = opts.checkpoint_every or 50

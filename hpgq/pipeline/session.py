@@ -67,11 +67,10 @@ class StatsSession:
             self._grow(lmax)
         wire = self.acc.wire
         if wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_bitwire, pack_block_fused
+            from ..io.packer import pack_block_wire
 
-            pack = (pack_block_bitwire if wire == "bitpack"
-                    else pack_block_fused)
-            buf = pack(block, self.lcap, pad_reads_to=self.batch_reads)
+            buf = pack_block_wire(block, wire, self.lcap,
+                                  pad_reads_to=self.batch_reads)
             if sel is not None:
                 drop = np.flatnonzero(~np.asarray(sel, bool))
                 if drop.size:
@@ -146,17 +145,12 @@ class ShapeCachedFn:
         n = block.num_reads
         wire = resolve_wire()
         if wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_bitwire, pack_block_fused
+            from ..io.packer import pack_block_wire
             from ..kernels.stats_jnp import wire_unbits, wire_unfuse
 
-            if wire == "bitpack":
-                buf = pack_block_bitwire(block, lmax,
-                                         pad_reads_to=self.batch_reads)
-                unf = wire_unbits
-            else:
-                buf = pack_block_fused(block, lmax,
-                                       pad_reads_to=self.batch_reads)
-                unf = wire_unfuse
+            buf = pack_block_wire(block, wire, lmax,
+                                  pad_reads_to=self.batch_reads)
+            unf = wire_unbits if wire == "bitpack" else wire_unfuse
             wrap = lambda inner: (lambda b: inner(*unf(b)))  # noqa: E731
             out = self._fn_for(buf.shape, wire, wrap)(buf)
         else:

@@ -5,6 +5,7 @@ write, reporting."""
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 
@@ -16,6 +17,7 @@ class StageTimers:
         self.total_reads = 0
         self.total_bytes = 0
         self._t0 = time.perf_counter()
+        self._lock = threading.Lock()  # stages accumulate from pool workers
 
     @contextmanager
     def stage(self, name: str):
@@ -23,7 +25,9 @@ class StageTimers:
         try:
             yield
         finally:
-            self.totals[name] = self.totals.get(name, 0.0) + time.perf_counter() - t
+            dt = time.perf_counter() - t
+            with self._lock:
+                self.totals[name] = self.totals.get(name, 0.0) + dt
 
     def total(self) -> float:
         return time.perf_counter() - self._t0

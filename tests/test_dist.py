@@ -189,6 +189,43 @@ def test_run_stats_sharded_through_wire(tmp_path, monkeypatch):
             assert wired.equals(plain), kw
 
 
+def test_split_paired_ranges_no_trailing_newline(tmp_path):
+    """A mate file without the final trailing newline (legal; the reader
+    compensates at EOF) must not lose its last record from the shard
+    counts — mate-2 cuts would misalign and every paired consumer would
+    raise a mismatched-record-count error."""
+    import os as _os
+
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline import run as run_mod
+
+    f1 = str(tmp_path / "n1.fq")
+    f2 = str(tmp_path / "n2.fq")
+    make_fastq(f1, 101, min_len=40, max_len=80, seed=71)
+    make_fastq(f2, 101, min_len=40, max_len=80, seed=72)
+    for p in (f1, f2):
+        data = open(p, "rb").read()
+        open(p, "wb").write(data[:-1])  # strip final newline
+
+    for n in (2, 3):
+        o = StatsOptions()
+        o.in_filename, o.in_filename2 = f1, f2
+        o.out_dirname = str(tmp_path / ("nt%d" % n))
+        _os.makedirs(o.out_dirname, exist_ok=True)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 25
+        _os.environ["HPGQ_READ_SHARDS"] = str(n)
+        saved = run_mod._PARALLEL_MIN_BYTES
+        run_mod._PARALLEL_MIN_BYTES = 1
+        try:
+            c1, c2 = run_mod.run_stats(o)  # must not raise mismatched-count
+        finally:
+            run_mod._PARALLEL_MIN_BYTES = saved
+            del _os.environ["HPGQ_READ_SHARDS"]
+        assert c1.num_reads == 101 and c2.num_reads == 101
+
+
 def test_striped_blocks_partition(tmp_path):
     """Striping covers every block exactly once across stripes."""
     from hpgq.dist.run_dist import striped_blocks
