@@ -203,11 +203,12 @@ def run_filter_mode(path: str, batch_size: int, tmp: str):
 
 
 def run_edit_mode(path: str, batch_size: int, tmp: str):
-    """Config #3: quality trim on variable-length reads."""
+    """Config #3: quality trim on variable-length reads + re-stats of the
+    edited output (the BASELINE config chains both)."""
     import shutil
 
-    from hpgq.options import EditOptions
-    from hpgq.pipeline.run import run_edit
+    from hpgq.options import EditOptions, StatsOptions
+    from hpgq.pipeline.run import run_edit, run_stats
 
     def one_pass():
         o = EditOptions()
@@ -219,7 +220,15 @@ def run_edit_mode(path: str, batch_size: int, tmp: str):
         o.criteria.left_length = 10
         o.criteria.min_left_quality = 28
         o.criteria.max_left_quality = 60
-        run_edit(o)
+        r = run_edit(o)
+        s = StatsOptions()
+        s.in_filename = r["edit_filename"]
+        s.out_dirname = tmp
+        s.quality_encoding_value = PHRED
+        s.quality_encoding_name = "phred33"
+        s.batch_size = batch_size
+        c = run_stats(s)
+        assert c.num_reads > 0
 
     one_pass()
     t0 = time.perf_counter()
@@ -228,6 +237,35 @@ def run_edit_mode(path: str, batch_size: int, tmp: str):
     shutil.rmtree(tmp, ignore_errors=True)
     n = sum(1 for _ in open(path, "rb")) // 4
     return n / dt, n
+
+
+def run_paired_mode(path1: str, path2: str, batch_size: int, tmp: str):
+    """Config #4: paired-end stats + inline filter with pair-consistent
+    discard."""
+    import dataclasses
+    import shutil
+
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    def one_pass():
+        o = StatsOptions()
+        o.in_filename, o.in_filename2 = path1, path2
+        o.out_dirname = tmp
+        o.quality_encoding_value = PHRED
+        o.quality_encoding_name = "phred33"
+        o.batch_size = batch_size
+        o.criteria = dataclasses.replace(CRIT)
+        o.filter_on = True
+        c1, c2 = run_stats(o)
+        return c1.num_passed + c1.num_failed
+
+    one_pass()
+    t0 = time.perf_counter()
+    pairs = one_pass()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    return 2 * pairs / dt, 2 * pairs  # reads/s over both mates
 
 
 def run_cgr_mode(path: str, batch_size: int, n_reads: int, k: int = 7):
@@ -493,6 +531,20 @@ def main():
             _emit({"metric": "stats_bgzf_reads_per_sec",
                    "value": round(rps, 1), "unit": "reads/s",
                    "vs_baseline": round(rps / max(engine_rps, 1e-9), 3)})
+        if time.perf_counter() - t_all < budget:
+            mate2 = os.path.join(BENCH_DIR, "bench_mate2_%d.fq" % n_small)
+            if not os.path.exists(mate2):
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tests"))
+                from gen import make_fastq
+
+                make_fastq(mate2, n_small, min_len=args.read_len,
+                           max_len=args.read_len, n_prob=0.005, seed=13)
+            rps, _ = run_paired_mode(small, mate2, args.batch_size,
+                                     tempfile.mkdtemp(prefix="hpgq_bench_"))
+            _emit({"metric": "paired_stats_filter_reads_per_sec",
+                   "value": round(rps, 1), "unit": "reads/s",
+                   "vs_baseline": round(rps / oracle_rps, 3)})
         if time.perf_counter() - t_all < budget:
             ocorpus = corpus(5_000, args.read_len)
             cgr_oracle_rps, _ = run_cgr_oracle(ocorpus, 5_000)
