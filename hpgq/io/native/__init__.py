@@ -114,24 +114,41 @@ def available() -> bool:
     return get_lib() is not None
 
 
+_tl = threading.local()  # per-thread newline scratch (16 MB chunks would
+# otherwise pay a fresh allocation + first-touch page faults per chunk)
+
+
+def _nl_scratch(n: int) -> np.ndarray:
+    buf = getattr(_tl, "nl_buf", None)
+    if buf is None or buf.shape[0] < n:
+        buf = np.empty(n, dtype=np.int64)
+        _tl.nl_buf = buf
+    return buf
+
+
 def find_newlines(buf, num_threads: int = 0) -> np.ndarray:
     """All newline offsets in buf via parallel native memchr segments.
 
     Large buffers use the two-pass multi-threaded scan (count, prefix,
-    fill); small ones the single-thread capacity-doubling path."""
+    fill); small ones the single-thread capacity-doubling path.
+
+    NOTE: for large buffers the result is a view of a per-thread scratch
+    that the NEXT find_newlines call on the same thread overwrites — every
+    caller consumes the offsets before scanning its next chunk (the
+    streaming readers are strictly sequential per thread)."""
     lib = get_lib()
     arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     n = arr.shape[0]
     if n >= (1 << 21):
         if num_threads <= 0:
             num_threads = min(8, os.cpu_count() or 1)
-        out = np.empty(max(64, n // 8), dtype=np.int64)
+        out = _nl_scratch(max(64, n // 8))
         # capacity-aware: the C side returns the negated true count (writing
         # nothing) when it exceeds cap; retry once with the exact size
         cnt = lib.hpgq_find_newlines_mt(arr, n, out, out.shape[0], num_threads)
         if cnt >= 0:
             return out[:cnt]
-        out = np.empty(-cnt, dtype=np.int64)
+        out = _nl_scratch(-cnt)
         cnt2 = lib.hpgq_find_newlines_mt(arr, n, out, out.shape[0], num_threads)
         assert cnt2 == -cnt
         return out[:cnt2]
