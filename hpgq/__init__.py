@@ -27,7 +27,7 @@ Architecture (TPU-first, not a port):
   semantics; it doubles as the golden generator and the single-CPU baseline.
 """
 
-__version__ = "1.0.0"
+__version__ = "1.1.0"
 
 
 def __getattr__(name):
