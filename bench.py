@@ -320,7 +320,7 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
         return out
 
     n = first.num_reads
-    L = 128
+    L = round_up(max(first.max_len(), 1), 128)
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()

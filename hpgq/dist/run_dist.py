@@ -616,8 +616,9 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
                 sel = None
                 if vfn is not None:
                     both = vfn(b1) & vfn(b2)
-                    num_passed += int(both.sum())
-                    num_failed += int(b1.num_reads - both.sum())
+                    npass = int(both.sum())
+                    num_passed += npass
+                    num_failed += b1.num_reads - npass
                     sel = both
                 for sess, blk in ((sess1, b1), (sess2, b2)):
                     codes, quals, lens, valid = pack_block(

@@ -336,23 +336,28 @@ def _stats_kernel_blockwise(codes_ref, quals_ref, lens_ref, valid_ref,
         if crit is not None:
             ok = (lens >= crit.min_read_length) & (lens <= crit.max_read_length)
             qn = qsum - phred * lens
-            ok &= (crit.min_read_quality * lens <= qn) & (
-                qn <= crit.max_read_quality * lens
-            )
+            # Overflow care (mirrors stats_jnp.verdicts:127-137): the MAX
+            # sentinel (100000) times a long read length wraps int32 at
+            # lens > ~21474 — exactly this kernel's range — but the check
+            # is vacuous then (qn <= 126*len always), so skip it.  The MIN
+            # sentinel is 0: `0*len <= qn` is exact and cannot wrap.
+            ok &= crit.min_read_quality * lens <= qn
+            if crit.max_read_quality != MAX_VALUE:
+                ok &= qn <= crit.max_read_quality * lens
             if crit.max_out_of_quality != MAX_VALUE:
                 ok &= s_oo[:] <= crit.max_out_of_quality
             if crit.left_length > MIN_VALUE:
                 w = jnp.minimum(lens, crit.left_length)
                 lqn = s_lq[:] - phred * w
-                ok &= (crit.min_left_quality * w <= lqn) & (
-                    lqn <= crit.max_left_quality * w
-                )
+                ok &= crit.min_left_quality * w <= lqn
+                if crit.max_left_quality != MAX_VALUE:
+                    ok &= lqn <= crit.max_left_quality * w
             if crit.right_length > MIN_VALUE:
                 w = jnp.minimum(lens, crit.right_length)
                 rqn = s_rq[:] - phred * w
-                ok &= (crit.min_right_quality * w <= rqn) & (
-                    rqn <= crit.max_right_quality * w
-                )
+                ok &= crit.min_right_quality * w <= rqn
+                if crit.max_right_quality != MAX_VALUE:
+                    ok &= rqn <= crit.max_right_quality * w
             ok &= nn <= crit.max_N
             v = valid & ok
             n_passed = v.astype(jnp.int32).sum()

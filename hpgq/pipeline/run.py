@@ -220,7 +220,8 @@ def _read_shards() -> int:
 _PARALLEL_MIN_BYTES = 32 << 20  # below this, shard setup outweighs the win
 
 
-def _run_stats_parallel(opts, timers, crit, br, nshards: int):
+def _run_stats_parallel(opts, timers, crit, br, nshards: int,
+                        report: bool = True):
     """Single-end stats over ``nshards`` concurrent byte-range readers.
 
     Stats accumulation is a commutative monoid, so shards process their
@@ -270,12 +271,13 @@ def _run_stats_parallel(opts, timers, crit, br, nshards: int):
     for res, t in results:
         timers.merge_from(t)
         counters = res if counters is None else counters.merge(res)
-    with timers.stage("reporting"):
-        stats_report(counters, opts)
+    if report:
+        with timers.stage("reporting"):
+            stats_report(counters, opts)
     return counters
 
 
-def _run_stats_parallel_paired(opts, timers):
+def _run_stats_parallel_paired(opts, timers, report: bool = True):
     """Paired stats over concurrent record-count-aligned shard pairs
     (``split_paired_ranges``): each shard thread runs the serial paired
     loop on its range pair (pair-consistency is per record index, so shard
@@ -316,10 +318,11 @@ def _run_stats_parallel_paired(opts, timers):
         timers.merge_from(t)
         c1 = r1 if c1 is None else c1.merge(r1)
         c2 = r2 if c2 is None else c2.merge(r2)
-    with timers.stage("reporting"):
-        stats_report(c1, opts)
-        opts2 = dataclasses.replace(opts, in_filename=opts.in_filename2)
-        stats_report(c2, opts2)
+    if report:
+        with timers.stage("reporting"):
+            stats_report(c1, opts)
+            opts2 = dataclasses.replace(opts, in_filename=opts.in_filename2)
+            stats_report(c2, opts2)
     return c1, c2
 
 
@@ -340,7 +343,7 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
 
         if _output_parallel_eligible(opts):
             return _run_stats_parallel(opts, timers, crit, br,
-                                       _read_shards())
+                                       _read_shards(), report=report)
 
         ck_path = opts.checkpoint_path
         ck_every = opts.checkpoint_every or 50
@@ -388,7 +391,7 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
     # paired-end: two accumulators; with filtering, stats cover pairs where
     # BOTH mates pass (pair-consistent), counted per pair.
     if _output_parallel_eligible(opts):
-        return _run_stats_parallel_paired(opts, timers)
+        return _run_stats_parallel_paired(opts, timers, report=report)
 
     from ..utils.checkpoint import (
         load_counters_checkpoint,
@@ -547,7 +550,9 @@ def _run_output_parallel(opts, timers, runner, count_keys):
         try:
             local = dataclasses.replace(opts)
             sd = os.path.join(opts.out_dirname or ".", ".pshard%04d" % i)
-            os.makedirs(sd, exist_ok=True)
+            if os.path.isdir(sd):  # stale dir from a killed previous run:
+                shutil.rmtree(sd)  # its leftovers must not be concatenated
+            os.makedirs(sd)
             local.out_dirname = sd
             local.input_range, local.input_range2 = rng
             t = StageTimers()
@@ -566,8 +571,11 @@ def _run_output_parallel(opts, timers, runner, count_keys):
         for t in threads:
             t.join()
     if errors:
-        for _, _, sd in filter(None, results):
-            shutil.rmtree(sd, ignore_errors=True)
+        for i in range(nshards):  # incl. the failing worker's dir
+            shutil.rmtree(
+                os.path.join(opts.out_dirname or ".", ".pshard%04d" % i),
+                ignore_errors=True,
+            )
         raise errors[0]
 
     out = {k: 0 for k in count_keys}

@@ -142,6 +142,31 @@ def test_blockwise_long_matches_jnp(B, L, lcap, crit):
     _compare(p_jnp, p_pal, int(sel.sum()))
 
 
+def test_blockwise_long_max_sentinel_no_overflow():
+    """Reads longer than ~21474 nt with an unset max quality threshold
+    (substituted MAX sentinel 100000): the sentinel multiply would wrap
+    int32 and fail every read — the kernel must skip the vacuous check
+    (mirrors stats_jnp.verdicts' guard)."""
+    from hpgq.kernels.stats_pallas import batch_partials_pallas_long
+
+    L = 24576
+    B = 32
+    # only a MIN threshold set -> max_read_quality substitutes to 100000
+    crit = FilterCriteria(min_read_quality=5)
+    rng = np.random.default_rng(77)
+    lens = np.full(B, L, np.int32)  # every read deep in overflow range
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    quals = rng.integers(40, 70, size=(B, L)).astype(np.uint8)
+    valid = rng.random(B) < 0.9
+    ok = np.asarray(stats_jnp.verdicts(codes, quals, lens, crit, PHRED33))
+    assert ok[valid].all()  # sanity: quals >= 33 pass min_quality=5
+    p = batch_partials_pallas_long(codes, quals, lens, valid, L, PHRED33,
+                                   crit, interpret=True)
+    assert int(p["_num_passed"]) == int(valid.sum())
+    assert int(p["_num_failed"]) == 0
+    np.testing.assert_array_equal(np.asarray(p["_passed_mask"]), valid)
+
+
 def test_blockwise_long_via_make_stats_step():
     """lcap > 4096 keeps the pallas engine (no silent jnp fallback) and
     matches the jnp step."""
