@@ -397,24 +397,14 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
         load_counters_checkpoint,
         save_counters_checkpoint,
     )
+    from .session import PairedStatsSession
 
     phred = opts.quality_encoding_value
-    sess1 = StatsSession(phred, opts.kmers_on, None, batch_reads=br,
-                         engine=_engine_of(opts))
-    sess2 = StatsSession(phred, opts.kmers_on, None, batch_reads=br,
-                         engine=_engine_of(opts))
-    vfn = (
-        ShapeCachedFn(
-            lambda: (
-                lambda c, q, l, v: stats_jnp.verdicts(c, q, l, crit, phred) & v
-            ),
-            br,
-            cache_key=("verdict", _crit_key(crit), phred, br),
-        )
-        if crit is not None
-        else None
-    )
-    num_passed = num_failed = 0
+    # one fused dispatch per batch: verdicts (pair-consistent) + both
+    # accumulators inside a single jitted step (make_paired_stats_step) —
+    # replaces the 4-dispatch verdict/feed loop
+    sess = PairedStatsSession(phred, opts.kmers_on, crit, batch_reads=br,
+                              engine=_engine_of(opts))
     ck_path = opts.checkpoint_path
     ck_every = opts.checkpoint_every or 50
     ck_key = (
@@ -427,14 +417,13 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
         loaded = load_counters_checkpoint(ck_path, ck_key)
         if loaded:
             resumed1, start1, extra = loaded
-            resumed1.ensure_length(sess1.lcap)
-            sess1.acc.counters = resumed1
-            resumed2 = extra["__counters2__"]
-            resumed2.ensure_length(sess2.lcap)
-            sess2.acc.counters = resumed2
+            sess.counters1 = resumed1
+            sess.counters2 = extra["__counters2__"]
+            for c in (sess.counters1, sess.counters2):
+                c.ensure_length(sess.lcap)
             start2 = int(extra["offset2"])
-            num_passed = int(extra["num_passed"])
-            num_failed = int(extra["num_failed"])
+            sess.num_passed = int(extra["num_passed"])
+            sess.num_failed = int(extra["num_failed"])
     nb = 0
     rng1 = getattr(opts, "input_range", None) or (0, None)
     rng2 = getattr(opts, "input_range2", None) or (0, None)
@@ -446,36 +435,27 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
                      end_offset=rng2[1]) as r2:
         for b1, b2 in _iter_blocks_paired(r1, r2, timers):
             with timers.stage("compute"):
-                if vfn is not None:
-                    both = vfn(b1) & vfn(b2)
-                    num_passed += int(both.sum())
-                    num_failed += int(b1.num_reads - both.sum())
-                    sel = both
-                else:
-                    sel = None
-                for sess, blk in ((sess1, b1), (sess2, b2)):
-                    sess.feed_block(blk, sel=sel)
+                sess.feed_pair(b1, b2)
             nb += 1
             if ck_path and nb % ck_every == 0:
                 with timers.stage("checkpoint"):
-                    sess1.acc.flush()
-                    sess2.acc.flush()
+                    sess.flush()
                     save_counters_checkpoint(
-                        ck_path, sess1.acc.counters, b1.end_offset, ck_key,
+                        ck_path, sess.counters1, b1.end_offset, ck_key,
                         extra={
                             "offset2": b2.end_offset,
-                            "num_passed": num_passed,
-                            "num_failed": num_failed,
+                            "num_passed": sess.num_passed,
+                            "num_failed": sess.num_failed,
                         },
-                        counters2=sess2.acc.counters,
+                        counters2=sess.counters2,
                     )
     with timers.stage("compute"):
-        c1, c2 = sess1.finish(), sess2.finish()
+        c1, c2 = sess.finish()
     if ck_path and os.path.exists(ck_path):
         os.unlink(ck_path)
     for c in (c1, c2):
         c.filter_on = crit is not None
-        c.num_passed, c.num_failed = num_passed, num_failed
+        c.num_passed, c.num_failed = sess.num_passed, sess.num_failed
     if report:
         with timers.stage("reporting"):
             import dataclasses

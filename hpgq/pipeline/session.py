@@ -103,6 +103,95 @@ class StatsSession:
         return self.acc.finish()
 
 
+class PairedStatsSession:
+    """Streaming paired-end stats: BOTH mates' verdicts + accumulation in
+    one fused device dispatch per batch (``make_paired_stats_step``).
+
+    One shared length bucket covers both mates (they grow together), and
+    the two device accumulators flush into two host counters on the same
+    overflow-safe window as :class:`~hpgq.core.accumulator.DeviceAccumulator`.
+    """
+
+    def __init__(self, phred, kmers_on=False, crit=None, batch_reads=16384,
+                 engine=None, lcap: int = 128):
+        from ..core.accumulator import resolve_wire, safe_flush_every
+        from ..core.counters import StatsCounters
+
+        self.phred = phred
+        self.kmers_on = kmers_on
+        self.crit = crit
+        self.batch_reads = batch_reads
+        self.engine = engine
+        self.wire = resolve_wire()
+        self.num_passed = 0
+        self.num_failed = 0
+        self.counters1 = StatsCounters(phred=phred, kmers_on=kmers_on)
+        self.counters2 = StatsCounters(phred=phred, kmers_on=kmers_on)
+        self._safe_flush_every = safe_flush_every
+        self._since_flush = 0
+        self._rebuild(lcap)
+
+    def _rebuild(self, lcap: int):
+        from ..kernels.stats_jnp import make_paired_stats_step, zero_partials
+
+        self.lcap = lcap
+        self._step = make_paired_stats_step(
+            lcap, self.phred, self.kmers_on, self.crit, engine=self.engine,
+            wire=self.wire,
+        )
+        self._acc1 = zero_partials(lcap, self.kmers_on)
+        self._acc2 = zero_partials(lcap, self.kmers_on)
+        self.flush_every = self._safe_flush_every(self.batch_reads, lcap)
+
+    def _grow(self, lcap: int):
+        self.flush()
+        self._rebuild(lcap)
+
+    def feed_pair(self, b1, b2) -> None:
+        """One fused step over a lockstep mate-block pair (equal record
+        counts; see ``_iter_blocks_paired``)."""
+        lmax = round_up(max(b1.max_len(), b2.max_len(), 1), 128)
+        if lmax > self.lcap:
+            self._grow(lmax)
+        if self.wire in ("bitpack", "fused4"):
+            from ..io.packer import pack_block_wire
+
+            in1 = pack_block_wire(b1, self.wire, self.lcap,
+                                  pad_reads_to=self.batch_reads)
+            in2 = pack_block_wire(b2, self.wire, self.lcap,
+                                  pad_reads_to=self.batch_reads)
+        else:
+            in1 = pack_block(b1, max_len=self.lcap,
+                             pad_reads_to=self.batch_reads)
+            in2 = pack_block(b2, max_len=self.lcap,
+                             pad_reads_to=self.batch_reads)
+        self._acc1, self._acc2, np_, nf = self._step(
+            self._acc1, self._acc2, in1, in2
+        )
+        if self.crit is not None:
+            self.num_passed += int(np_)
+            self.num_failed += int(nf)
+        self._since_flush += 1
+        if self._since_flush >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._since_flush == 0:
+            return
+        from ..core.accumulator import fold_partials
+        from ..kernels.stats_jnp import zero_partials
+
+        fold_partials(self.counters1, jax.device_get(self._acc1))
+        fold_partials(self.counters2, jax.device_get(self._acc2))
+        self._acc1 = zero_partials(self.lcap, self.kmers_on)
+        self._acc2 = zero_partials(self.lcap, self.kmers_on)
+        self._since_flush = 0
+
+    def finish(self):
+        self.flush()
+        return self.counters1, self.counters2
+
+
 _FN_CACHE = {}  # global so compiled fns survive across pipeline runs
 
 
