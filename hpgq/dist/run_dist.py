@@ -109,20 +109,31 @@ class ShardedStatsSession:
         self._since_flush = 0
         self._reset(lcap)
 
-    def feed_block(self, block):
+    def feed_block(self, block, sel=None):
+        """Feed a RecordBlock; ``sel`` restricts which reads count (the
+        paired pair-consistent filter) — applied by zeroing the wire rows'
+        valid byte (native single-pass pack stays on the fast path)."""
         lmax = round_up(max(block.max_len(), 1), 128)
         if lmax > self.lcap:
             self._grow(lmax)
         if self.wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 
-            self._feed_wire(pack_block_wire(block, self.wire, self.lcap,
-                                            pad_reads_to=self.batch_reads))
+            buf = pack_block_wire(block, self.wire, self.lcap,
+                                  pad_reads_to=self.batch_reads)
+            if sel is not None:
+                drop = np.flatnonzero(~np.asarray(sel, bool))
+                if drop.size:
+                    buf[drop, buf.shape[1] - 4] = 0  # tail valid byte
+            self._feed_wire(buf)
             return
-        packed = pack_block(
+        codes, quals, lens, valid = pack_block(
             block, max_len=self.lcap, pad_reads_to=self.batch_reads
         )
-        self.feed_packed(*packed)
+        if sel is not None:
+            valid = valid.copy()
+            valid[: len(sel)] &= np.asarray(sel, bool)
+        self.feed_packed(codes, quals, lens, valid)
 
     def feed_empty(self):
         """A lockstep step with no local data (exhausted multi-host shard)."""
@@ -621,13 +632,7 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
                     num_failed += b1.num_reads - npass
                     sel = both
                 for sess, blk in ((sess1, b1), (sess2, b2)):
-                    codes, quals, lens, valid = pack_block(
-                        blk, max_len=sess.lcap, pad_reads_to=br
-                    )
-                    if sel is not None:
-                        valid = valid.copy()
-                        valid[: len(sel)] &= sel
-                    sess.feed_packed(codes, quals, lens, valid)
+                    sess.feed_block(blk, sel=sel)
 
     with timers.stage("compute"):
         c1, c2 = sess1.finish(), sess2.finish()
