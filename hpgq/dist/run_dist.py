@@ -117,14 +117,12 @@ class ShardedStatsSession:
         if lmax > self.lcap:
             self._grow(lmax)
         if self.wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_wire
+            from ..io.packer import pack_block_wire, zero_wire_sel
 
             buf = pack_block_wire(block, self.wire, self.lcap,
                                   pad_reads_to=self.batch_reads)
             if sel is not None:
-                drop = np.flatnonzero(~np.asarray(sel, bool))
-                if drop.size:
-                    buf[drop, buf.shape[1] - 4] = 0  # tail valid byte
+                zero_wire_sel(buf, sel)
             self._feed_wire(buf)
             return
         codes, quals, lens, valid = pack_block(

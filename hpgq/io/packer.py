@@ -108,6 +108,17 @@ def wire_bitpack_np(codes, quals, lens, valid) -> np.ndarray:
     return row
 
 
+def zero_wire_sel(buf: np.ndarray, sel) -> np.ndarray:
+    """Drop deselected reads from a packed wire buffer in place by zeroing
+    each row's tail valid byte (offset W-4 in both bitpack and fused4 rows)
+    — one scatter instead of a re-pack.  ``sel`` is bool [num_reads]; rows
+    beyond ``len(sel)`` (padding) already carry valid=0."""
+    drop = np.flatnonzero(~np.asarray(sel, bool))
+    if drop.size:
+        buf[drop, buf.shape[1] - 4] = 0
+    return buf
+
+
 def pack_block_wire(block, wire: str, max_len: int,
                     pad_reads_to: int = 0) -> np.ndarray:
     """Pack a RecordBlock into the named wire format ('bitpack' | 'fused4')

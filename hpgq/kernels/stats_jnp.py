@@ -612,15 +612,17 @@ def make_paired_stats_step(
     """Fused per-batch update for BOTH mates of a paired batch in ONE
     dispatch:
 
-        step(acc1, acc2, in1, in2) -> (acc1', acc2', num_passed, num_failed)
+        step(acc1, acc2, in1, in2) -> (acc1', acc2')
 
-    where ``inN`` is the mate's wire buffer (with ``wire`` set) or its
-    (codes, quals, lens, valid) tuple.  With ``crit``, the pair-consistent
-    verdict (BOTH mates pass — src-equivalent of the legacy paired prepro,
+    where ``inN`` is the mate's wire buffer (with ``wire`` set), nibble-
+    packed codes + arrays (``wire='pack4'``), or the plain (codes, quals,
+    lens, valid) tuple.  With ``crit``, the pair-consistent verdict (BOTH
+    mates pass — src-equivalent of the legacy paired prepro,
     old/main_hpg_fastq_old.c:726-728) selects which pairs count, and the
-    per-pair passed/failed tallies come back as int32 scalars.  Replaces
-    the 4-dispatch loop (verdict x2 + accumulate x2) — dispatch latency is
-    first-order on tunneled/remote links."""
+    per-pair passed/failed tallies fold into ``acc1``'s num_passed /
+    num_failed (device-resident — the host never syncs per batch).
+    Replaces the 4-dispatch loop (verdict x2 + accumulate x2) — dispatch
+    latency is first-order on tunneled/remote links."""
     engine = resolve_engine(engine)
     if engine == "pallas" and lcap > 65536:
         engine = "jnp"
@@ -641,7 +643,12 @@ def make_paired_stats_step(
                                   kmers_on)
 
     if wire in ("fused4", "bitpack"):
-        unf = wire_unfuse if wire == "fused4" else wire_unbits
+        def unf(t):
+            return (wire_unfuse if wire == "fused4" else wire_unbits)(t)
+    elif wire == "pack4":
+        def unf(t):
+            c, q, l, v = t
+            return wire_unpack4(c), q, l, v
     else:
         def unf(t):
             return t
@@ -660,11 +667,12 @@ def make_paired_stats_step(
             nf = (pair & ~ok).astype(jnp.int32).sum()
         else:
             sel = pair
-            np_ = jnp.int32(0)
-            nf = jnp.int32(0)
         out1 = merge_into(acc1, pfn(c1, q1, l1, sel))
         out2 = merge_into(acc2, pfn(c2, q2, l2, sel))
-        return out1, out2, np_, nf
+        if crit is not None:
+            out1["num_passed"] = acc1["num_passed"] + np_
+            out1["num_failed"] = acc1["num_failed"] + nf
+        return out1, out2
 
     if jit:
         step = jax.jit(step, donate_argnums=(0, 1))

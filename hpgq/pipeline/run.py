@@ -422,8 +422,8 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
             for c in (sess.counters1, sess.counters2):
                 c.ensure_length(sess.lcap)
             start2 = int(extra["offset2"])
-            sess.num_passed = int(extra["num_passed"])
-            sess.num_failed = int(extra["num_failed"])
+            # pass/fail tallies ride inside counters1 (folded from the
+            # device accumulator at flush) — nothing extra to restore
     nb = 0
     rng1 = getattr(opts, "input_range", None) or (0, None)
     rng2 = getattr(opts, "input_range2", None) or (0, None)
@@ -442,11 +442,7 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
                     sess.flush()
                     save_counters_checkpoint(
                         ck_path, sess.counters1, b1.end_offset, ck_key,
-                        extra={
-                            "offset2": b2.end_offset,
-                            "num_passed": sess.num_passed,
-                            "num_failed": sess.num_failed,
-                        },
+                        extra={"offset2": b2.end_offset},
                         counters2=sess.counters2,
                     )
     with timers.stage("compute"):
@@ -500,6 +496,27 @@ def _output_parallel_eligible(opts) -> bool:
     return all(range_splittable(p) for p in inputs)
 
 
+_SHARD_OWNER = ".hpgq-owner"  # pid marker inside each .pshard dir
+
+
+def _read_shard_owner(sd: str):
+    try:
+        with open(os.path.join(sd, _SHARD_OWNER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None  # pre-marker or corrupt dir: treat as stale
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _run_output_parallel(opts, timers, runner, count_keys):
     """filter/edit over concurrent record-aligned byte-range shards.
 
@@ -530,9 +547,22 @@ def _run_output_parallel(opts, timers, runner, count_keys):
         try:
             local = dataclasses.replace(opts)
             sd = os.path.join(opts.out_dirname or ".", ".pshard%04d" % i)
-            if os.path.isdir(sd):  # stale dir from a killed previous run:
-                shutil.rmtree(sd)  # its leftovers must not be concatenated
+            if os.path.isdir(sd):
+                # Stale dir from a killed previous run: its leftovers must
+                # not be concatenated.  But if the run that made it is still
+                # alive, deleting would corrupt that run's in-flight output
+                # — refuse instead of racing it.
+                owner = _read_shard_owner(sd)
+                if owner is not None and owner != os.getpid() \
+                        and _pid_alive(owner):
+                    raise RuntimeError(
+                        "%s is in use by a concurrent run (pid %d) — "
+                        "choose a different --out-dir" % (sd, owner)
+                    )
+                shutil.rmtree(sd)
             os.makedirs(sd)
+            with open(os.path.join(sd, _SHARD_OWNER), "w") as fh:
+                fh.write(str(os.getpid()))
             local.out_dirname = sd
             local.input_range, local.input_range2 = rng
             t = StageTimers()
@@ -551,15 +581,16 @@ def _run_output_parallel(opts, timers, runner, count_keys):
         for t in threads:
             t.join()
     if errors:
-        for i in range(nshards):  # incl. the failing worker's dir
-            shutil.rmtree(
-                os.path.join(opts.out_dirname or ".", ".pshard%04d" % i),
-                ignore_errors=True,
-            )
+        for i in range(nshards):  # incl. the failing worker's dir — but
+            # never one owned by a live concurrent run (the refusal case)
+            sd = os.path.join(opts.out_dirname or ".", ".pshard%04d" % i)
+            owner = _read_shard_owner(sd)
+            if owner is None or owner == os.getpid() or not _pid_alive(owner):
+                shutil.rmtree(sd, ignore_errors=True)
         raise errors[0]
 
     out = {k: 0 for k in count_keys}
-    names = sorted(os.listdir(results[0][2]))
+    names = sorted(n for n in os.listdir(results[0][2]) if n != _SHARD_OWNER)
     with timers.stage("write"):
         for name in names:
             final = os.path.join(opts.out_dirname or ".", name)

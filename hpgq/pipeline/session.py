@@ -16,6 +16,22 @@ from ..core.accumulator import DeviceAccumulator
 from ..io.packer import pack_block, round_up
 
 
+def warn_device_batch(batch_reads: int, lcap: int, mates: int = 1) -> None:
+    """Log an actionable warning when long-read growth makes the fixed-row
+    device batch large (the user should lower --batch-size /
+    --device-batch-reads rather than discover a device OOM)."""
+    if mates * lcap * batch_reads > (1 << 28):  # ~0.33 GB of wire bytes
+        import logging
+
+        logging.getLogger("hpgq").warning(
+            "long reads: device batch is %s%d rows x %d nt (~%.1f GB "
+            "packed) — lower --batch-size / --device-batch-reads to "
+            "bound device memory",
+            "2 x " if mates == 2 else "", batch_reads, lcap,
+            mates * batch_reads * lcap * 1.25 / 1e9,
+        )
+
+
 class StatsSession:
     """Streaming stats accumulation with automatic length growth."""
 
@@ -37,16 +53,7 @@ class StatsSession:
         return self.acc.lcap
 
     def _grow(self, lcap: int):
-        if lcap * self.batch_reads > (1 << 28):  # ~0.33 GB of wire bytes
-            import logging
-
-            logging.getLogger("hpgq").warning(
-                "long reads: device batch is %d rows x %d nt (~%.1f GB "
-                "packed) — lower --batch-size / --device-batch-reads to "
-                "bound device memory",
-                self.batch_reads, lcap,
-                self.batch_reads * lcap * 1.25 / 1e9,
-            )
+        warn_device_batch(self.batch_reads, lcap)
         old = self.acc.finish()
         self.acc = DeviceAccumulator(
             lcap, self.phred, self.kmers_on, self.crit,
@@ -56,12 +63,9 @@ class StatsSession:
         self.acc.counters = old
         old.ensure_length(lcap)
 
-    def feed_block(self, block, timers=None, sel=None):
-        """Feed a RecordBlock; ``sel`` (bool [num_reads]) restricts which
-        reads count (the paired pair-consistent filter).  Uses the native
-        single-pass wire packer when a wire format is active — the selection
-        is applied by zeroing the per-row valid byte in the wire buffer
-        (one scatter) instead of re-packing."""
+    def feed_block(self, block, timers=None):
+        """Feed a RecordBlock — via the native single-pass wire packer when
+        a wire format is active, else as packed numpy arrays."""
         lmax = round_up(max(block.max_len(), 1), 128)
         if lmax > self.lcap:
             self._grow(lmax)
@@ -69,21 +73,12 @@ class StatsSession:
         if wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 
-            buf = pack_block_wire(block, wire, self.lcap,
-                                  pad_reads_to=self.batch_reads)
-            if sel is not None:
-                drop = np.flatnonzero(~np.asarray(sel, bool))
-                if drop.size:
-                    buf[drop, buf.shape[1] - 4] = 0  # tail valid byte
-            self.acc.update(buf)
+            self.acc.update(pack_block_wire(block, wire, self.lcap,
+                                            pad_reads_to=self.batch_reads))
             return
-        codes, quals, lens, valid = pack_block(
+        self.feed_packed(*pack_block(
             block, max_len=self.lcap, pad_reads_to=self.batch_reads
-        )
-        if sel is not None:
-            valid = valid.copy()
-            valid[: len(sel)] &= np.asarray(sel, bool)
-        self.feed_packed(codes, quals, lens, valid)
+        ))
 
     def feed_packed(self, codes, quals=None, lens=None, valid=None):
         # quals carry the logical L; a lone wire buffer encodes L in its
@@ -123,8 +118,6 @@ class PairedStatsSession:
         self.batch_reads = batch_reads
         self.engine = engine
         self.wire = resolve_wire()
-        self.num_passed = 0
-        self.num_failed = 0
         self.counters1 = StatsCounters(phred=phred, kmers_on=kmers_on)
         self.counters2 = StatsCounters(phred=phred, kmers_on=kmers_on)
         self._safe_flush_every = safe_flush_every
@@ -144,12 +137,25 @@ class PairedStatsSession:
         self.flush_every = self._safe_flush_every(self.batch_reads, lcap)
 
     def _grow(self, lcap: int):
+        warn_device_batch(self.batch_reads, lcap, mates=2)
         self.flush()
         self._rebuild(lcap)
 
+    @property
+    def num_passed(self) -> int:
+        """Pair-consistent passed count (device tallies fold into
+        ``counters1`` at flush; callers read after :meth:`flush`)."""
+        return self.counters1.num_passed
+
+    @property
+    def num_failed(self) -> int:
+        return self.counters1.num_failed
+
     def feed_pair(self, b1, b2) -> None:
         """One fused step over a lockstep mate-block pair (equal record
-        counts; see ``_iter_blocks_paired``)."""
+        counts; see ``_iter_blocks_paired``).  Never syncs on the device —
+        the pass/fail tallies stay in the device accumulator so host
+        packing of the next pair overlaps this step's compute."""
         lmax = round_up(max(b1.max_len(), b2.max_len(), 1), 128)
         if lmax > self.lcap:
             self._grow(lmax)
@@ -165,12 +171,12 @@ class PairedStatsSession:
                              pad_reads_to=self.batch_reads)
             in2 = pack_block(b2, max_len=self.lcap,
                              pad_reads_to=self.batch_reads)
-        self._acc1, self._acc2, np_, nf = self._step(
-            self._acc1, self._acc2, in1, in2
-        )
-        if self.crit is not None:
-            self.num_passed += int(np_)
-            self.num_failed += int(nf)
+            if self.wire == "pack4":
+                from ..kernels.stats_jnp import wire_pack4
+
+                in1 = (wire_pack4(np.asarray(in1[0])),) + tuple(in1[1:])
+                in2 = (wire_pack4(np.asarray(in2[0])),) + tuple(in2[1:])
+        self._acc1, self._acc2 = self._step(self._acc1, self._acc2, in1, in2)
         self._since_flush += 1
         if self._since_flush >= self.flush_every:
             self.flush()

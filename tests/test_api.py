@@ -132,6 +132,57 @@ def test_parallel_output_shards_match_serial(tmp_path, monkeypatch):
         assert not [d for d in os.listdir(b) if d.startswith(".pshard")]
 
 
+def test_parallel_shard_dir_owner_guard(tmp_path, monkeypatch):
+    """A leftover .pshard dir from a dead run is cleaned up and the run
+    succeeds; one owned by a LIVE process is refused (never rmtree'd out
+    from under a concurrent run)."""
+    import pytest
+
+    from hpgq.options import FilterOptions
+    from hpgq.pipeline import run as run_mod
+
+    fq = str(tmp_path / "og.fq")
+    make_fastq(fq, 1500, min_len=50, max_len=90, n_prob=0.02, seed=23)
+
+    def fopts(out):
+        o = FilterOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 500
+        o.criteria.min_read_quality = 18
+        o.criteria.max_read_quality = 40
+        o.filter_on = True
+        return o
+
+    monkeypatch.setenv("HPGQ_READ_SHARDS", "2")
+    monkeypatch.setattr(run_mod, "_PARALLEL_MIN_BYTES", 1)
+
+    # stale dir (marker pid long dead, and a junk file that must not leak
+    # into the concatenated outputs)
+    d = tmp_path / "dead"
+    d.mkdir()
+    sd = d / ".pshard0000"
+    sd.mkdir()
+    (sd / run_mod._SHARD_OWNER).write_text("999999999")
+    (sd / "passed.fq").write_bytes(b"@junk\nA\n+\n!\n")
+    out = run_mod.run_filter(fopts(d))
+    assert out["num_passed"] + out["num_failed"] == 1500
+    assert b"@junk" not in (d / "passed.fq").read_bytes()
+    assert not [p for p in os.listdir(d) if p.startswith(".pshard")]
+
+    # live owner: refuse instead of deleting
+    l = tmp_path / "live"
+    l.mkdir()
+    sd = l / ".pshard0001"
+    sd.mkdir()
+    (sd / run_mod._SHARD_OWNER).write_text(str(os.getppid() or os.getpid()))
+    with pytest.raises(RuntimeError, match="concurrent run"):
+        run_mod.run_filter(fopts(l))
+    assert sd.is_dir()  # the concurrent run's outputs were left alone
+
+
 def test_parallel_paired_shards_match_serial(tmp_path, monkeypatch):
     """Paired stats/filter over record-count-aligned shard pairs ==
     serial: equal counters, byte-identical passed/failed mate files."""

@@ -335,8 +335,8 @@ def test_stats_pipeline_with_wire_fused4(tmp_path, monkeypatch):
 
 
 def test_paired_stats_filter_through_wire(tmp_path, monkeypatch):
-    """Paired stats + pair-consistent inline filter with the wire feed (the
-    valid-byte zeroing in StatsSession.feed_block(sel=...)) == plain path."""
+    """Paired stats + pair-consistent inline filter with the wire feed
+    (PairedStatsSession's fused step over two wire buffers) == plain path."""
     from gen import make_fastq
     from hpgq.options import StatsOptions
     from hpgq.pipeline.run import run_stats
@@ -363,7 +363,7 @@ def test_paired_stats_filter_through_wire(tmp_path, monkeypatch):
     a.mkdir()
     monkeypatch.setenv("HPGQ_WIRE", "off")
     c1, c2 = run_stats(opts(a))
-    for wire in ("bitpack", "fused4"):
+    for wire in ("bitpack", "fused4", "pack4"):
         b = tmp_path / ("b_" + wire)
         b.mkdir()
         monkeypatch.setenv("HPGQ_WIRE", wire)
