@@ -88,42 +88,45 @@ def bgzf_corpus(plain_path: str) -> str:
     return path
 
 
+def _oracle_pass(path: str, batch_size: int) -> "tuple[float, int]":
+    """ONE single-CPU end-to-end oracle pass -> (reads/s, reads)."""
+    from hpgq.core.counters import StatsCounters
+    from hpgq.oracle import baseline as ob
+
+    t0 = time.perf_counter()
+    total = 0
+    acc = StatsCounters(phred=PHRED)
+    with FastqReader(path, batch_size=batch_size) as rd:
+        for block in rd:
+            codes, quals, lens, valid = pack_block(block)
+            ok = ob.block_verdicts(codes, quals, lens, CRIT, PHRED) & valid
+            acc = acc.merge(ob.block_stats(codes, quals, lens, ok, phred=PHRED))
+            total += block.num_reads
+    dt = time.perf_counter() - t0
+    assert acc.num_reads > 0
+    return total / dt, total
+
+
 def run_oracle(path: str, batch_size: int, passes: int = 2,
                budget_s: float = 120.0) -> "tuple[float, int]":
     """Single-CPU end-to-end oracle pass (the reference-semantics baseline).
     Best of ``passes`` (first pass also warms the file cache), bounded by
     ``budget_s``."""
-    from hpgq.core.counters import StatsCounters
-    from hpgq.oracle import baseline as ob
-
     best = 0.0
     total = 0
     t_start = time.perf_counter()
     for _ in range(passes):
         if best and time.perf_counter() - t_start > budget_s:
             break
-        t0 = time.perf_counter()
-        total = 0
-        acc = StatsCounters(phred=PHRED)
-        with FastqReader(path, batch_size=batch_size) as rd:
-            for block in rd:
-                codes, quals, lens, valid = pack_block(block)
-                ok = ob.block_verdicts(codes, quals, lens, CRIT, PHRED) & valid
-                acc = acc.merge(ob.block_stats(codes, quals, lens, ok, phred=PHRED))
-                total += block.num_reads
-        dt = time.perf_counter() - t0
-        assert acc.num_reads > 0
-        best = max(best, total / dt)
+        rps, total = _oracle_pass(path, batch_size)
+        best = max(best, rps)
     return best, total
 
 
-def run_engine(path: str, batch_size: int, batch_reads: int,
-               passes: int = 4, read_len: int = 100,
-               budget_s: float = None) -> "tuple[float, int]":
-    """End-to-end engine throughput: one warmup pass amortizes jit
-    compilation (production runs are long streams — compile cost is not the
-    metric), then best of ``passes`` timed passes (host<->device link
-    bandwidth fluctuates heavily in tunneled environments)."""
+def _engine_pass_factory(path: str, batch_size: int, batch_reads: int):
+    """One-engine-pass closure over the REAL production path (run_stats:
+    parallel shard readers when eligible, wire packing, report emission) —
+    not a bench-only loop.  Returns reads processed."""
     import dataclasses
     import tempfile
 
@@ -133,8 +136,6 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
     outdir = tempfile.mkdtemp(prefix="hpgq_bench_rep_")
 
     def one_pass(corpus_override=None):
-        # the REAL production path (run_stats: parallel shard readers when
-        # eligible, wire packing, report emission) — not a bench-only loop
         o = StatsOptions()
         o.in_filename = corpus_override or path
         o.out_dirname = outdir
@@ -147,6 +148,18 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
         counters = run_stats(o)
         assert counters.num_reads >= 0
         return counters.num_passed + counters.num_failed
+
+    return one_pass
+
+
+def run_engine(path: str, batch_size: int, batch_reads: int,
+               passes: int = 4, read_len: int = 100,
+               budget_s: float = None) -> "tuple[float, int]":
+    """End-to-end engine throughput: one warmup pass amortizes jit
+    compilation (production runs are long streams — compile cost is not the
+    metric), then best of ``passes`` timed passes (host<->device link
+    bandwidth fluctuates heavily in tunneled environments)."""
+    one_pass = _engine_pass_factory(path, batch_size, batch_reads)
 
     budget = (budget_s if budget_s is not None
               else float(os.environ.get("HPGQ_BENCH_BUDGET_S", "300")))
@@ -172,6 +185,52 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
         if time.perf_counter() - t_start > budget:
             break
     return best, total
+
+
+def run_headline_interleaved(path, opath, batch_size, batch_reads,
+                             read_len, budget_s, rounds=3):
+    """Headline measurement with oracle and engine passes ALTERNATING.
+
+    The tunneled-TPU link and the shared host both fluctuate ~10x on
+    minute timescales (see PERF.md): measuring the oracle in one phase and
+    the engine in another makes vs_baseline phase luck.  Alternating
+    O,E,O,E,... samples both sides across the same phases; the reported
+    ratio is best-engine / best-oracle over those like-for-like samples.
+    Returns (engine_best, oracle_best, engine_reads, per-round forensics).
+    """
+    one_pass = _engine_pass_factory(path, batch_size, batch_reads)
+    t_start = time.perf_counter()
+    # engine warmup on a small same-shape corpus: blocks pad to the same
+    # [batch_reads, L] device shapes, so this warms the jit/persistent
+    # cache at ~1/20 the cost of a full pass (the tunnel has minutes-long
+    # slow phases; a full-size warmup could eat the whole budget).  It also
+    # warms the oracle corpus' page cache via the first oracle round.
+    one_pass(corpus_override=corpus(50_000, read_len))
+    e_best = o_best = 0.0
+    e_total = 0
+    last_round = 0.0
+    forensics = []
+    for i in range(rounds):
+        # predictive: don't start a round we can't finish inside the budget
+        if e_best and time.perf_counter() - t_start + last_round > budget_s:
+            break
+        t0 = time.perf_counter()
+        o_rps, _ = _oracle_pass(opath, batch_size)
+        t1 = time.perf_counter()
+        n = one_pass()
+        t2 = time.perf_counter()
+        e_rps = n / (t2 - t1)
+        e_total = n
+        o_best = max(o_best, o_rps)
+        e_best = max(e_best, e_rps)
+        last_round = t2 - t0
+        forensics.append({"round": i, "oracle_rps": round(o_rps, 1),
+                          "engine_rps": round(e_rps, 1),
+                          "oracle_s": round(t1 - t0, 3),
+                          "engine_s": round(t2 - t1, 3)})
+        if time.perf_counter() - t_start > budget_s:
+            break
+    return e_best, o_best, e_total, forensics
 
 
 def run_filter_mode(path: str, batch_size: int, tmp: str):
@@ -456,12 +515,11 @@ def main():
         signal.alarm(int(budget * 1.15))
 
         t = time.perf_counter()
-        oracle_rps, _ = run_oracle(opath, args.batch_size)
-        t = mark("oracle", t)
-        engine_rps, total = run_engine(path, args.batch_size, br, passes=3,
-                                       read_len=args.read_len,
-                                       budget_s=budget * 0.5)
-        t = mark("engine_warmup_and_passes", t)
+        engine_rps, oracle_rps, total, rounds_fx = run_headline_interleaved(
+            path, opath, args.batch_size, br, args.read_len,
+            budget_s=budget * 0.6,
+        )
+        t = mark("headline_interleaved", t)
         headline = {
             "metric": "stats_filter_reads_per_sec",
             "value": round(engine_rps, 1),
@@ -480,7 +538,7 @@ def main():
                 engine_rps / bd["h2d_reads_per_sec"], 3
             )
         _emit({"breakdown": bd,
-               "engine_pass_seconds": getattr(run_engine, "pass_seconds", []),
+               "headline_rounds": rounds_fx,
                "oracle_reads_per_sec": round(oracle_rps, 1),
                "engine_reads": total, "read_len": args.read_len,
                "bench_phase_seconds": phase_s,
