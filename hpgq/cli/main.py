@@ -248,6 +248,17 @@ def _results_banner(lines):
 
 
 def main(argv=None) -> int:
+    from ..io.fastq import FastqParseError
+
+    try:
+        return _main(argv)
+    except FastqParseError as e:
+        # corrupt input -> reference-style clean error, not a traceback
+        print("Error: %s" % e, file=sys.stderr)
+        return -1
+
+
+def _main(argv=None) -> int:
     from ..utils.compile_cache import enable as _enable_compile_cache
 
     _enable_compile_cache()

@@ -26,6 +26,12 @@ import numpy as np
 _CHUNK = 16 * 1024 * 1024
 
 
+class FastqParseError(ValueError):
+    """Structurally invalid FASTQ input (desynced 4-line grouping,
+    truncated quality line, missing '@'/'+' markers).  The CLI converts
+    this into a clean reference-style ``Error:`` message + exit."""
+
+
 class ReadaheadFile:
     """Background decode thread over a serial file-like (plain gzip).
 
@@ -384,6 +390,25 @@ class FastqReader:
             cr = arr[np.maximum(flat - 1, 0)] == 0x0D
             if cr.any():
                 ends = (flat - cr.astype(np.int64)).reshape(nrec, 4)
+            # Structural validation (vectorized, one compare per block):
+            # seq/qual length mismatch or wrong record markers mean the
+            # 4-line grouping is desynced (truncated/corrupt file) — the
+            # packers index the chunk by seq length, so garbage here would
+            # otherwise become out-of-bounds reads / silent wrong stats.
+            sl = ends[:, 1] - starts[:, 1]
+            ql = ends[:, 3] - starts[:, 3]
+            bad = (sl != ql) | (arr[starts[:, 0]] != 0x40) \
+                | (arr[starts[:, 2]] != 0x2B)  # '@' header, '+' separator
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                raise FastqParseError(
+                    "malformed FASTQ record near byte offset %d of %s: "
+                    "header %r, sequence length %d, quality length %d"
+                    % (self.bytes_consumed + int(starts[i, 0]), self.path,
+                       bytes(chunk[starts[i, 0]:
+                                   min(ends[i, 0], starts[i, 0] + 40)]),
+                       int(sl[i]), int(ql[i]))
+                )
         base = self.bytes_consumed
         self.bytes_consumed += len(chunk) if consumed is None else consumed
         return RecordBlock(chunk, starts, ends, base_offset=base)

@@ -163,6 +163,36 @@ def test_empty_and_truncated_inputs(tmp_path):
     assert b"Number of reads: 1" in (tmp_path / "t.fq.summary.txt").read_bytes()
 
 
+def test_malformed_input_rejected(tmp_path):
+    """Desynced/corrupt records raise a clear parse error instead of
+    feeding out-of-bounds offsets to the packers: seq/qual length mismatch
+    (incl. a truncated final quality line), bad '@' header marker, bad '+'
+    separator.  (The reference parser would silently read garbage here;
+    clean rejection is a deliberate quality-of-implementation deviation.)"""
+    import pytest
+
+    from hpgq.io.fastq import FastqReader
+
+    good = b"@r0\nACGT\n+\nIIII\n"
+    for name, data in (
+        ("qual_short", good + b"@r1\nACGTACGT\n+\nIII\n"),
+        ("qual_trunc_eof", good + b"@r1\nACGT\n+\nII"),
+        ("bad_header", good + b"r1\nACGT\n+\nIIII\n"),
+        ("bad_sep", good + b"@r1\nACGT\n-\nIIII\n"),
+    ):
+        p = tmp_path / (name + ".fq")
+        p.write_bytes(data)
+        with pytest.raises(ValueError, match="malformed FASTQ"):
+            with FastqReader(str(p), batch_size=10) as rd:
+                list(rd)
+
+    # CLI surface: clean reference-style error + exit -1, no traceback
+    from hpgq.cli.main import main
+
+    bad = tmp_path / "qual_short.fq"
+    assert main(["stats", "-f", str(bad), "-o", str(tmp_path)]) == -1
+
+
 def test_crlf_input(tmp_path):
     """CRLF line endings: '\r' is terminator, not content; filter output
     preserves the original CRLF records byte-exactly."""
