@@ -567,12 +567,22 @@ def main():
 
         small = corpus(min(args.reads, 200_000), args.read_len)
         n_small = min(args.reads, 200_000)
+        mode_oracle_fx = {}
+
+        def fresh_oracle(tag):
+            # a machine phase can shift in the minutes between the headline
+            # and a mode line: re-sample the oracle NEXT TO each mode so its
+            # vs_baseline is a like-for-like ratio, not a stale denominator
+            rps, _ = _oracle_pass(opath, args.batch_size)
+            mode_oracle_fx[tag] = round(rps, 1)
+            return rps
+
         if time.perf_counter() - t_all < budget:
             rps, _ = run_filter_mode(small, args.batch_size,
                                      tempfile.mkdtemp(prefix="hpgq_bench_"))
             _emit({"metric": "filter_reads_per_sec", "value": round(rps, 1),
                    "unit": "reads/s",
-                   "vs_baseline": round(rps / oracle_rps, 3)})
+                   "vs_baseline": round(rps / fresh_oracle("filter"), 3)})
         if time.perf_counter() - t_all < budget:
             vpath = os.path.join(BENCH_DIR, "bench_var_%d.fq" % n_small)
             if not os.path.exists(vpath):
@@ -586,7 +596,7 @@ def main():
                                    tempfile.mkdtemp(prefix="hpgq_bench_"))
             _emit({"metric": "edit_reads_per_sec", "value": round(rps, 1),
                    "unit": "reads/s",
-                   "vs_baseline": round(rps / oracle_rps, 3)})
+                   "vs_baseline": round(rps / fresh_oracle("edit"), 3)})
         if time.perf_counter() - t_all < budget:
             # config #5: gzipped input through the same engine pass — the
             # vs line here is gz-engine vs plain-engine (decode overhead;
@@ -615,7 +625,7 @@ def main():
                                      tempfile.mkdtemp(prefix="hpgq_bench_"))
             _emit({"metric": "paired_stats_filter_reads_per_sec",
                    "value": round(rps, 1), "unit": "reads/s",
-                   "vs_baseline": round(rps / oracle_rps, 3)})
+                   "vs_baseline": round(rps / fresh_oracle("paired"), 3)})
         if time.perf_counter() - t_all < budget:
             ocorpus = corpus(5_000, args.read_len)
             cgr_oracle_rps, _ = run_cgr_oracle(ocorpus, 5_000)
@@ -623,6 +633,8 @@ def main():
             _emit({"metric": "cgr_reads_per_sec", "value": round(rps, 1),
                    "unit": "reads/s",
                    "vs_baseline": round(rps / cgr_oracle_rps, 3)})
+        if mode_oracle_fx:
+            _emit({"mode_oracle_reads_per_sec": mode_oracle_fx}, err=True)
         t = mark("modes_filter_edit_gz_cgr", t)
         if time.perf_counter() - t_all < budget:
             sc = run_scaling_subprocess(
