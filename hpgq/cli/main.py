@@ -31,6 +31,7 @@ from ..options import (
     EditOptions,
     FilterOptions,
     OptionsError,
+    PreproOptions,
     StatsOptions,
     display,
     validate_common,
@@ -51,6 +52,7 @@ def usage(exec_name: str) -> str:
         "Command: stats\t\tstatistics summary\n"
         "         filter\t\tfilter a FastQ file by using advanced criteria\n"
         "         edit\t\tedit a FastQ file according the specified options\n"
+        "         prepro\t\tpreprocess a FastQ file (legacy --prep: quality end-trim to .valid)\n"
         "         cgr\t\tchaos-game-representation genomic signature\n"
         "\n"
         "For more information about a certain command, type %s <command> --help\n"
@@ -165,6 +167,13 @@ def _apply_conf(ns: argparse.Namespace, conf: dict):
         "log-file": "log_file",
         "t": "time_on",
         "time": "time_on",
+        # legacy prepro keys (old/README:84-101)
+        "ltrim-nts": "ltrim_nts",
+        "rtrim-nts": "rtrim_nts",
+        "min-quality": "min_quality",
+        "max-quality": "max_quality",
+        "phred-quality": "quality_encoding_name",
+        "min-read-length": "min_read_length",
     }
     for key, val in conf.items():
         attr = mapping.get(key)
@@ -363,6 +372,80 @@ def _main(argv=None) -> int:
                     "\tNum. failed reads : %d (%s)"
                     % (res["num_failed"], res["failed_filename"]),
                 ]
+        _results_banner(lines)
+        if opts.time_on:
+            timers.report()
+    elif command == "prepro":
+        import os
+
+        _add_common(parser, with_encoding=True)
+        parser.add_argument("--phred-quality", dest="quality_encoding_name",
+                            default=None,
+                            help="Legacy alias of --quality-encoding "
+                                 "(33, 64, sanger, solexa)")
+        parser.add_argument("--ltrim-nts", type=int, default=0,
+                            help="Number of left (first) nucleotides to screen")
+        parser.add_argument("--rtrim-nts", type=int, default=0,
+                            help="Number of right (last) nucleotides to screen")
+        parser.add_argument("--min-quality", type=int, default=20,
+                            help="Minimum accepted window quality (clamped to >=10)")
+        parser.add_argument("--max-quality", type=int, default=60,
+                            help="Maximum accepted window quality (clamped to <=70)")
+        parser.add_argument("--min-read-length", type=int, default=50,
+                            help="Used by the trim-length sanity check "
+                                 "(trims must be at most 1/4 of it)")
+        ns = parser.parse_args(rest)
+        opts = _ns_to_opts(ns, PreproOptions)
+        # legacy clamps (old/main_hpg_fastq_old.c:289-305) and 1/4 rule
+        # (old/main_hpg_fastq_old.c:680-690)
+        opts.min_quality = max(ns.min_quality, 10)
+        opts.max_quality = min(ns.max_quality, 70)
+        opts.ltrim_nts, opts.rtrim_nts = ns.ltrim_nts, ns.rtrim_nts
+        if ns.rtrim_nts > ns.min_read_length // 4:
+            raise OptionsError(
+                "--rtrim-nts must be at most 1/4 the value of min_read_length"
+            )
+        if ns.ltrim_nts > ns.min_read_length // 4:
+            raise OptionsError(
+                "--ltrim-nts must be at most 1/4 the value of min_read_length"
+            )
+        qrange = "%d,%d" % (opts.min_quality, opts.max_quality)
+        if ns.ltrim_nts > 0:
+            opts.criteria.left_length = ns.ltrim_nts
+            opts.left_quality_range = qrange
+        if ns.rtrim_nts > 0:
+            opts.criteria.right_length = ns.rtrim_nts
+            opts.right_quality_range = qrange
+        # legacy output contract: one .valid file per input (old/README:78-82)
+        if opts.paired_end:
+            n1 = os.path.basename(opts.in_filename) + ".valid"
+            n2 = os.path.basename(opts.in_filename2) + ".valid"
+            if n1 == n2:  # same basename from different dirs
+                n1, n2 = n1 + "_1", n2 + "_2"
+            opts.out_names = (n1, n2)
+        elif opts.in_filename:
+            opts.out_names = (os.path.basename(opts.in_filename) + ".valid",)
+        validate_common(opts)
+        display(opts)
+        timers = StageTimers()
+        from ..pipeline.run import run_edit as run_prepro
+
+        if getattr(opts, "sharded", False):
+            from ..dist.run_dist import run_edit_sharded as run_prepro  # noqa: F811
+
+        res = run_prepro(opts, timers)
+        lines = ["Num. preprocessed reads : %d" % res["num_edited"]]
+        if opts.paired_end:
+            lines.append("Output files            : %s, %s"
+                         % (res["edit_1"], res["edit_2"]))
+        else:
+            lines.append("Output file             : %s" % res["edit_filename"])
+        if opts.filter_on:
+            lines += [
+                "\nFiltering : Enabled",
+                "\tNum. passed reads : %d" % res["num_passed"],
+                "\tNum. failed reads : %d" % res["num_failed"],
+            ]
         _results_banner(lines)
         if opts.time_on:
             timers.report()

@@ -222,6 +222,29 @@ class FilterOptions(CommandOptions):
 @dataclasses.dataclass
 class EditOptions(CommandOptions):
     command_name: str = "edit"
+    # output filename override: (name,) single-end, (name1, name2) paired.
+    # None = the reference's edit.fq / edit_1.fq+edit_2.fq.  Used by the
+    # legacy `prepro` command to emit <input>.valid files (old/README:76-82).
+    out_names: Optional[tuple] = None
+
+
+@dataclasses.dataclass
+class PreproOptions(EditOptions):
+    """Legacy preprocessing mode (``old/main_hpg_fastq_old.c`` ``--prep``):
+    trim the first ``ltrim_nts`` / last ``rtrim_nts`` nucleotides when the
+    window's mean quality falls outside ``[min_quality, max_quality]``;
+    write ``<input>.valid`` file(s) (``old/README:73-106``).  Internally a
+    pure window-trim edit run — the shared trim kernel implements the
+    semantics."""
+
+    command_name: str = "prepro"
+    ltrim_nts: int = 0
+    rtrim_nts: int = 0
+    # legacy defaults + clamps (old/main_hpg_fastq_old.c:96-97,289-305)
+    min_quality: int = 20
+    max_quality: int = 60
+    # only used for the 1/4-rule trim validation (old/main:680-690)
+    min_read_length: int = 50
 
 
 @dataclasses.dataclass
@@ -293,7 +316,7 @@ def _count_filter_opts(opts: CommandOptions, out) -> int:
     if opts.read_quality_range:
         n += 1
         print("\tRead quality range  : %s" % opts.read_quality_range, file=out)
-    if opts.command_name != "edit":
+    if opts.command_name not in ("edit", "prepro"):
         if c.left_length != NO_VALUE and opts.left_quality_range:
             n += 1
             print("\tLeft length         : %i nucleotides" % c.left_length, file=out)
@@ -323,6 +346,9 @@ def display(opts: CommandOptions, out=None) -> None:
     if opts.command_name == "edit":
         print("", file=out)
         print("Main edit_options", file=out)
+    elif opts.command_name == "prepro":
+        print("", file=out)
+        print("Main prepro_options", file=out)
     else:
         print("\nMain options", file=out)
     if opts.paired_end:
@@ -343,6 +369,19 @@ def display(opts: CommandOptions, out=None) -> None:
         print("\tQuality encoding     : %s" % opts.quality_encoding_name, file=out)
 
     edit_count = 0
+    if opts.command_name == "prepro":
+        print("\nPreprocessing options", file=out)
+        if c.left_length != NO_VALUE:
+            edit_count += 1
+            print("\tLtrim nucleotides        : %i" % c.left_length, file=out)
+        if c.right_length != NO_VALUE:
+            edit_count += 1
+            print("\tRtrim nucleotides        : %i" % c.right_length, file=out)
+        if edit_count == 0:
+            print("\tNone.\n", file=out)
+        else:
+            print("\tQuality range            : %i,%i"
+                  % (opts.min_quality, opts.max_quality), file=out)
     if opts.command_name == "edit":
         print("\nEdit options", file=out)
         if c.left_length != NO_VALUE and opts.left_quality_range:
@@ -372,3 +411,7 @@ def display(opts: CommandOptions, out=None) -> None:
         raise OptionsError("\n\nNothing to filter, no filter options specified !\n")
     if opts.command_name == "edit" and edit_count == 0:
         raise OptionsError("\n\nNothing to edit, no edit options specified !\n")
+    if opts.command_name == "prepro" and edit_count == 0:
+        raise OptionsError(
+            "\n\nNothing to preprocess, use --ltrim-nts and/or --rtrim-nts !\n"
+        )

@@ -798,7 +798,11 @@ def _make_edit_fn(opts: EditOptions, br: int):
 
 
 def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
-    """The `edit` command → edit.fq (+ failed.fq when filtering)."""
+    """The `edit` command → edit.fq (+ failed.fq when filtering).
+
+    Output names are overridable via ``opts.out_names`` — the legacy
+    `prepro` command reuses this pipeline to write ``<input>.valid`` files
+    (``old/README:76-82``)."""
     timers = timers or StageTimers()
     br = _batch_reads(opts)
     efn = _make_edit_fn(opts, br)
@@ -825,7 +829,8 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
                 opts, timers, run_edit,
                 ("num_edited", "num_passed", "num_failed"),
             )
-        edit_path = os.path.join(opts.out_dirname, "edit.fq")
+        names = getattr(opts, "out_names", None) or ("edit.fq",)
+        edit_path = os.path.join(opts.out_dirname, names[0])
         failed_path = os.path.join(opts.out_dirname, "failed.fq")
         out["edit_filename"] = edit_path
         out["failed_filename"] = failed_path if opts.filter_on else None
@@ -868,9 +873,10 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
             opts, timers, run_edit,
             ("num_edited", "num_passed", "num_failed"),
         )
+    names = getattr(opts, "out_names", None) or ("edit_1.fq", "edit_2.fq")
     paths = {
-        "edit_1": os.path.join(opts.out_dirname, "edit_1.fq"),
-        "edit_2": os.path.join(opts.out_dirname, "edit_2.fq"),
+        "edit_1": os.path.join(opts.out_dirname, names[0]),
+        "edit_2": os.path.join(opts.out_dirname, names[1]),
     }
     if opts.filter_on:
         paths["failed_1"] = os.path.join(opts.out_dirname, "failed_1.fq")

@@ -518,3 +518,68 @@ def test_filter_mixed_length_buckets(tmp_path):
         want_pass += int(v)
     assert res["num_passed"] == want_pass
     assert res["num_passed"] + res["num_failed"] == len(recs)
+
+
+def test_cli_prepro_equals_equivalent_edit(tmp_path, capsys):
+    """`prepro` (legacy --prep, old/README:73-106) == an edit run with the
+    same windows, emitted as <input>.valid."""
+    path = _fastq(tmp_path, n=300, min_len=40, max_len=80, seed=61)
+    po, eo = tmp_path / "p", tmp_path / "e"
+    po.mkdir(), eo.mkdir()
+    rc = main(["prepro", "-f", path, "-o", str(po),
+               "--ltrim-nts", "5", "--rtrim-nts", "3",
+               "--min-quality", "27", "--max-quality", "64"])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "Num. preprocessed reads" in stdout
+    assert "in.fq.valid" in stdout
+    rc = main(["edit", "-f", path, "-o", str(eo),
+               "--left-length", "5", "--left-quality-range", "27,64",
+               "--right-length", "3", "--right-quality-range", "27,64"])
+    assert rc == 0
+    assert (po / "in.fq.valid").read_bytes() == (eo / "edit.fq").read_bytes()
+
+
+def test_cli_prepro_paired(tmp_path, capsys):
+    p1 = _fastq(tmp_path, "m1.fq", n=200, min_len=50, max_len=70, seed=62)
+    p2 = _fastq(tmp_path, "m2.fq", n=200, min_len=50, max_len=70, seed=63)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(["prepro", "--fq1", p1, "--fq2", p2, "-o", str(out),
+               "--ltrim-nts", "4"])
+    assert rc == 0
+    v1 = (out / "m1.fq.valid").read_bytes()
+    v2 = (out / "m2.fq.valid").read_bytes()
+    assert v1.count(b"\n") == 800 and v2.count(b"\n") == 800
+    # mate 1 trims match the oracle (quality range = defaults 20,60)
+    crit = FilterCriteria(
+        left_length=4, min_left_quality=20, max_left_quality=60
+    ).substituted()
+    with open(p1, "rb") as f:
+        raw = f.read().split(b"\n")
+    expected = []
+    for i in range(0, len(raw) - 1, 4):
+        name, seq, plus, qual = raw[i : i + 4]
+        lt, rt = spec.trim_lengths(seq, qual, crit)
+        expected.append(name + b"\n" + seq[lt:len(seq) - rt] + b"\n" + plus
+                        + b"\n" + qual[lt:len(qual) - rt] + b"\n")
+    assert v1 == b"".join(expected)
+
+
+def test_cli_prepro_validation(tmp_path, capsys):
+    path = _fastq(tmp_path, n=50, min_len=40, max_len=60, seed=64)
+    out = tmp_path / "o"
+    out.mkdir()
+    # no trim options -> clean exit like edit's "nothing to edit"
+    with pytest.raises(SystemExit):
+        main(["prepro", "-f", path, "-o", str(out)])
+    capsys.readouterr()
+    # 1/4-of-min-read-length rule (old/main_hpg_fastq_old.c:680-690)
+    with pytest.raises(SystemExit):
+        main(["prepro", "-f", path, "-o", str(out), "--ltrim-nts", "20"])
+    capsys.readouterr()
+    # quality clamps (old/main_hpg_fastq_old.c:289-305): 5 -> 10, 99 -> 70
+    rc = main(["prepro", "-f", path, "-o", str(out), "--ltrim-nts", "2",
+               "--min-quality", "5", "--max-quality", "99"])
+    assert rc == 0
+    assert "Quality range            : 10,70" in capsys.readouterr().out
