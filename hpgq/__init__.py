@@ -9,6 +9,8 @@ opencb-hpg/hpg-fastq (reference layout surveyed in SURVEY.md):
   N-count criteria (reference: ``src/filter_fastq.c``).
 * ``edit``   — quality-based 5'/3' trimming with optional post-filter
   (reference: ``src/edit_fastq.c``).
+* ``prepro`` — legacy preprocessing (``--prep``): fixed-width quality
+  end-trim to ``<input>.valid`` files (reference: ``old/README:73-106``).
 * ``cgr``    — chaos-game-representation genomic signatures (reference:
   ``old/chaos_game.c``), PGM images, diff vs. a reference-genome signature.
 * paired-end processing with pair-consistent discard (reference:
@@ -33,7 +35,7 @@ __version__ = "1.1.0"
 def __getattr__(name):
     """Lazy top-level API (`hpgq.stats(...)` etc.) — keeps `import hpgq`
     free of jax initialization until a command is actually used."""
-    if name in ("stats", "filter_reads", "edit", "cgr"):
+    if name in ("stats", "filter_reads", "edit", "prepro", "cgr"):
         from . import api
 
         return getattr(api, name)

@@ -23,7 +23,13 @@ import os
 from typing import Optional, Tuple
 
 from .constants import DEFAULT_CGR_K, NO_VALUE, QUALITY_ENCODINGS
-from .options import CgrOptions, EditOptions, FilterOptions, StatsOptions
+from .options import (
+    CgrOptions,
+    EditOptions,
+    FilterOptions,
+    PreproOptions,
+    StatsOptions,
+)
 
 _Range = Optional[Tuple[Optional[int], Optional[int]]]
 
@@ -150,6 +156,42 @@ def edit(in_path, in_path2=None, outdir=".", *,
     if max_N is not None:
         c.max_N = int(max_N)
     opts.filter_on = bool(filter_after)
+    from .pipeline.run import run_edit
+
+    return run_edit(opts)
+
+
+def prepro(in_path, in_path2=None, outdir=".", *,
+           encoding: str = "phred33", batch_size: int = 10000,
+           ltrim_nts: int = 0, rtrim_nts: int = 0,
+           min_quality: int = 20, max_quality: int = 60,
+           checkpoint: Optional[str] = None):
+    """Legacy preprocessing (the `prepro` command, old/README:73-106): trim
+    the first/last nucleotides when the window's mean quality is outside
+    ``[min_quality, max_quality]``; writes ``<input>.valid`` file(s).
+    Returns the result dict."""
+    opts = _common(PreproOptions(), in_path, in_path2, outdir, encoding,
+                   batch_size, checkpoint, False)
+    opts.min_quality = max(int(min_quality), 10)
+    opts.max_quality = min(int(max_quality), 70)
+    opts.ltrim_nts, opts.rtrim_nts = int(ltrim_nts), int(rtrim_nts)
+    c = opts.criteria
+    if opts.ltrim_nts > 0:
+        c.left_length = opts.ltrim_nts
+        c.min_left_quality, c.max_left_quality = opts.min_quality, opts.max_quality
+    if opts.rtrim_nts > 0:
+        c.right_length = opts.rtrim_nts
+        c.min_right_quality, c.max_right_quality = opts.min_quality, opts.max_quality
+    if c.left_length == NO_VALUE and c.right_length == NO_VALUE:
+        raise ValueError("nothing to preprocess: ltrim_nts/rtrim_nts are 0")
+    if opts.paired_end:
+        n1 = os.path.basename(opts.in_filename) + ".valid"
+        n2 = os.path.basename(opts.in_filename2) + ".valid"
+        if n1 == n2:
+            n1, n2 = n1 + "_1", n2 + "_2"
+        opts.out_names = (n1, n2)
+    else:
+        opts.out_names = (os.path.basename(opts.in_filename) + ".valid",)
     from .pipeline.run import run_edit
 
     return run_edit(opts)

@@ -249,3 +249,20 @@ def test_api_stats_inline_filter_and_sharded(tmp_path):
     assert c.filter_on and c.num_passed + c.num_failed == 600
     c2 = hpgq.stats(fq, outdir=str(tmp_path / "y"), sharded=True)
     assert c2.num_reads == 600
+
+
+def test_api_prepro(tmp_path):
+    from gen import make_fastq
+
+    path = str(tmp_path / "in.fq")
+    make_fastq(path, 120, min_len=40, max_len=60, seed=71)
+    out = tmp_path / "o"
+    out.mkdir()
+    import hpgq
+
+    res = hpgq.prepro(path, outdir=str(out), ltrim_nts=4, min_quality=25,
+                      max_quality=64)
+    valid = out / "in.fq.valid"
+    assert valid.exists()
+    assert res["num_edited"] >= 0
+    assert valid.read_bytes().count(b"\n") == 480
