@@ -441,6 +441,29 @@ def _emit(obj, err=False):
     stream.flush()
 
 
+# best-measured headline, visible to the __main__ crash guard: a tunnel
+# death (e.g. JaxRuntimeError FailedPrecondition mid-run) must still yield
+# a parseable final metric line on stdout
+_STATE = {"headline": None}
+
+
+class _guard:
+    """Per-mode exception fence: one failing bench mode logs to stderr and
+    lets the remaining modes (and the headline) proceed."""
+
+    def __init__(self, tag):
+        self.tag = tag
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if ev is None or isinstance(ev, (KeyboardInterrupt, SystemExit)):
+            return False
+        _emit({"mode_error": self.tag, "error": repr(ev)[:300]}, err=True)
+        return True
+
+
 def run_scaling_subprocess(reads: int, timeout_s: float):
     """bench_scaling.py on an emulated 8-device CPU mesh in a fresh process
     (backend choice is process-global); forwards its metric line."""
@@ -501,7 +524,7 @@ def main():
         # headline if computed, else the per-phase timings for forensics
         import signal
 
-        state = {"headline": None}
+        state = _STATE
 
         def _bail(sig, frame):
             _emit({"bench_phase_seconds": phase_s, "truncated_by": sig},
@@ -540,7 +563,9 @@ def main():
             "vs_baseline": round(engine_rps / oracle_rps, 3),
         }
         state["headline"] = headline
-        bd = stage_breakdown(path, br)
+        bd = {}
+        with _guard("breakdown"):
+            bd = stage_breakdown(path, br)
         t = mark("breakdown", t)
         # the end-to-end number is tunnel-bound in this environment: show
         # how close the engine runs to the host->device ceiling, and what
@@ -578,69 +603,77 @@ def main():
             return rps
 
         if time.perf_counter() - t_all < budget:
-            rps, _ = run_filter_mode(small, args.batch_size,
-                                     tempfile.mkdtemp(prefix="hpgq_bench_"))
-            _emit({"metric": "filter_reads_per_sec", "value": round(rps, 1),
-                   "unit": "reads/s",
-                   "vs_baseline": round(rps / fresh_oracle("filter"), 3)})
+            with _guard("filter"):
+                rps, _ = run_filter_mode(small, args.batch_size,
+                                         tempfile.mkdtemp(prefix="hpgq_bench_"))
+                _emit({"metric": "filter_reads_per_sec", "value": round(rps, 1),
+                       "unit": "reads/s",
+                       "vs_baseline": round(rps / fresh_oracle("filter"), 3)})
         if time.perf_counter() - t_all < budget:
-            vpath = os.path.join(BENCH_DIR, "bench_var_%d.fq" % n_small)
-            if not os.path.exists(vpath):
-                sys.path.insert(0, os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "tests"))
-                from gen import make_fastq
+            with _guard("edit"):
+                vpath = os.path.join(BENCH_DIR, "bench_var_%d.fq" % n_small)
+                if not os.path.exists(vpath):
+                    sys.path.insert(0, os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), "tests"))
+                    from gen import make_fastq
 
-                make_fastq(vpath, n_small, min_len=60, max_len=160,
-                           n_prob=0.005, seed=11)
-            rps, _ = run_edit_mode(vpath, args.batch_size,
-                                   tempfile.mkdtemp(prefix="hpgq_bench_"))
-            _emit({"metric": "edit_reads_per_sec", "value": round(rps, 1),
-                   "unit": "reads/s",
-                   "vs_baseline": round(rps / fresh_oracle("edit"), 3)})
+                    make_fastq(vpath, n_small, min_len=60, max_len=160,
+                               n_prob=0.005, seed=11)
+                rps, _ = run_edit_mode(vpath, args.batch_size,
+                                       tempfile.mkdtemp(prefix="hpgq_bench_"))
+                _emit({"metric": "edit_reads_per_sec", "value": round(rps, 1),
+                       "unit": "reads/s",
+                       "vs_baseline": round(rps / fresh_oracle("edit"), 3)})
         if time.perf_counter() - t_all < budget:
-            # config #5: gzipped input through the same engine pass — the
-            # vs line here is gz-engine vs plain-engine (decode overhead;
-            # ~1 means inflate is fully hidden by the readahead thread)
-            rps, _ = run_engine(gz_corpus(path), args.batch_size, br,
-                                passes=2, read_len=args.read_len)
-            _emit({"metric": "stats_gz_reads_per_sec", "value": round(rps, 1),
-                   "unit": "reads/s",
-                   "vs_baseline": round(rps / max(engine_rps, 1e-9), 3)})
+            with _guard("gz"):
+                # config #5: gzipped input through the same engine pass — the
+                # vs line here is gz-engine vs plain-engine (decode overhead;
+                # ~1 means inflate is fully hidden by the readahead thread)
+                rps, _ = run_engine(gz_corpus(path), args.batch_size, br,
+                                    passes=2, read_len=args.read_len)
+                _emit({"metric": "stats_gz_reads_per_sec", "value": round(rps, 1),
+                       "unit": "reads/s",
+                       "vs_baseline": round(rps / max(engine_rps, 1e-9), 3)})
         if time.perf_counter() - t_all < budget:
-            rps, _ = run_engine(bgzf_corpus(path), args.batch_size, br,
-                                passes=2, read_len=args.read_len)
-            _emit({"metric": "stats_bgzf_reads_per_sec",
-                   "value": round(rps, 1), "unit": "reads/s",
-                   "vs_baseline": round(rps / max(engine_rps, 1e-9), 3)})
+            with _guard("bgzf"):
+                rps, _ = run_engine(bgzf_corpus(path), args.batch_size, br,
+                                    passes=2, read_len=args.read_len)
+                _emit({"metric": "stats_bgzf_reads_per_sec",
+                       "value": round(rps, 1), "unit": "reads/s",
+                       "vs_baseline": round(rps / max(engine_rps, 1e-9), 3)})
         if time.perf_counter() - t_all < budget:
-            mate2 = os.path.join(BENCH_DIR, "bench_mate2_%d.fq" % n_small)
-            if not os.path.exists(mate2):
-                sys.path.insert(0, os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "tests"))
-                from gen import make_fastq
+            with _guard("paired"):
+                mate2 = os.path.join(BENCH_DIR, "bench_mate2_%d.fq" % n_small)
+                if not os.path.exists(mate2):
+                    sys.path.insert(0, os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), "tests"))
+                    from gen import make_fastq
 
-                make_fastq(mate2, n_small, min_len=args.read_len,
-                           max_len=args.read_len, n_prob=0.005, seed=13)
-            rps, _ = run_paired_mode(small, mate2, args.batch_size,
-                                     tempfile.mkdtemp(prefix="hpgq_bench_"))
-            _emit({"metric": "paired_stats_filter_reads_per_sec",
-                   "value": round(rps, 1), "unit": "reads/s",
-                   "vs_baseline": round(rps / fresh_oracle("paired"), 3)})
+                    make_fastq(mate2, n_small, min_len=args.read_len,
+                               max_len=args.read_len, n_prob=0.005, seed=13)
+                rps, _ = run_paired_mode(small, mate2, args.batch_size,
+                                         tempfile.mkdtemp(prefix="hpgq_bench_"))
+                _emit({"metric": "paired_stats_filter_reads_per_sec",
+                       "value": round(rps, 1), "unit": "reads/s",
+                       "vs_baseline": round(rps / fresh_oracle("paired"), 3)})
         if time.perf_counter() - t_all < budget:
-            ocorpus = corpus(5_000, args.read_len)
-            cgr_oracle_rps, _ = run_cgr_oracle(ocorpus, 5_000)
-            rps, _ = run_cgr_mode(small, args.batch_size, n_small)
-            _emit({"metric": "cgr_reads_per_sec", "value": round(rps, 1),
-                   "unit": "reads/s",
-                   "vs_baseline": round(rps / cgr_oracle_rps, 3)})
+            with _guard("cgr"):
+                ocorpus = corpus(5_000, args.read_len)
+                cgr_oracle_rps, _ = run_cgr_oracle(ocorpus, 5_000)
+                rps, _ = run_cgr_mode(small, args.batch_size, n_small)
+                _emit({"metric": "cgr_reads_per_sec", "value": round(rps, 1),
+                       "unit": "reads/s",
+                       "vs_baseline": round(rps / cgr_oracle_rps, 3)})
         if mode_oracle_fx:
             _emit({"mode_oracle_reads_per_sec": mode_oracle_fx}, err=True)
         t = mark("modes_filter_edit_gz_cgr", t)
         if time.perf_counter() - t_all < budget:
-            sc = run_scaling_subprocess(
-                100_000, timeout_s=max(60.0, budget - (time.perf_counter() - t_all)))
-            if sc:
-                _emit(sc)
+            with _guard("scaling"):
+                sc = run_scaling_subprocess(
+                    100_000,
+                    timeout_s=max(60.0, budget - (time.perf_counter() - t_all)))
+                if sc:
+                    _emit(sc)
         mark("scaling", t)
         signal.alarm(0)
         _emit({"bench_phase_seconds": phase_s}, err=True)
@@ -691,4 +724,16 @@ def _platform() -> str:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # incl. tunnel/device runtime errors
+        _emit({"bench_error": repr(e)[:400]}, err=True)
+        if _STATE["headline"] is not None:
+            _emit(_STATE["headline"])
+        else:
+            _emit({"metric": "stats_filter_reads_per_sec", "value": 0.0,
+                   "unit": "reads/s", "vs_baseline": 0.0,
+                   "error": "bench aborted before any headline round"})
+        sys.stdout.flush()
