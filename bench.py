@@ -195,8 +195,10 @@ def run_headline_interleaved(path, opath, batch_size, batch_reads,
     minute timescales (see PERF.md): measuring the oracle in one phase and
     the engine in another makes vs_baseline phase luck.  Alternating
     O,E,O,E,... samples both sides across the same phases; the reported
-    ratio is best-engine / best-oracle over those like-for-like samples.
-    Returns (engine_best, oracle_best, engine_reads, per-round forensics).
+    ratio is the best SAME-ROUND engine/oracle pair (adjacent seconds, so
+    both saw the same machine phase — max(e)/max(o) across different
+    rounds would re-mix phases).  Per-round ratios + median go to stderr.
+    Returns (engine_best, matched_oracle, engine_reads, forensics).
     """
     one_pass = _engine_pass_factory(path, batch_size, batch_reads)
     t_start = time.perf_counter()
@@ -207,6 +209,7 @@ def run_headline_interleaved(path, opath, batch_size, batch_reads,
     # warms the oracle corpus' page cache via the first oracle round.
     one_pass(corpus_override=corpus(50_000, read_len))
     e_best = o_best = 0.0
+    best_ratio = -1.0
     e_total = 0
     last_round = 0.0
     forensics = []
@@ -221,11 +224,14 @@ def run_headline_interleaved(path, opath, batch_size, batch_reads,
         t2 = time.perf_counter()
         e_rps = n / (t2 - t1)
         e_total = n
-        o_best = max(o_best, o_rps)
-        e_best = max(e_best, e_rps)
+        ratio = e_rps / max(o_rps, 1e-9)
+        if ratio > best_ratio:
+            # best phase-matched pair: this round's engine AND oracle
+            best_ratio, e_best, o_best = ratio, e_rps, o_rps
         last_round = t2 - t0
         forensics.append({"round": i, "oracle_rps": round(o_rps, 1),
                           "engine_rps": round(e_rps, 1),
+                          "ratio": round(ratio, 3),
                           "oracle_s": round(t1 - t0, 3),
                           "engine_s": round(t2 - t1, 3)})
         if on_round is not None:
@@ -575,8 +581,10 @@ def main():
             bd["engine_vs_h2d_ceiling"] = round(
                 engine_rps / bd["h2d_reads_per_sec"], 3
             )
+        ratios = sorted(r["ratio"] for r in rounds_fx) or [0.0]
         _emit({"breakdown": bd,
                "headline_rounds": rounds_fx,
+               "ratio_median": ratios[len(ratios) // 2],
                "oracle_reads_per_sec": round(oracle_rps, 1),
                "engine_reads": total, "read_len": args.read_len,
                "bench_phase_seconds": phase_s,
