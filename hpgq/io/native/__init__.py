@@ -106,6 +106,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
             ctypes.c_int,
         ]
+        lib.hpgq_pack_qnwire.restype = None
+        lib.hpgq_pack_qnwire.argtypes = [
+            u8p, i64p, i64p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -229,6 +235,30 @@ def pack_bitwire(buf, seq_starts, q_starts, lens, L: int, nrows: int,
 
     arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     lib.hpgq_pack_bitwire(
+        arr,
+        np.ascontiguousarray(seq_starts, dtype=np.int64),
+        np.ascontiguousarray(q_starts, dtype=np.int64),
+        np.ascontiguousarray(lens, dtype=np.int32),
+        n, L, nrows, BASE_LUT, out.reshape(-1), num_threads,
+    )
+    return out
+
+
+def pack_qnwire(buf, seq_starts, q_starts, lens, L: int, nrows: int,
+                num_threads: int = 0) -> np.ndarray:
+    """qn8 wire buffer uint8 [nrows, L + 8]: per base (qual & 0x7F) |
+    (is_N << 7), then len_le32|valid|pad3 — the minimal wire for the
+    filter/edit verdict+trim kernels (see hpgq_pack_qnwire /
+    stats_jnp.wire_unqn8)."""
+    lib = get_lib()
+    n = len(lens)
+    out = np.empty((nrows, L + 8), dtype=np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    from ..packer import BASE_LUT
+
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    lib.hpgq_pack_qnwire(
         arr,
         np.ascontiguousarray(seq_starts, dtype=np.int64),
         np.ascontiguousarray(q_starts, dtype=np.int64),

@@ -108,6 +108,44 @@ def wire_bitpack_np(codes, quals, lens, valid) -> np.ndarray:
     return row
 
 
+def wire_qn8_np(codes, quals, lens, valid) -> np.ndarray:
+    """Numpy reference of the qn8 wire: rows
+    [(qual & 0x7F | is_N << 7) x L | len_le32 | valid | pad3]
+    (see hpgq_pack_qnwire).  ASCII quality never exceeds 126, so bit 7
+    carries the is-N flag — all the filter/edit verdict+trim kernels need
+    from the sequence.  Differential oracle for the native packer."""
+    B, L = np.asarray(quals).shape
+    c = np.asarray(codes, dtype=np.uint8)
+    q = np.asarray(quals, dtype=np.uint8)
+    body = (q & 0x7F) | ((c == 4).astype(np.uint8) << 7)
+    body = np.where(np.asarray(valid)[:, None], body, np.uint8(0))
+    lens_b = np.where(np.asarray(valid), np.asarray(lens), 0).astype(
+        "<i4").view(np.uint8).reshape(B, 4)
+    v = np.asarray(valid, dtype=np.uint8).reshape(B, 1)
+    return np.concatenate(
+        [body, lens_b, v, np.zeros((B, 3), dtype=np.uint8)], axis=1
+    )
+
+
+def pack_block_qnwire(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
+    """Pack a RecordBlock straight into the qn8 wire buffer
+    (uint8 ``[nrows, L + 8]``) — the minimal H2D layout for verdict/trim
+    calls (filter/edit), ~40% fewer bytes than bitpack.  Native single
+    pass; numpy fallback is the differential oracle."""
+    n = block.num_reads
+    L = int(max_len)
+    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    from . import native
+
+    if n and native.available():
+        return native.pack_qnwire(
+            block.arr, block.starts[:, 1], block.starts[:, 3],
+            block.seq_lens, L, nrows, num_threads=_NUM_THREADS,
+        )
+    return wire_qn8_np(*pack_block(block, max_len=L, pad_reads_to=nrows))
+
+
 def zero_wire_sel(buf: np.ndarray, sel) -> np.ndarray:
     """Drop deselected reads from a packed wire buffer in place by zeroing
     each row's tail valid byte (offset W-4 in both bitpack and fused4 rows)
@@ -121,10 +159,12 @@ def zero_wire_sel(buf: np.ndarray, sel) -> np.ndarray:
 
 def pack_block_wire(block, wire: str, max_len: int,
                     pad_reads_to: int = 0) -> np.ndarray:
-    """Pack a RecordBlock into the named wire format ('bitpack' | 'fused4')
-    — the one dispatch point for every wire-format consumer (engine feed,
-    verdict/trim calls, CGR, sharded sessions)."""
-    pack = pack_block_bitwire if wire == "bitpack" else pack_block_fused
+    """Pack a RecordBlock into the named wire format
+    ('bitpack' | 'fused4' | 'qn8') — the one dispatch point for every
+    wire-format consumer (engine feed, verdict/trim calls, CGR, sharded
+    sessions)."""
+    pack = {"bitpack": pack_block_bitwire, "fused4": pack_block_fused,
+            "qn8": pack_block_qnwire}[wire]
     return pack(block, max_len, pad_reads_to=pad_reads_to)
 
 

@@ -445,6 +445,31 @@ def bitwire_logical_len(row_width: int) -> int:
     return (row_width - 8) * 8 // 10
 
 
+def qnwire_logical_len(W: int) -> int:
+    """Logical L from a qn8 wire row width (W = L + 8)."""
+    return W - 8
+
+
+def wire_unqn8(buf):
+    """Device-side decoder of the qn8 wire (see
+    ``hpgq.io.packer.pack_block_qnwire``) -> (codes, quals, lens, valid).
+
+    Row layout (W = L + 8): one byte per base = (qual & 0x7F) | (is_N << 7),
+    then len_le32|valid|pad3.  The synthesized codes tensor is 4 (BASE_N)
+    where the flag is set and 0 elsewhere — sufficient for the verdict/trim
+    kernels, whose only sequence-derived quantity is the N count
+    (``read_reductions``; GC is unused on those paths)."""
+    B, W = buf.shape
+    L = qnwire_logical_len(W)
+    body = buf[:, :L]
+    quals = body & 0x7F
+    codes = ((body >> 7) << 2).astype(jnp.int8)  # 0 | BASE_N(4)
+    lb = buf[:, L : L + 4].astype(jnp.int32)
+    lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+    valid = buf[:, L + 4] != 0
+    return codes, quals, lens, valid
+
+
 def wire_unbits(buf):
     """Device-side decoder of the bitpack wire (see
     ``hpgq.io.packer.pack_block_bitwire``) -> (codes, quals, lens, valid).

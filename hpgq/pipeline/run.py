@@ -623,6 +623,7 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
         lambda: (lambda c, q, l, v: stats_jnp.verdicts(c, q, l, crit, phred) & v),
         br,
         cache_key=("verdict", _crit_key(crit), phred, br),
+        qn_ok=True,
     )
     out = {"num_passed": 0, "num_failed": 0}
 
@@ -794,6 +795,7 @@ def _make_edit_fn(opts: EditOptions, br: int):
     return ShapeCachedFn(
         build, br,
         cache_key=("edit", _crit_key(crit), phred, filter_on, br),
+        qn_ok=True,
     )
 
 

@@ -212,12 +212,19 @@ class ShapeCachedFn:
     is packed host-side into the single wire buffer and decoded on device,
     so filter/edit/paired-stats verdict+trim calls ship the same minimal
     bytes per read as the stats engine (H2D is the pipeline ceiling on
-    tunneled/remote links — see bench.py's breakdown)."""
+    tunneled/remote links — see bench.py's breakdown).
 
-    def __init__(self, build_fn, batch_reads: int, cache_key=None):
+    ``qn_ok=True`` (filter/edit verdict+trim fns) upgrades an active wire
+    to the even smaller qn8 layout (1 byte/base vs bitpack's 10 bits/base):
+    those kernels read only quality, length, and the per-base is-N flag —
+    never the base identity (``stats_jnp.wire_unqn8``)."""
+
+    def __init__(self, build_fn, batch_reads: int, cache_key=None,
+                 qn_ok: bool = False):
         self._build = build_fn
         self._cache = {}
         self._key = cache_key
+        self._qn = qn_ok
         self.batch_reads = batch_reads
 
     def _fn_for(self, shape, wire, wrap):
@@ -241,11 +248,18 @@ class ShapeCachedFn:
         wire = resolve_wire()
         if wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
-            from ..kernels.stats_jnp import wire_unbits, wire_unfuse
+            from ..kernels.stats_jnp import (
+                wire_unbits,
+                wire_unfuse,
+                wire_unqn8,
+            )
 
+            if self._qn:
+                wire, unf = "qn8", wire_unqn8
+            else:
+                unf = wire_unbits if wire == "bitpack" else wire_unfuse
             buf = pack_block_wire(block, wire, lmax,
                                   pad_reads_to=self.batch_reads)
-            unf = wire_unbits if wire == "bitpack" else wire_unfuse
             wrap = lambda inner: (lambda b: inner(*unf(b)))  # noqa: E731
             out = self._fn_for(buf.shape, wire, wrap)(buf)
         else:

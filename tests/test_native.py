@@ -128,3 +128,46 @@ def test_find_newlines_mt_paths():
     got = native.find_newlines(dense)
     assert got.shape[0] == dense.shape[0]
     np.testing.assert_array_equal(got, np.arange(dense.shape[0]))
+
+
+@pytest.mark.parametrize("varlen", [False, True])
+def test_pack_block_qnwire_matches_numpy(tmp_path, varlen):
+    """Native single-pass qn8 wire == numpy pack + wire_qn8_np (byte-exact):
+    qual|isN<<7 bytes, len/valid tail, row padding."""
+    from hpgq.io.packer import pack_block_qnwire, wire_qn8_np
+
+    path = tmp_path / "r.fq"
+    kw = dict(min_len=41, max_len=151) if varlen else dict(min_len=90, max_len=90)
+    make_fastq(str(path), 3000, n_prob=0.03, lowercase_prob=0.1, seed=9, **kw)
+    with FastqReader(str(path), batch_size=1024) as rd:
+        for block in rd:
+            for L, pr in ((256, 0), (256, 4096), (128, 2048)):
+                got = pack_block_qnwire(block, L, pad_reads_to=pr)
+                want = wire_qn8_np(*_np_pack(block, max_len=L, pad_reads_to=pr))
+                np.testing.assert_array_equal(got, want)
+
+
+def test_wire_unqn8_roundtrip(tmp_path):
+    """qn8 wire decode recovers quals/lens/valid and an is-N codes tensor
+    that agrees with the packed codes' N positions."""
+    import jax.numpy as jnp  # noqa: F401
+    from hpgq.io.packer import pack_block, pack_block_qnwire
+    from hpgq.kernels.stats_jnp import wire_unqn8
+
+    path = tmp_path / "r.fq"
+    make_fastq(str(path), 700, min_len=30, max_len=140, n_prob=0.05, seed=10)
+    with FastqReader(str(path), batch_size=512) as rd:
+        for block in rd:
+            buf = pack_block_qnwire(block, 256, pad_reads_to=1024)
+            codes, quals, lens, valid = pack_block(block, max_len=256,
+                                                   pad_reads_to=1024)
+            dc, dq, dl, dv = (np.asarray(x) for x in wire_unqn8(buf))
+            np.testing.assert_array_equal(dl, np.where(valid, lens, 0))
+            np.testing.assert_array_equal(dv, valid)
+            # quals match inside each read's length
+            pos = np.arange(256)[None, :]
+            mask = (pos < dl[:, None])
+            np.testing.assert_array_equal(
+                np.where(mask, dq, 0), np.where(mask, quals & 0x7F, 0))
+            np.testing.assert_array_equal(
+                np.where(mask, dc, 0), np.where(mask, (codes == 4) * 4, 0))

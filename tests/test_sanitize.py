@@ -41,6 +41,15 @@ int64_t hpgq_concat_spans(const uint8_t*, const int64_t*, const int64_t*,
                           int64_t, uint8_t*);
 int64_t hpgq_find_newlines_mt(const uint8_t*, int64_t, int64_t*, int64_t,
                               int);
+void hpgq_pack_bitwire(const uint8_t*, const int64_t*, const int64_t*,
+                       const int32_t*, int64_t, int64_t, int64_t,
+                       const int8_t*, uint8_t*, int);
+void hpgq_pack_fused(const uint8_t*, const int64_t*, const int64_t*,
+                     const int32_t*, int64_t, int64_t, int64_t,
+                     const int8_t*, uint8_t*, int);
+void hpgq_pack_qnwire(const uint8_t*, const int64_t*, const int64_t*,
+                      const int32_t*, int64_t, int64_t, int64_t,
+                      const int8_t*, uint8_t*, int);
 }
 
 int main() {
@@ -99,6 +108,20 @@ int main() {
     std::vector<uint8_t> q2(n * lm2);
     hpgq_pack(buf.data(), seq_starts.data(), q_starts.data(), lens.data(),
               n, lm2, lut, c2.data(), q2.data(), 4);
+
+    // wire packers (bitpack / fused4 / qn8), incl. padded rows + clipping
+    for (int64_t L : {64LL, 256LL}) {
+        int64_t rows = n + 32;
+        std::vector<uint8_t> wb(rows * (3 * L / 8 + 7 * L / 8 + 8));
+        hpgq_pack_bitwire(buf.data(), seq_starts.data(), q_starts.data(),
+                          lens.data(), n, L, rows, lut, wb.data(), 4);
+        std::vector<uint8_t> wf(rows * (L / 2 + L + 8));
+        hpgq_pack_fused(buf.data(), seq_starts.data(), q_starts.data(),
+                        lens.data(), n, L, rows, lut, wf.data(), 4);
+        std::vector<uint8_t> wq(rows * (L + 8));
+        hpgq_pack_qnwire(buf.data(), seq_starts.data(), q_starts.data(),
+                         lens.data(), n, L, rows, lut, wq.data(), 4);
+    }
 
     std::vector<int64_t> ss, ee;
     int64_t total = 0;
