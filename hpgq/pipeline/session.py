@@ -254,7 +254,9 @@ class ShapeCachedFn:
                 wire_unqn8,
             )
 
-            if self._qn:
+            import os
+
+            if self._qn and os.environ.get("HPGQ_QN_WIRE", "1") != "0":
                 wire, unf = "qn8", wire_unqn8
             else:
                 unf = wire_unbits if wire == "bitpack" else wire_unfuse
