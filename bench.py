@@ -605,8 +605,15 @@ def main():
         def fresh_oracle(tag):
             # a machine phase can shift in the minutes between the headline
             # and a mode line: re-sample the oracle NEXT TO each mode so its
-            # vs_baseline is a like-for-like ratio, not a stale denominator
-            rps, _ = _oracle_pass(opath, args.batch_size)
+            # vs_baseline is a like-for-like ratio, not a stale denominator.
+            # An oracle failure must not lose the already-measured engine
+            # number -> fall back to the headline-phase oracle.
+            try:
+                rps, _ = _oracle_pass(opath, args.batch_size)
+            except Exception as e:
+                _emit({"mode_error": tag + "-oracle", "error": repr(e)[:300]},
+                      err=True)
+                return max(oracle_rps, 1e-9)
             mode_oracle_fx[tag] = round(rps, 1)
             return rps
 

@@ -172,26 +172,12 @@ def prepro(in_path, in_path2=None, outdir=".", *,
     Returns the result dict."""
     opts = _common(PreproOptions(), in_path, in_path2, outdir, encoding,
                    batch_size, checkpoint, False)
-    opts.min_quality = max(int(min_quality), 10)
-    opts.max_quality = min(int(max_quality), 70)
+    opts.min_quality, opts.max_quality = int(min_quality), int(max_quality)
     opts.ltrim_nts, opts.rtrim_nts = int(ltrim_nts), int(rtrim_nts)
-    c = opts.criteria
-    if opts.ltrim_nts > 0:
-        c.left_length = opts.ltrim_nts
-        c.min_left_quality, c.max_left_quality = opts.min_quality, opts.max_quality
-    if opts.rtrim_nts > 0:
-        c.right_length = opts.rtrim_nts
-        c.min_right_quality, c.max_right_quality = opts.min_quality, opts.max_quality
-    if c.left_length == NO_VALUE and c.right_length == NO_VALUE:
+    if opts.ltrim_nts <= 0 and opts.rtrim_nts <= 0:
         raise ValueError("nothing to preprocess: ltrim_nts/rtrim_nts are 0")
-    if opts.paired_end:
-        n1 = os.path.basename(opts.in_filename) + ".valid"
-        n2 = os.path.basename(opts.in_filename2) + ".valid"
-        if n1 == n2:
-            n1, n2 = n1 + "_1", n2 + "_2"
-        opts.out_names = (n1, n2)
-    else:
-        opts.out_names = (os.path.basename(opts.in_filename) + ".valid",)
+    # shared prepro wiring: clamps + trim windows + .valid naming
+    opts.apply_trim_windows()
     from .pipeline.run import run_edit
 
     return run_edit(opts)

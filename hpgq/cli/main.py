@@ -376,8 +376,6 @@ def _main(argv=None) -> int:
         if opts.time_on:
             timers.report()
     elif command == "prepro":
-        import os
-
         _add_common(parser, with_encoding=True)
         parser.add_argument("--phred-quality", dest="quality_encoding_name",
                             default=None,
@@ -396,11 +394,10 @@ def _main(argv=None) -> int:
                                  "(trims must be at most 1/4 of it)")
         ns = parser.parse_args(rest)
         opts = _ns_to_opts(ns, PreproOptions)
-        # legacy clamps (old/main_hpg_fastq_old.c:289-305) and 1/4 rule
-        # (old/main_hpg_fastq_old.c:680-690)
-        opts.min_quality = max(ns.min_quality, 10)
-        opts.max_quality = min(ns.max_quality, 70)
+        opts.min_quality, opts.max_quality = ns.min_quality, ns.max_quality
         opts.ltrim_nts, opts.rtrim_nts = ns.ltrim_nts, ns.rtrim_nts
+        # 1/4 rule (old/main_hpg_fastq_old.c:680-690) — CLI-only, like the
+        # legacy getopt validation
         if ns.rtrim_nts > ns.min_read_length // 4:
             raise OptionsError(
                 "--rtrim-nts must be at most 1/4 the value of min_read_length"
@@ -409,22 +406,8 @@ def _main(argv=None) -> int:
             raise OptionsError(
                 "--ltrim-nts must be at most 1/4 the value of min_read_length"
             )
-        qrange = "%d,%d" % (opts.min_quality, opts.max_quality)
-        if ns.ltrim_nts > 0:
-            opts.criteria.left_length = ns.ltrim_nts
-            opts.left_quality_range = qrange
-        if ns.rtrim_nts > 0:
-            opts.criteria.right_length = ns.rtrim_nts
-            opts.right_quality_range = qrange
-        # legacy output contract: one .valid file per input (old/README:78-82)
-        if opts.paired_end:
-            n1 = os.path.basename(opts.in_filename) + ".valid"
-            n2 = os.path.basename(opts.in_filename2) + ".valid"
-            if n1 == n2:  # same basename from different dirs
-                n1, n2 = n1 + "_1", n2 + "_2"
-            opts.out_names = (n1, n2)
-        elif opts.in_filename:
-            opts.out_names = (os.path.basename(opts.in_filename) + ".valid",)
+        # shared prepro wiring: clamps + trim windows + .valid naming
+        opts.apply_trim_windows()
         validate_common(opts)
         display(opts)
         timers = StageTimers()

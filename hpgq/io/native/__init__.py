@@ -68,52 +68,74 @@ def get_lib():
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 _build()
             lib = ctypes.CDLL(_SO)
-        except Exception as e:  # no compiler / load failure -> numpy fallback
+            lib.hpgq_abi_version.restype = ctypes.c_int
+            if lib.hpgq_abi_version() != _ABI:
+                # a stale .so can out-date the mtime check (copied build
+                # dirs, timestamp-preserving extraction): rebuild once, and
+                # fall back to numpy rather than crash if still mismatched
+                _build()
+                lib = ctypes.CDLL(_SO)
+                lib.hpgq_abi_version.restype = ctypes.c_int
+                if lib.hpgq_abi_version() != _ABI:
+                    raise RuntimeError(
+                        "native packer ABI %d != expected %d"
+                        % (lib.hpgq_abi_version(), _ABI)
+                    )
+            _bind(lib)
+        except Exception as e:  # no compiler / load / symbol failure
             log.info("native packer unavailable (%s); using numpy packer", e)
             return None
-        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        lib.hpgq_find_newlines.restype = ctypes.c_int64
-        lib.hpgq_find_newlines.argtypes = [
-            u8p, ctypes.c_int64, i64p, ctypes.c_int64,
-        ]
-        lib.hpgq_pack.restype = None
-        lib.hpgq_pack.argtypes = [
-            u8p, i64p, i64p, i32p,
-            ctypes.c_int64, ctypes.c_int64, i8p, i8p, u8p, ctypes.c_int,
-        ]
-        lib.hpgq_line_table.restype = None
-        lib.hpgq_line_table.argtypes = [i64p, ctypes.c_int64, i64p, i64p]
-        lib.hpgq_concat_spans.restype = ctypes.c_int64
-        lib.hpgq_concat_spans.argtypes = [
-            u8p, i64p, i64p, ctypes.c_int64, u8p,
-        ]
-        lib.hpgq_find_newlines_mt.restype = ctypes.c_int64
-        lib.hpgq_find_newlines_mt.argtypes = [
-            u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int,
-        ]
-        lib.hpgq_pack_fused.restype = None
-        lib.hpgq_pack_fused.argtypes = [
-            u8p, i64p, i64p, i32p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
-            ctypes.c_int,
-        ]
-        lib.hpgq_pack_bitwire.restype = None
-        lib.hpgq_pack_bitwire.argtypes = [
-            u8p, i64p, i64p, i32p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
-            ctypes.c_int,
-        ]
-        lib.hpgq_pack_qnwire.restype = None
-        lib.hpgq_pack_qnwire.argtypes = [
-            u8p, i64p, i64p, i32p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
-            ctypes.c_int,
-        ]
         _lib = lib
         return _lib
+
+
+_ABI = 4  # must match hpgq_abi_version() in packer.cpp
+
+
+def _bind(lib):
+    """Declare restype/argtypes for every exported symbol (an AttributeError
+    here means a stale library and routes to the numpy fallback)."""
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.hpgq_find_newlines.restype = ctypes.c_int64
+    lib.hpgq_find_newlines.argtypes = [
+        u8p, ctypes.c_int64, i64p, ctypes.c_int64,
+    ]
+    lib.hpgq_pack.restype = None
+    lib.hpgq_pack.argtypes = [
+        u8p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, i8p, i8p, u8p, ctypes.c_int,
+    ]
+    lib.hpgq_line_table.restype = None
+    lib.hpgq_line_table.argtypes = [i64p, ctypes.c_int64, i64p, i64p]
+    lib.hpgq_concat_spans.restype = ctypes.c_int64
+    lib.hpgq_concat_spans.argtypes = [
+        u8p, i64p, i64p, ctypes.c_int64, u8p,
+    ]
+    lib.hpgq_find_newlines_mt.restype = ctypes.c_int64
+    lib.hpgq_find_newlines_mt.argtypes = [
+        u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.hpgq_pack_fused.restype = None
+    lib.hpgq_pack_fused.argtypes = [
+        u8p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
+        ctypes.c_int,
+    ]
+    lib.hpgq_pack_bitwire.restype = None
+    lib.hpgq_pack_bitwire.argtypes = [
+        u8p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
+        ctypes.c_int,
+    ]
+    lib.hpgq_pack_qnwire.restype = None
+    lib.hpgq_pack_qnwire.argtypes = [
+        u8p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
+        ctypes.c_int,
+    ]
 
 
 def available() -> bool:

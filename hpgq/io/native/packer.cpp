@@ -249,15 +249,12 @@ void hpgq_pack_bitwire(const uint8_t* buf, const int64_t* seq_starts,
     }
 }
 
-// Concatenate byte spans buf[starts[i]:ends[i]) into out.  Returns total
-// bytes written.  The filter/edit writers express whole records (and
-// trimmed record pieces) as span lists over the original chunk buffer, so
 // qn8 wire: one byte per base = (qual & 0x7F) | (is_N << 7), then
 // len_le32|valid|pad3 (W = L + 8).  ASCII quality is always <= 126 so
 // bit 7 is free to carry the N flag — the only thing the filter/edit
 // verdict+trim kernels need from the sequence (stats_jnp.verdicts counts
-// N via codes, every other criterion reads quality/length).  ~40% fewer
-// wire bytes than bitpack for those commands.
+// N via codes, every other criterion reads quality/length).  8 bits/base
+// vs bitpack's 10 = ~20% fewer wire bytes for those commands.
 void hpgq_pack_qnwire(const uint8_t* buf, const int64_t* seq_starts,
                       const int64_t* q_starts, const int32_t* lens,
                       int64_t n, int64_t L, int64_t nrows, const int8_t* lut,
@@ -293,6 +290,9 @@ void hpgq_pack_qnwire(const uint8_t* buf, const int64_t* seq_starts,
     }
 }
 
+// Concatenate byte spans buf[starts[i]:ends[i]) into out.  Returns total
+// bytes written.  The filter/edit writers express whole records (and
+// trimmed record pieces) as span lists over the original chunk buffer, so
 // output assembly is n memcpys instead of per-record Python string work.
 int64_t hpgq_concat_spans(const uint8_t* buf, const int64_t* starts,
                           const int64_t* ends, int64_t n, uint8_t* out) {

@@ -246,6 +246,34 @@ class PreproOptions(EditOptions):
     # only used for the 1/4-rule trim validation (old/main:680-690)
     min_read_length: int = 50
 
+    def apply_trim_windows(self) -> None:
+        """Shared prepro wiring (used by both the CLI and ``hpgq.prepro``):
+        clamp the legacy qualities (old/main_hpg_fastq_old.c:289-305), map
+        ltrim/rtrim onto the edit pipeline's trim-window criteria, and
+        derive the ``<input>.valid`` output names (old/README:76-82)."""
+        self.min_quality = max(int(self.min_quality), 10)
+        self.max_quality = min(int(self.max_quality), 70)
+        qrange = "%d,%d" % (self.min_quality, self.max_quality)
+        c = self.criteria
+        if self.ltrim_nts > 0:
+            c.left_length = int(self.ltrim_nts)
+            c.min_left_quality, c.max_left_quality = (
+                self.min_quality, self.max_quality)
+            self.left_quality_range = qrange
+        if self.rtrim_nts > 0:
+            c.right_length = int(self.rtrim_nts)
+            c.min_right_quality, c.max_right_quality = (
+                self.min_quality, self.max_quality)
+            self.right_quality_range = qrange
+        if self.paired_end:
+            n1 = os.path.basename(self.in_filename) + ".valid"
+            n2 = os.path.basename(self.in_filename2) + ".valid"
+            if n1 == n2:  # same basename from different dirs
+                n1, n2 = n1 + "_1", n2 + "_2"
+            self.out_names = (n1, n2)
+        elif self.in_filename:
+            self.out_names = (os.path.basename(self.in_filename) + ".valid",)
+
 
 @dataclasses.dataclass
 class CgrOptions(CommandOptions):
