@@ -409,21 +409,28 @@ def test_filter_edit_through_wire(tmp_path, monkeypatch):
         return o
 
     outs = {}
-    for wire in ("off", "bitpack", "fused4"):
+    # bitpack/fused4 auto-upgrade verdict/trim calls to qn8; "bitpack+noqn"
+    # pins the upgrade off (HPGQ_QN_WIRE=0) so the raw bitpack decode path
+    # is also exercised
+    for tag, wire, qn in (("off", "off", "1"), ("bitpack", "bitpack", "1"),
+                          ("fused4", "fused4", "1"),
+                          ("bitpack+noqn", "bitpack", "0")):
         monkeypatch.setenv("HPGQ_WIRE", wire)
-        d = tmp_path / ("f_" + wire)
+        monkeypatch.setenv("HPGQ_QN_WIRE", qn)
+        d = tmp_path / ("f_" + tag)
         d.mkdir()
         rf = run_filter(fopts(d))
-        e = tmp_path / ("e_" + wire)
+        e = tmp_path / ("e_" + tag)
         e.mkdir()
         re_ = run_edit(eopts(e))
-        outs[wire] = (
+        outs[tag] = (
             (d / "passed.fq").read_bytes(), (d / "failed.fq").read_bytes(),
             (e / "edit.fq").read_bytes(),
             rf["num_passed"], rf["num_failed"], re_["num_edited"],
         )
     assert outs["bitpack"] == outs["off"]
     assert outs["fused4"] == outs["off"]
+    assert outs["bitpack+noqn"] == outs["off"]
 
 
 def test_phred64_encoding_and_aliases(tmp_path):
