@@ -682,13 +682,17 @@ def main():
         if mode_oracle_fx:
             _emit({"mode_oracle_reads_per_sec": mode_oracle_fx}, err=True)
         t = mark("modes_filter_edit_gz_cgr", t)
-        if time.perf_counter() - t_all < budget:
-            with _guard("scaling"):
-                sc = run_scaling_subprocess(
-                    100_000,
-                    timeout_s=max(60.0, budget - (time.perf_counter() - t_all)))
-                if sc:
-                    _emit(sc)
+        # scaling is a CPU-mesh subprocess (no tunnel, ~15 s): always run it
+        # so the line survives slow TPU phases eating the budget — but keep
+        # its timeout inside the remaining SIGALRM headroom (the alarm fires
+        # at budget*1.15; a truncation here would cost only this line, the
+        # headline is _bail-protected)
+        with _guard("scaling"):
+            headroom = budget * 1.15 - (time.perf_counter() - t_all) - 8.0
+            sc = run_scaling_subprocess(
+                100_000, timeout_s=max(20.0, min(90.0, headroom)))
+            if sc:
+                _emit(sc)
         mark("scaling", t)
         signal.alarm(0)
         _emit({"bench_phase_seconds": phase_s}, err=True)
