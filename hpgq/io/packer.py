@@ -54,6 +54,19 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def bucket_rows(n: int, cap: int) -> int:
+    """Device row count for an ``n``-read block: round up to 16384-row
+    buckets, capped at the configured batch.  Streaming blocks are
+    chunk-bound (16 MB of FASTQ ≈ 64k 100-bp reads) and often far below
+    ``--device-batch-reads`` — padding every dispatch to the full cap would
+    ship ~2x the necessary H2D bytes on the link-bound path.  Bucketing
+    bounds the number of distinct compiled shapes to cap/16384 (typically
+    1-2 per run; jit caches per shape)."""
+    if cap <= 0:
+        return max(int(n), 1)
+    return min(int(cap), round_up(max(int(n), 1), 16384))
+
+
 def pack_block_fused(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
     """Pack a RecordBlock straight into the fused4 wire buffer
     (uint8 ``[nrows, L/2 + L + 8]``, see ``stats_jnp.wire_fuse``).

@@ -34,7 +34,7 @@ from ..constants import (
     CGR_QUALITY_PGM_SUFFIX,
 )
 from ..io.fastq import FastqReader
-from ..io.packer import pack_block, round_up
+from ..io.packer import bucket_rows, pack_block, round_up
 from ..kernels.cgr import make_cgr_step, zero_cgr_acc
 from ..options import CgrOptions
 from ..report import pgm
@@ -63,15 +63,16 @@ class CgrSession:
         per batch, so calls are independent and thread-safe: no session
         state is touched until :meth:`fold_host`)."""
         lmax = round_up(max(block.max_len(), self.k), 128)
+        rows = bucket_rows(block.num_reads, self.batch_reads)
         if self.wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 
             buf = pack_block_wire(block, self.wire, lmax,
-                                  pad_reads_to=self.batch_reads)
+                                  pad_reads_to=rows)
             acc = self._step(zero_cgr_acc(self.k), buf)
         else:
             codes, quals, lens, valid = pack_block(
-                block, max_len=lmax, pad_reads_to=self.batch_reads
+                block, max_len=lmax, pad_reads_to=rows
             )
             acc = self._step(zero_cgr_acc(self.k), codes, quals, lens, valid)
         return jax.device_get(acc)

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..io.fastq import FastqReader, FastqWriter
 from ..kernels.stats_jnp import _crit_key
-from ..io.packer import pack_block, pack_block_fused, round_up
+from ..io.packer import bucket_rows, pack_block, pack_block_fused, round_up
 from ..kernels import stats_jnp
 from ..options import EditOptions, FilterOptions, StatsOptions
 from ..report.stats_report import stats_report
@@ -75,12 +75,13 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0,
         lmax = round_up(max(block.max_len(), 1), 128)
         L = max(lmax, sess.lcap)
         wire = getattr(sess.acc, "wire", None)
+        rows = bucket_rows(block.num_reads, batch_reads)
         if wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 
-            buf = pack_block_wire(block, wire, L, pad_reads_to=batch_reads)
+            buf = pack_block_wire(block, wire, L, pad_reads_to=rows)
             return block, (jax.device_put(buf),)
-        packed = pack_block(block, max_len=L, pad_reads_to=batch_reads)
+        packed = pack_block(block, max_len=L, pad_reads_to=rows)
         if wire == "pack4":
             from ..kernels.stats_jnp import wire_pack4
 

@@ -13,7 +13,7 @@ import numpy as np
 import jax
 
 from ..core.accumulator import DeviceAccumulator
-from ..io.packer import pack_block, round_up
+from ..io.packer import bucket_rows, pack_block, round_up
 
 
 def warn_device_batch(batch_reads: int, lcap: int, mates: int = 1) -> None:
@@ -70,14 +70,15 @@ class StatsSession:
         if lmax > self.lcap:
             self._grow(lmax)
         wire = self.acc.wire
+        rows = bucket_rows(block.num_reads, self.batch_reads)
         if wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 
             self.acc.update(pack_block_wire(block, wire, self.lcap,
-                                            pad_reads_to=self.batch_reads))
+                                            pad_reads_to=rows))
             return
         self.feed_packed(*pack_block(
-            block, max_len=self.lcap, pad_reads_to=self.batch_reads
+            block, max_len=self.lcap, pad_reads_to=rows
         ))
 
     def feed_packed(self, codes, quals=None, lens=None, valid=None):
@@ -159,18 +160,19 @@ class PairedStatsSession:
         lmax = round_up(max(b1.max_len(), b2.max_len(), 1), 128)
         if lmax > self.lcap:
             self._grow(lmax)
+        rows = bucket_rows(max(b1.num_reads, b2.num_reads), self.batch_reads)
         if self.wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 
             in1 = pack_block_wire(b1, self.wire, self.lcap,
-                                  pad_reads_to=self.batch_reads)
+                                  pad_reads_to=rows)
             in2 = pack_block_wire(b2, self.wire, self.lcap,
-                                  pad_reads_to=self.batch_reads)
+                                  pad_reads_to=rows)
         else:
             in1 = pack_block(b1, max_len=self.lcap,
-                             pad_reads_to=self.batch_reads)
+                             pad_reads_to=rows)
             in2 = pack_block(b2, max_len=self.lcap,
-                             pad_reads_to=self.batch_reads)
+                             pad_reads_to=rows)
             if self.wire == "pack4":
                 from ..kernels.stats_jnp import wire_pack4
 
@@ -261,12 +263,13 @@ class ShapeCachedFn:
             else:
                 unf = wire_unbits if wire == "bitpack" else wire_unfuse
             buf = pack_block_wire(block, wire, lmax,
-                                  pad_reads_to=self.batch_reads)
+                                  pad_reads_to=bucket_rows(n, self.batch_reads))
             wrap = lambda inner: (lambda b: inner(*unf(b)))  # noqa: E731
             out = self._fn_for(buf.shape, wire, wrap)(buf)
         else:
             codes, quals, lens, valid = pack_block(
-                block, max_len=lmax, pad_reads_to=self.batch_reads
+                block, max_len=lmax,
+                pad_reads_to=bucket_rows(n, self.batch_reads),
             )
             out = self._fn_for(codes.shape, None, lambda f: f)(
                 codes, quals, lens, valid

@@ -225,3 +225,16 @@ def test_crlf_input(tmp_path):
         block.write_trimmed(w, np.full(50, 2), np.zeros(50, dtype=int))
     first = trimmed.read_bytes().split(b"\r\n")[:4]
     assert first == [b"@r0", b"GTACGTAC", b"+", b"IIIIIIII"]
+
+
+def test_bucket_rows():
+    """Device-row bucketing: 16384-multiples, capped, never below n."""
+    from hpgq.io.packer import bucket_rows
+
+    assert bucket_rows(1, 131072) == 16384
+    assert bucket_rows(16384, 131072) == 16384
+    assert bucket_rows(16385, 131072) == 32768
+    assert bucket_rows(64000, 131072) == 65536
+    assert bucket_rows(131000, 131072) == 131072
+    assert bucket_rows(300, 512) == 512      # small caps stay exact
+    assert bucket_rows(5000, 0) == 5000      # no cap -> no padding
