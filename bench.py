@@ -390,11 +390,16 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
         return out
 
     n = first.num_reads
-    L = round_up(max(first.max_len(), 1), 128)
+    from hpgq.io.packer import bucket_rows, wire_len
+
+    # match the production feed exactly: trimmed wire columns + bucketed
+    # rows (otherwise the h2d ceiling under-reports what the engine ships)
+    L = wire_len(first.max_len(), round_up(max(first.max_len(), 1), 128))
+    rows = bucket_rows(n, batch_reads)
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        buf = pack(first, L, pad_reads_to=batch_reads)
+        buf = pack(first, L, pad_reads_to=rows)
         best = max(best, n / (time.perf_counter() - t0))
     out["pack_wire_reads_per_sec"] = round(best, 1)
     out["wire_bytes_per_read"] = buf.shape[1]

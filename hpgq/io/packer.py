@@ -67,6 +67,24 @@ def bucket_rows(n: int, cap: int) -> int:
     return min(int(cap), round_up(max(int(n), 1), 16384))
 
 
+def wire_len(max_len: int, lcap: int) -> int:
+    """Wire-buffer length dimension for a block whose longest read is
+    ``max_len``, under a device cap of ``lcap`` (128-lane rounded).
+
+    The device tensors stay ``[B, lcap]`` (the step pads decoded columns
+    on device — free relative to the link), but the WIRE only needs
+    ``max_len`` columns: 100 bp reads under lcap=128 otherwise ship 28
+    all-padding columns per read (~17% of the bitpack row).  Rounded to
+    ``max(8, lcap // 16)`` so the distinct wire shapes per lcap stay ≤16
+    (bitpack needs L % 8 == 0; jit compiles per shape).  Long-read caps
+    (> 1024) keep the full width — the blockwise-L kernel chunks the wire
+    per L-block and the relative saving is negligible there."""
+    if lcap > 1024:
+        return lcap
+    g = max(8, lcap // 16)
+    return min(lcap, round_up(max(int(max_len), 1), g))
+
+
 def pack_block_fused(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
     """Pack a RecordBlock straight into the fused4 wire buffer
     (uint8 ``[nrows, L/2 + L + 8]``, see ``stats_jnp.wire_fuse``).

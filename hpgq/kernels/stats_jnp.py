@@ -445,6 +445,22 @@ def bitwire_logical_len(row_width: int) -> int:
     return (row_width - 8) * 8 // 10
 
 
+def pad_wire_cols(codes, quals, lcap: int):
+    """Pad a decoded wire's length axis up to the step's ``lcap``.
+
+    The wire carries only ``hpgq.io.packer.wire_len(max_len, lcap)``
+    columns to keep H2D bytes proportional to real read length; the
+    compute kernels want the full ``[B, lcap]`` layout.  Padding values
+    match the packers' own padding (codes 5 = OTHER, quals 0) — every
+    kernel masks by ``lens`` anyway."""
+    L = codes.shape[1]
+    if L >= lcap:
+        return codes, quals
+    pad = ((0, 0), (0, lcap - L))
+    return (jnp.pad(codes, pad, constant_values=5),
+            jnp.pad(quals, pad))
+
+
 def qnwire_logical_len(W: int) -> int:
     """Logical L from a qn8 wire row width (W = L + 8)."""
     return W - 8
@@ -617,6 +633,7 @@ def make_stats_step(
 
         def step(acc, buf):  # noqa: F811 — fused single-buffer entry
             codes, quals, lens, valid = unfuse(buf)
+            codes, quals = pad_wire_cols(codes, quals, lcap)
             return inner(acc, codes, quals, lens, valid)
 
     if jit:
@@ -669,7 +686,9 @@ def make_paired_stats_step(
 
     if wire in ("fused4", "bitpack"):
         def unf(t):
-            return (wire_unfuse if wire == "fused4" else wire_unbits)(t)
+            c, q, l, v = (wire_unfuse if wire == "fused4" else wire_unbits)(t)
+            c, q = pad_wire_cols(c, q, lcap)
+            return c, q, l, v
     elif wire == "pack4":
         def unf(t):
             c, q, l, v = t

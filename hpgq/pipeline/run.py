@@ -77,9 +77,10 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0,
         wire = getattr(sess.acc, "wire", None)
         rows = bucket_rows(block.num_reads, batch_reads)
         if wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_wire
+            from ..io.packer import pack_block_wire, wire_len
 
-            buf = pack_block_wire(block, wire, L, pad_reads_to=rows)
+            buf = pack_block_wire(block, wire, wire_len(block.max_len(), L),
+                                  pad_reads_to=rows)
             return block, (jax.device_put(buf),)
         packed = pack_block(block, max_len=L, pad_reads_to=rows)
         if wire == "pack4":

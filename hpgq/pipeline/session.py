@@ -13,7 +13,7 @@ import numpy as np
 import jax
 
 from ..core.accumulator import DeviceAccumulator
-from ..io.packer import bucket_rows, pack_block, round_up
+from ..io.packer import bucket_rows, pack_block, round_up, wire_len
 
 
 def warn_device_batch(batch_reads: int, lcap: int, mates: int = 1) -> None:
@@ -74,8 +74,9 @@ class StatsSession:
         if wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 
-            self.acc.update(pack_block_wire(block, wire, self.lcap,
-                                            pad_reads_to=rows))
+            self.acc.update(pack_block_wire(
+                block, wire, wire_len(block.max_len(), self.lcap),
+                pad_reads_to=rows))
             return
         self.feed_packed(*pack_block(
             block, max_len=self.lcap, pad_reads_to=rows
@@ -83,7 +84,9 @@ class StatsSession:
 
     def feed_packed(self, codes, quals=None, lens=None, valid=None):
         # quals carry the logical L; a lone wire buffer encodes L in its
-        # row width (fused4: W = L/2 + L + 8; bitpack: W = 10L/8 + 8)
+        # row width (fused4: W = L/2 + L + 8; bitpack: W = 10L/8 + 8).
+        # Wire widths may be trimmed below lcap (io.packer.wire_len); the
+        # device cap itself always stays 128-lane rounded.
         if quals is None:
             from ..kernels.stats_jnp import bitwire_logical_len, fused_logical_len
 
@@ -92,7 +95,7 @@ class StatsSession:
         else:
             L = quals.shape[1]
         if L > self.lcap:
-            self._grow(L)
+            self._grow(round_up(L, 128))
         self.acc.update(codes, quals, lens, valid)
 
     def finish(self):
@@ -164,10 +167,9 @@ class PairedStatsSession:
         if self.wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 
-            in1 = pack_block_wire(b1, self.wire, self.lcap,
-                                  pad_reads_to=rows)
-            in2 = pack_block_wire(b2, self.wire, self.lcap,
-                                  pad_reads_to=rows)
+            wl = wire_len(max(b1.max_len(), b2.max_len()), self.lcap)
+            in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows)
+            in2 = pack_block_wire(b2, self.wire, wl, pad_reads_to=rows)
         else:
             in1 = pack_block(b1, max_len=self.lcap,
                              pad_reads_to=rows)
@@ -262,7 +264,10 @@ class ShapeCachedFn:
                 wire, unf = "qn8", wire_unqn8
             else:
                 unf = wire_unbits if wire == "bitpack" else wire_unfuse
-            buf = pack_block_wire(block, wire, lmax,
+            # verdict/trim fns have no lane-width requirement: the wire can
+            # carry exactly wire_len columns, no on-device re-pad needed
+            buf = pack_block_wire(block, wire,
+                                  wire_len(block.max_len(), lmax),
                                   pad_reads_to=bucket_rows(n, self.batch_reads))
             wrap = lambda inner: (lambda b: inner(*unf(b)))  # noqa: E731
             out = self._fn_for(buf.shape, wire, wrap)(buf)
