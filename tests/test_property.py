@@ -124,3 +124,16 @@ def test_wire_roundtrips(data):
         np.testing.assert_array_equal(l3, lens)
         np.testing.assert_array_equal(c3, codes & 0xF)
         np.testing.assert_array_equal(q3, quals)
+
+    # qn8: quals + is-N survive; codes collapse to the N indicator
+    from hpgq.io.packer import wire_qn8_np
+    from hpgq.kernels.stats_jnp import wire_unqn8
+
+    c4, q4, l4, v4 = (np.asarray(x)
+                      for x in wire_unqn8(wire_qn8_np(codes, quals,
+                                                      lens, valid)))
+    np.testing.assert_array_equal(v4, valid)
+    np.testing.assert_array_equal(l4, np.where(valid, lens, 0))
+    np.testing.assert_array_equal(q4, np.where(valid[:, None], quals & 0x7F, 0))
+    np.testing.assert_array_equal(
+        c4, np.where(valid[:, None], (codes == 4) * np.int8(4), 0))
