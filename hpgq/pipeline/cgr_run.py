@@ -39,7 +39,7 @@ from ..kernels.cgr import make_cgr_step, zero_cgr_acc
 from ..options import CgrOptions
 from ..report import pgm
 from ..utils.timers import StageTimers
-from .run import _batch_reads, _iter_blocks
+from .run import _batch_reads, _iter_blocks, _reader_batch
 
 
 class CgrSession:
@@ -139,7 +139,7 @@ def run_cgr(opts: CgrOptions, timers: Optional[StageTimers] = None) -> dict:
         if idx < start_input:
             continue
         offset = start_offset if idx == start_input else 0
-        with FastqReader(path, batch_size=opts.batch_size,
+        with FastqReader(path, batch_size=_reader_batch(opts),
                          start_offset=offset) as rd:
             if ck_path:
                 # checkpointing needs a sequential fold (offsets advance
