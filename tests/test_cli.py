@@ -590,3 +590,26 @@ def test_cli_prepro_validation(tmp_path, capsys):
                "--min-quality", "5", "--max-quality", "99"])
     assert rc == 0
     assert "Quality range            : 10,70" in capsys.readouterr().out
+
+
+def test_reader_batch_auto(monkeypatch):
+    """Default --batch-size auto-upgrades reader blocks on accelerators only;
+    explicit values are always honored."""
+    import jax
+
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline import run as runmod
+
+    o = StatsOptions()  # defaults: batch_size=10000, device_batch_reads=0
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert runmod._reader_batch(o) == 131072
+    assert runmod._batch_reads(o) == 131072
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert runmod._reader_batch(o) == 10000
+    o.batch_size = 10001  # explicit-looking value: honored everywhere
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert runmod._reader_batch(o) == 10001
+    o.batch_size = 10000
+    o.device_batch_reads = 20480  # explicit device rows: no auto upgrade
+    assert runmod._reader_batch(o) == 10000
+    assert runmod._batch_reads(o) == 20480
