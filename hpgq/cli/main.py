@@ -398,14 +398,12 @@ def _main(argv=None) -> int:
         opts.ltrim_nts, opts.rtrim_nts = ns.ltrim_nts, ns.rtrim_nts
         # 1/4 rule (old/main_hpg_fastq_old.c:680-690) — CLI-only, like the
         # legacy getopt validation
-        if ns.rtrim_nts > ns.min_read_length // 4:
-            raise OptionsError(
-                "--rtrim-nts must be at most 1/4 the value of min_read_length"
-            )
-        if ns.ltrim_nts > ns.min_read_length // 4:
-            raise OptionsError(
-                "--ltrim-nts must be at most 1/4 the value of min_read_length"
-            )
+        for flag, v in (("--rtrim-nts", ns.rtrim_nts),
+                        ("--ltrim-nts", ns.ltrim_nts)):
+            if v > ns.min_read_length // 4:
+                raise OptionsError(
+                    "%s must be at most 1/4 the value of min_read_length" % flag
+                )
         # shared prepro wiring: clamps + trim windows + .valid naming
         opts.apply_trim_windows()
         validate_common(opts)

@@ -64,18 +64,21 @@ def get_lib():
         _tried = True
         if os.environ.get("HPGQ_NO_NATIVE"):
             return None
+        def _load():
+            lib = ctypes.CDLL(_SO)
+            lib.hpgq_abi_version.restype = ctypes.c_int
+            return lib
+
         try:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 _build()
-            lib = ctypes.CDLL(_SO)
-            lib.hpgq_abi_version.restype = ctypes.c_int
+            lib = _load()
             if lib.hpgq_abi_version() != _ABI:
                 # a stale .so can out-date the mtime check (copied build
                 # dirs, timestamp-preserving extraction): rebuild once, and
                 # fall back to numpy rather than crash if still mismatched
                 _build()
-                lib = ctypes.CDLL(_SO)
-                lib.hpgq_abi_version.restype = ctypes.c_int
+                lib = _load()
                 if lib.hpgq_abi_version() != _ABI:
                     raise RuntimeError(
                         "native packer ABI %d != expected %d"

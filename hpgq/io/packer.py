@@ -85,15 +85,12 @@ def wire_len(max_len: int, lcap: int) -> int:
     return min(lcap, round_up(max(int(max_len), 1), g))
 
 
-def pack_block_fused(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
-    """Pack a RecordBlock straight into the fused4 wire buffer
-    (uint8 ``[nrows, L/2 + L + 8]``, see ``stats_jnp.wire_fuse``).
-
-    Single native OpenMP pass from the chunk bytes to the transfer buffer —
-    the hot path of the streaming engine (the wire buffer is written exactly
-    once instead of codes/quals tensors + numpy nibble-pack + concat).
-    Falls back to ``pack_block`` + ``wire_fuse`` without the native library
-    (differentially tested: tests/test_native.py)."""
+def _pack_wire_dispatch(block, max_len: int, pad_reads_to: int,
+                        native_name: str, np_wire_fn) -> np.ndarray:
+    """Shared native-or-numpy dispatch for the single-pass wire packers:
+    one OpenMP pass from the chunk bytes to the transfer buffer when the
+    native library is available, else ``pack_block`` + the named numpy
+    wire builder (the differential oracle, tests/test_native.py)."""
     n = block.num_reads
     L = int(max_len)
     nrows = max(int(pad_reads_to), n) if pad_reads_to else n
@@ -101,13 +98,22 @@ def pack_block_fused(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
     from . import native
 
     if n and native.available():
-        return native.pack_fused(
+        return getattr(native, native_name)(
             block.arr, block.starts[:, 1], block.starts[:, 3],
             block.seq_lens, L, nrows, num_threads=_NUM_THREADS,
         )
+    return np_wire_fn(*pack_block(block, max_len=L, pad_reads_to=nrows))
+
+
+def pack_block_fused(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
+    """Pack a RecordBlock straight into the fused4 wire buffer
+    (uint8 ``[nrows, L/2 + L + 8]``, see ``stats_jnp.wire_fuse``) — the hot
+    path of the streaming engine (the wire buffer is written exactly once
+    instead of codes/quals tensors + numpy nibble-pack + concat)."""
     from ..kernels.stats_jnp import wire_fuse
 
-    return wire_fuse(*pack_block(block, max_len=L, pad_reads_to=nrows))
+    return _pack_wire_dispatch(block, max_len, pad_reads_to,
+                               "pack_fused", wire_fuse)
 
 
 def _bitpack_np(vals: np.ndarray, nbits: int) -> np.ndarray:
@@ -162,20 +168,9 @@ def pack_block_qnwire(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
     """Pack a RecordBlock straight into the qn8 wire buffer
     (uint8 ``[nrows, L + 8]``) — the minimal H2D layout for verdict/trim
     calls (filter/edit): 8 vs bitpack's 10 bits/base, ~20% fewer wire
-    bytes.  Native single pass; numpy fallback is the differential
-    oracle."""
-    n = block.num_reads
-    L = int(max_len)
-    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
-
-    from . import native
-
-    if n and native.available():
-        return native.pack_qnwire(
-            block.arr, block.starts[:, 1], block.starts[:, 3],
-            block.seq_lens, L, nrows, num_threads=_NUM_THREADS,
-        )
-    return wire_qn8_np(*pack_block(block, max_len=L, pad_reads_to=nrows))
+    bytes."""
+    return _pack_wire_dispatch(block, max_len, pad_reads_to,
+                               "pack_qnwire", wire_qn8_np)
 
 
 def zero_wire_sel(buf: np.ndarray, sel) -> np.ndarray:
@@ -205,21 +200,10 @@ def pack_block_bitwire(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray
     (uint8 ``[nrows, 3L/8 + 7L/8 + 8]``, ``max_len % 8 == 0``): 3-bit base
     codes + 7-bit ASCII quals, ~31% fewer wire bytes than fused4 — the
     preferred format when the host->device link is the pipeline bottleneck
-    (remote/tunneled TPU).  Native single pass; numpy fallback is the
-    differential oracle (tests/test_native.py)."""
-    n = block.num_reads
-    L = int(max_len)
-    assert L % 8 == 0, L
-    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
-
-    from . import native
-
-    if n and native.available():
-        return native.pack_bitwire(
-            block.arr, block.starts[:, 1], block.starts[:, 3],
-            block.seq_lens, L, nrows, num_threads=_NUM_THREADS,
-        )
-    return wire_bitpack_np(*pack_block(block, max_len=L, pad_reads_to=nrows))
+    (remote/tunneled TPU)."""
+    assert int(max_len) % 8 == 0, max_len
+    return _pack_wire_dispatch(block, max_len, pad_reads_to,
+                               "pack_bitwire", wire_bitpack_np)
 
 
 def pack_block(block, max_len: int = 0, pad_reads_to: int = 0):

@@ -9,6 +9,8 @@ size, and a grown length bucket transparently rebuilds the device accumulator
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 
@@ -257,8 +259,6 @@ class ShapeCachedFn:
                 wire_unfuse,
                 wire_unqn8,
             )
-
-            import os
 
             if self._qn and os.environ.get("HPGQ_QN_WIRE", "1") != "0":
                 wire, unf = "qn8", wire_unqn8
