@@ -266,3 +266,22 @@ def test_api_prepro(tmp_path):
     assert valid.exists()
     assert res["num_edited"] >= 0
     assert valid.read_bytes().count(b"\n") == 480
+
+
+def test_profile_dir_trace(tmp_path):
+    """--profile-dir writes a jax.profiler trace (SURVEY §5 tracing row)."""
+    from gen import make_fastq
+
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    path = str(tmp_path / "in.fq")
+    make_fastq(path, 200, min_len=40, max_len=60, seed=81)
+    prof = tmp_path / "prof"
+    o = StatsOptions(in_filename=path, out_dirname=str(tmp_path))
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.profile_dir = str(prof)
+    run_stats(o, report=False)
+    files = [p for p in prof.rglob("*") if p.is_file()]
+    assert files, "profiler trace directory is empty"
