@@ -70,8 +70,8 @@ def _add_common(p: argparse.ArgumentParser, with_windows=True, with_encoding=Fal
     p.add_argument("-o", "--outdir", dest="out_dirname",
                    help="Output directory name")
     p.add_argument("--num-threads", type=int, default=2, help="Number of threads")
-    p.add_argument("--batch-size", type=int, default=10000,
-                   help="Batch size (in number of alignments)")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="Batch size (in number of alignments; default 10000)")
     p.add_argument("--batch-list-size", type=int, default=0,
                    help="Max read batches queued ahead of the engine "
                         "(legacy knob; 0 = auto)")
@@ -218,7 +218,9 @@ def _ns_to_opts(ns: argparse.Namespace, cls):
         from ..io.packer import set_num_threads
 
         set_num_threads(ns.num_threads)
-    opts.batch_size = ns.batch_size
+    if ns.batch_size is not None:  # flag presence gates the auto reader batch
+        opts.batch_size = int(ns.batch_size)
+        opts.batch_size_set = True
     opts.batch_list_size = ns.batch_list_size
     opts.quality_encoding_name = getattr(ns, "quality_encoding_name", None)
     opts.read_length_range = ns.read_length_range

@@ -804,6 +804,13 @@ def _run_output_sharded(opts, timers, mesh, cmd, runner, count_keys):
     return out
 
 
+# NOTE (perf, future work): the sharded sessions keep FIXED global batch
+# shapes — full batch_reads rows and full-lcap wire widths — unlike the
+# single-host pipeline's bucket_rows/wire_len trimming.  Multi-host
+# lockstep requires every rank to agree on each step's shapes; adopting
+# the trimmed shapes here needs a per-step (rows, wire_len) vote on top of
+# the existing _vote_max lcap growth.  Readers likewise keep the exact
+# --batch-size: per-rank step counts feed the lockstep collectives.
 def run_stats_sharded(
     opts: StatsOptions,
     timers: Optional[StageTimers] = None,

@@ -169,6 +169,10 @@ class CommandOptions:
     out_dirname: Optional[str] = None
     num_threads: int = DEFAULT_NUM_THREADS
     batch_size: int = DEFAULT_BATCH_SIZE
+    # True when --batch-size was explicitly passed (the CLI tracks flag
+    # presence); gates the accelerator auto reader-block upgrade so an
+    # explicit 10000 is honored (pipeline.run._reader_batch)
+    batch_size_set: bool = False
     # legacy --batch-list-size (old/README:57): how many read batches may be
     # queued ahead of the consumer; 0 = auto (pack workers + 2)
     batch_list_size: int = 0

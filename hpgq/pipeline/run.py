@@ -32,9 +32,13 @@ from .session import ShapeCachedFn, StatsSession
 
 
 def _batch_reads(opts) -> int:
-    return max(int(opts.device_batch_reads)
-               or max(256, round_up(opts.batch_size, 256)),
-               round_up(_reader_batch(opts), 256))
+    # an explicit --device-batch-reads is the user's device-memory cap —
+    # honor it verbatim (blocks larger than it still dispatch at their own
+    # row count; the cap only bounds padding)
+    if int(opts.device_batch_reads):
+        return int(opts.device_batch_reads)
+    return max(256, round_up(max(int(opts.batch_size), _reader_batch(opts)),
+                             256))
 
 
 def _reader_batch(opts) -> int:
@@ -43,15 +47,23 @@ def _reader_batch(opts) -> int:
     ``--batch-size`` defaults to the reference's 10,000 for flag parity,
     but on an accelerator that means one device dispatch round-trip per
     10k reads — latency-bound on remote/tunneled links (measured ~0.15 s
-    per dispatch through the axon tunnel).  When BOTH knobs are still at
-    their defaults, feed accelerator-sized blocks instead: results are
+    per dispatch through the axon tunnel).  When the batch knobs were left
+    untouched, feed accelerator-sized blocks instead: results are
     batch-size-invariant by construction (tested), and the PARAMETERS echo
-    keeps showing the configured value.  An explicit --batch-size or
-    --device-batch-reads is always honored."""
+    keeps showing the configured value.
+
+    The upgrade is suppressed when any of these holds:
+    * the CLI saw an explicit ``--batch-size`` (presence-tracked via
+      ``opts.batch_size_set``; an explicit 10000 is honored),
+    * ``--device-batch-reads`` is set (the user is hand-tuning batching),
+    * a checkpoint is configured (``--checkpoint-every`` counts blocks —
+      silently inflating blocks 13x would gut the checkpoint cadence)."""
     from ..constants import DEFAULT_BATCH_SIZE
 
     if (int(opts.device_batch_reads) == 0
-            and int(opts.batch_size) == DEFAULT_BATCH_SIZE):
+            and not getattr(opts, "batch_size_set", False)
+            and int(opts.batch_size) == DEFAULT_BATCH_SIZE
+            and not getattr(opts, "checkpoint_path", None)):
         import jax
 
         if jax.default_backend() != "cpu":

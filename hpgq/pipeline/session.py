@@ -18,20 +18,26 @@ from ..core.accumulator import DeviceAccumulator
 from ..io.packer import bucket_rows, pack_block, round_up, wire_len
 
 
-def warn_device_batch(batch_reads: int, lcap: int, mates: int = 1) -> None:
-    """Log an actionable warning when long-read growth makes the fixed-row
-    device batch large (the user should lower --batch-size /
-    --device-batch-reads rather than discover a device OOM)."""
-    if mates * lcap * batch_reads > (1 << 28):  # ~0.33 GB of wire bytes
+def warn_device_batch(rows: int, lcap: int, mates: int = 1) -> bool:
+    """Log an actionable warning when long-read growth makes a device
+    dispatch large (the user should lower --batch-size /
+    --device-batch-reads rather than discover a device OOM).  ``rows`` is
+    the ACTUAL dispatch row count (blocks are 16 MB chunk-bound, usually
+    far below the configured batch — warning on the configured cap would
+    overstate memory ~8x for long reads).  Returns True when it fired, so
+    sessions warn once."""
+    if mates * lcap * rows > (1 << 28):  # ~0.33 GB of wire bytes
         import logging
 
         logging.getLogger("hpgq").warning(
             "long reads: device batch is %s%d rows x %d nt (~%.1f GB "
             "packed) — lower --batch-size / --device-batch-reads to "
             "bound device memory",
-            "2 x " if mates == 2 else "", batch_reads, lcap,
-            mates * batch_reads * lcap * 1.25 / 1e9,
+            "2 x " if mates == 2 else "", rows, lcap,
+            mates * rows * lcap * 1.25 / 1e9,
         )
+        return True
+    return False
 
 
 class StatsSession:
@@ -45,6 +51,7 @@ class StatsSession:
         self.batch_reads = batch_reads
         self.device = device
         self.engine = engine
+        self._warned_big = False
         self.acc = DeviceAccumulator(
             lcap, phred, kmers_on, crit, batch_reads=batch_reads, device=device,
             engine=engine,
@@ -55,7 +62,6 @@ class StatsSession:
         return self.acc.lcap
 
     def _grow(self, lcap: int):
-        warn_device_batch(self.batch_reads, lcap)
         old = self.acc.finish()
         self.acc = DeviceAccumulator(
             lcap, self.phred, self.kmers_on, self.crit,
@@ -73,6 +79,8 @@ class StatsSession:
             self._grow(lmax)
         wire = self.acc.wire
         rows = bucket_rows(block.num_reads, self.batch_reads)
+        if not self._warned_big:
+            self._warned_big = warn_device_batch(rows, self.lcap)
         if wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 
@@ -128,6 +136,7 @@ class PairedStatsSession:
         self.counters2 = StatsCounters(phred=phred, kmers_on=kmers_on)
         self._safe_flush_every = safe_flush_every
         self._since_flush = 0
+        self._warned_big = False
         self._rebuild(lcap)
 
     def _rebuild(self, lcap: int):
@@ -143,7 +152,6 @@ class PairedStatsSession:
         self.flush_every = self._safe_flush_every(self.batch_reads, lcap)
 
     def _grow(self, lcap: int):
-        warn_device_batch(self.batch_reads, lcap, mates=2)
         self.flush()
         self._rebuild(lcap)
 
@@ -166,6 +174,8 @@ class PairedStatsSession:
         if lmax > self.lcap:
             self._grow(lmax)
         rows = bucket_rows(max(b1.num_reads, b2.num_reads), self.batch_reads)
+        if not self._warned_big:
+            self._warned_big = warn_device_batch(rows, self.lcap, mates=2)
         if self.wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire
 

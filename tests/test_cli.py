@@ -606,10 +606,16 @@ def test_reader_batch_auto(monkeypatch):
     assert runmod._batch_reads(o) == 131072
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert runmod._reader_batch(o) == 10000
-    o.batch_size = 10001  # explicit-looking value: honored everywhere
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert runmod._reader_batch(o) == 10001
-    o.batch_size = 10000
-    o.device_batch_reads = 20480  # explicit device rows: no auto upgrade
+    o.batch_size_set = True  # explicit --batch-size 10000: honored exactly
     assert runmod._reader_batch(o) == 10000
-    assert runmod._batch_reads(o) == 20480
+    o.batch_size_set = False
+    o.checkpoint_path = "ck.npz"  # checkpoint cadence counts blocks
+    assert runmod._reader_batch(o) == 10000
+    o.checkpoint_path = None
+    o.device_batch_reads = 20480  # explicit device rows: no auto upgrade,
+    assert runmod._reader_batch(o) == 10000
+    assert runmod._batch_reads(o) == 20480  # and honored verbatim as cap
+    o.device_batch_reads = 4096
+    o.batch_size = 65536
+    assert runmod._batch_reads(o) == 4096
