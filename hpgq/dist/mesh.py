@@ -114,7 +114,11 @@ def make_sharded_stats_step(
 
         def device_fn(acc, buf):
             inner = jax.tree_util.tree_map(lambda x: x[0], acc)
-            out = step(inner, *unf(buf))
+            c, q, l, v = unf(buf)
+            # single-process sessions trim the wire's length axis
+            # (io.packer.wire_len); re-pad to the step's lcap on device
+            c, q = stats_jnp.pad_wire_cols(c, q, lcap)
+            out = step(inner, c, q, l, v)
             return jax.tree_util.tree_map(lambda x: x[None], out)
 
         fn = shard_map(

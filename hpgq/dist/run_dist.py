@@ -34,7 +34,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..io.fastq import FastqReader
-from ..io.packer import pack_block, round_up
+from ..io.packer import bucket_rows, pack_block, round_up, wire_len
 from ..options import StatsOptions
 from ..report.stats_report import stats_report
 from ..utils.timers import StageTimers
@@ -116,17 +116,27 @@ class ShardedStatsSession:
         lmax = round_up(max(block.max_len(), 1), 128)
         if lmax > self.lcap:
             self._grow(lmax)
+        # single-process (one host, N local devices): no lockstep partner,
+        # so shapes can follow the block like the single-chip engine —
+        # bucketed rows (ndev-divisible for the 'data' split) + trimmed
+        # wire columns.  Multi-host keeps fixed shapes (see the note above
+        # run_stats_sharded: trimming there needs a per-step shape vote).
+        sp = jax.process_count() == 1
+        rows = (min(self.batch_reads,
+                    round_up(bucket_rows(block.num_reads, self.batch_reads),
+                             self.ndev))
+                if sp else self.batch_reads)
         if self.wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire, zero_wire_sel
 
-            buf = pack_block_wire(block, self.wire, self.lcap,
-                                  pad_reads_to=self.batch_reads)
+            wl = wire_len(block.max_len(), self.lcap) if sp else self.lcap
+            buf = pack_block_wire(block, self.wire, wl, pad_reads_to=rows)
             if sel is not None:
                 zero_wire_sel(buf, sel)
             self._feed_wire(buf)
             return
         codes, quals, lens, valid = pack_block(
-            block, max_len=self.lcap, pad_reads_to=self.batch_reads
+            block, max_len=self.lcap, pad_reads_to=rows
         )
         if sel is not None:
             valid = valid.copy()
@@ -804,13 +814,15 @@ def _run_output_sharded(opts, timers, mesh, cmd, runner, count_keys):
     return out
 
 
-# NOTE (perf, future work): the sharded sessions keep FIXED global batch
-# shapes — full batch_reads rows and full-lcap wire widths — unlike the
-# single-host pipeline's bucket_rows/wire_len trimming.  Multi-host
-# lockstep requires every rank to agree on each step's shapes; adopting
-# the trimmed shapes here needs a per-step (rows, wire_len) vote on top of
-# the existing _vote_max lcap growth.  Readers likewise keep the exact
-# --batch-size: per-rank step counts feed the lockstep collectives.
+# NOTE (perf, future work): in MULTI-HOST mode the sharded sessions keep
+# FIXED global batch shapes — full batch_reads rows and full-lcap wire
+# widths — because lockstep requires every rank to agree on each step's
+# shapes; adopting the single-host trimming there needs a per-step
+# (rows, wire_len) vote on top of the existing _vote_max lcap growth.
+# Single-process sessions (one host, N local devices) already bucket rows
+# and trim wire columns like the single-chip engine (feed_block above).
+# Readers keep the exact --batch-size: per-rank step counts feed the
+# lockstep collectives.
 def run_stats_sharded(
     opts: StatsOptions,
     timers: Optional[StageTimers] = None,
