@@ -437,3 +437,40 @@ def test_sharded_cgr_resume(tmp_path):
     assert (out_b / "cg.fq_k=4_FG.pgm").read_bytes() == (
         out_a / "cg.fq_k=4_FG.pgm"
     ).read_bytes()
+
+
+def test_sharded_wire_trim_with_growth(tmp_path, monkeypatch):
+    """Trimmed wire columns + bucketed rows through shard_map survive a
+    mid-stream lcap growth (128 -> 256) and match the untrimmed plain run."""
+    from hpgq.dist.run_dist import run_stats_sharded
+    from hpgq.options import StatsOptions
+
+    # first blocks short (lcap 128, trimmed wl < 128), later reads long
+    # (growth to 256 with wl 160)
+    p = str(tmp_path / "g.fq")
+    make_fastq(p, 1500, min_len=60, max_len=100, n_prob=0.01, seed=71)
+    import io
+
+    with open(p, "ab") as f:
+        from gen import make_fastq as mk
+
+        p2 = str(tmp_path / "tail.fq")
+        mk(p2, 500, min_len=150, max_len=160, n_prob=0.01, seed=72)
+        f.write(open(p2, "rb").read())
+
+    def opts(out):
+        o = StatsOptions()
+        o.in_filename = p
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 400
+        return o
+
+    a, b = tmp_path / "ga", tmp_path / "gb"
+    a.mkdir(), b.mkdir()
+    monkeypatch.setenv("HPGQ_WIRE", "off")
+    plain = run_stats_sharded(opts(a))
+    monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+    wired = run_stats_sharded(opts(b))
+    assert wired.equals(plain)
