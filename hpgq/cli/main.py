@@ -249,6 +249,43 @@ def _ns_to_opts(ns: argparse.Namespace, cls):
     return opts
 
 
+def _apply_legacy_filter_flags(ns) -> None:
+    """Map the legacy getopt filter flags (old/README:121-142) onto the
+    modern range-string options, which display/validate/parse as usual.
+    Modern flags win when both forms are given; legacy quality bounds are
+    clamped like the legacy parser (>=10 / <=70,
+    old/main_hpg_fastq_old.c:289-305)."""
+
+    def rng(lo, hi):
+        return "%s,%s" % ("" if lo is None else lo, "" if hi is None else hi)
+
+    lmin, lmax = ns.lg_min_read_length, ns.lg_max_read_length
+    if (lmin is not None or lmax is not None) and not ns.read_length_range:
+        ns.read_length_range = rng(lmin, lmax)
+    qmin, qmax = ns.lg_min_quality, ns.lg_max_quality
+    if qmin is not None:
+        qmin = max(qmin, 10)
+    if qmax is not None:
+        qmax = min(qmax, 70)
+    if (qmin is not None or qmax is not None) and not ns.read_quality_range:
+        ns.read_quality_range = rng(qmin, qmax)
+    if ns.lg_max_n_per_read is not None and ns.max_N < 0:
+        ns.max_N = ns.lg_max_n_per_read
+    if ns.lg_max_nts_mismatch is not None and ns.max_out_of_quality < 0:
+        ns.max_out_of_quality = ns.lg_max_nts_mismatch
+    # window screens: legacy reuses min/max-quality as the window bounds,
+    # falling back to its defaults 20,60 (old/main_hpg_fastq_old.c:96-97)
+    wrange = rng(20 if qmin is None else qmin, 60 if qmax is None else qmax)
+    if ns.lg_lfilter_nts is not None and ns.left_length < 0:
+        ns.left_length = ns.lg_lfilter_nts
+        if not ns.left_quality_range:
+            ns.left_quality_range = wrange
+    if ns.lg_rfilter_nts is not None and ns.right_length < 0:
+        ns.right_length = ns.lg_rfilter_nts
+        if not ns.right_quality_range:
+            ns.right_quality_range = wrange
+
+
 def _results_banner(lines):
     print("\n")
     print("RESULTS")
@@ -317,7 +354,19 @@ def _main(argv=None) -> int:
             timers.report()
     elif command == "filter":
         _add_common(parser, with_encoding=True)
+        # legacy flag spellings (old/README:121-142) — translated onto the
+        # modern range strings below so display/validation see one form
+        parser.add_argument("--phred-quality", dest="quality_encoding_name",
+                            default=None, help=argparse.SUPPRESS)
+        for legacy in ("--min-read-length", "--max-read-length",
+                       "--max-n-per-read", "--max-nts-mismatch",
+                       "--lfilter-nts", "--rfilter-nts",
+                       "--min-quality", "--max-quality"):
+            parser.add_argument(legacy, type=int, default=None,
+                                dest="lg_" + legacy[2:].replace("-", "_"),
+                                help="Legacy alias (see MIGRATION.md)")
         ns = parser.parse_args(rest)
+        _apply_legacy_filter_flags(ns)
         opts = _ns_to_opts(ns, FilterOptions)
         validate_common(opts)
         display(opts)

@@ -619,3 +619,36 @@ def test_reader_batch_auto(monkeypatch):
     o.device_batch_reads = 4096
     o.batch_size = 65536
     assert runmod._batch_reads(o) == 4096
+
+
+def test_cli_filter_legacy_flags(tmp_path, capsys):
+    """Legacy getopt filter spellings (old/README:121-142) == the modern
+    range-string invocation, byte-identical outputs."""
+    path = _fastq(tmp_path, n=400, min_len=40, max_len=80, n_prob=0.02,
+                  seed=91)
+    a, b = tmp_path / "legacy", tmp_path / "modern"
+    a.mkdir(), b.mkdir()
+    rc = main(["filter", "-f", path, "-o", str(a),
+               "--min-read-length", "45", "--max-read-length", "75",
+               "--min-quality", "20", "--max-quality", "65",
+               "--max-n-per-read", "1", "--max-nts-mismatch", "30",
+               "--lfilter-nts", "10", "--rfilter-nts", "5"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["filter", "-f", path, "-o", str(b),
+               "--read-length-range", "45,75",
+               "--read-quality-range", "20,65",
+               "--max-N", "1", "--max-out-of-quality", "30",
+               "--left-length", "10", "--left-quality-range", "20,65",
+               "--right-length", "5", "--right-quality-range", "20,65"])
+    assert rc == 0
+    capsys.readouterr()
+    assert (a / "passed.fq").read_bytes() == (b / "passed.fq").read_bytes()
+    assert (a / "failed.fq").read_bytes() == (b / "failed.fq").read_bytes()
+    # quality clamp: legacy --max-quality 99 -> 70
+    c = tmp_path / "clamp"
+    c.mkdir()
+    rc = main(["filter", "-f", path, "-o", str(c),
+               "--min-quality", "5", "--max-quality", "99"])
+    assert rc == 0
+    assert "Read quality range  : 10,70" in capsys.readouterr().out
