@@ -61,23 +61,29 @@ def usage(exec_name: str) -> str:
 
 
 def _add_common(p: argparse.ArgumentParser, with_windows=True, with_encoding=False):
-    p.add_argument("-f", "--fastq-file", dest="in_filename",
-                   help="Input file name (FastQ format)")
+    p.add_argument("-f", "--fastq-file", "--fq", "--fastq",
+                   dest="in_filename",
+                   help="Input file name (FastQ format; --fq/--fastq are "
+                        "the legacy spellings)")
     p.add_argument("--fq1", "--fastq1", dest="in_filename1",
                    help="Paired-end input, mate 1")
     p.add_argument("--fq2", "--fastq2", dest="in_filename2",
                    help="Paired-end input, mate 2")
     p.add_argument("-o", "--outdir", dest="out_dirname",
                    help="Output directory name")
-    p.add_argument("--num-threads", type=int, default=2, help="Number of threads")
+    p.add_argument("--num-threads", "--cpu-num-threads", type=int, default=2,
+                   help="Number of threads")
     p.add_argument("--batch-size", type=int, default=None,
                    help="Batch size (in number of alignments; default 10000)")
     p.add_argument("--batch-list-size", type=int, default=0,
                    help="Max read batches queued ahead of the engine "
                         "(legacy knob; 0 = auto)")
     if with_encoding:
-        p.add_argument("--quality-encoding", dest="quality_encoding_name",
-                       help="Encoding for quality scores: phred33, phred64")
+        p.add_argument("--quality-encoding", "--phred-quality",
+                       dest="quality_encoding_name",
+                       help="Encoding for quality scores: phred33, phred64 "
+                            "(legacy --phred-quality also accepts "
+                            "33/64/sanger/solexa)")
     p.add_argument("--read-length-range",
                    help="Read length range, eg. 80,110")
     p.add_argument("--read-quality-range",
@@ -306,6 +312,71 @@ def main(argv=None) -> int:
         return -1
 
 
+# legacy single-binary action flags (old/main_hpg_fastq_old.c:131-192) →
+# hpgq subcommands.  --qc together with --cg/--chaos-game runs both (the
+# legacy note: "Chaos Game ... must be launched together with Quality
+# Control", old/README:177).
+_LEGACY_ACTIONS = {"--qc": "stats", "--filter": "filter", "--prep": "prepro",
+                   "--preprocessing": "prepro", "--cg": "cgr",
+                   "--chaos-game": "cgr"}
+_VALUE_FLAGS = {"--k", "--gs-filename"}  # cgr-only flags that take a value
+
+
+def _strip_flags(args, drop_flags, drop_value_flags=()):
+    out, skip = [], False
+    for a in args:
+        if skip:
+            skip = False
+            continue
+        if a in drop_value_flags:
+            skip = True
+            continue
+        if a in drop_flags:
+            continue
+        out.append(a)
+    return out
+
+
+def _legacy_main(argv, exec_name: str) -> int:
+    """Dispatch a legacy-style invocation (action flags, no subcommand):
+    ``hpg-fastq --filter --fq in.fq --outdir out ...``."""
+    kinds = []
+    for a in argv:
+        k = _LEGACY_ACTIONS.get(a)
+        if k and k not in kinds:
+            kinds.append(k)
+    rest = [a for a in argv if a not in _LEGACY_ACTIONS]
+    # legacy --batch-size is in BYTES (default 64 MB, old/README:56); the
+    # modern flag counts reads.  In legacy dispatch, large values are
+    # clearly bytes — convert at ~250 B per short record.
+    for i, a in enumerate(rest):
+        if a == "--batch-size" and i + 1 < len(rest):
+            try:
+                v = int(rest[i + 1])
+            except ValueError:
+                break
+            if v > 1_000_000:
+                rest[i + 1] = str(max(10000, v // 250))
+                logging.getLogger("hpgq").info(
+                    "legacy --batch-size %d bytes -> %s reads", v, rest[i + 1]
+                )
+    if sorted(kinds) == ["cgr", "stats"]:
+        rc = _dispatch("stats", _strip_flags(rest, ("--write-gs",),
+                                             _VALUE_FLAGS), exec_name)
+        if rc != 0:
+            return rc
+        return _dispatch("cgr", _strip_flags(rest, ("--kmers",)), exec_name)
+    if len(kinds) != 1:
+        print(usage(exec_name), end="")
+        print("Error: legacy action flags %s are not supported together; "
+              "run the hpgq subcommands separately (see MIGRATION.md)"
+              % (kinds or "(none)"), file=sys.stderr)
+        return -1
+    if kinds[0] == "cgr":
+        rest = _strip_flags(rest, ("--kmers",))
+    return _dispatch(kinds[0], rest, exec_name)
+
+
 def _main(argv=None) -> int:
     from ..utils.compile_cache import enable as _enable_compile_cache
 
@@ -315,8 +386,12 @@ def _main(argv=None) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(usage(exec_name), end="")
         return -1
-    command, rest = argv[0], argv[1:]
+    if argv[0].startswith("-") and any(a in _LEGACY_ACTIONS for a in argv):
+        return _legacy_main(argv, exec_name)
+    return _dispatch(argv[0], argv[1:], exec_name)
 
+
+def _dispatch(command: str, rest, exec_name: str) -> int:
     parser = argparse.ArgumentParser(prog="%s %s" % (exec_name, command))
     if command == "stats":
         _add_common(parser, with_encoding=True)
@@ -356,8 +431,6 @@ def _main(argv=None) -> int:
         _add_common(parser, with_encoding=True)
         # legacy flag spellings (old/README:121-142) — translated onto the
         # modern range strings below so display/validation see one form
-        parser.add_argument("--phred-quality", dest="quality_encoding_name",
-                            default=None, help=argparse.SUPPRESS)
         for legacy in ("--min-read-length", "--max-read-length",
                        "--max-n-per-read", "--max-nts-mismatch",
                        "--lfilter-nts", "--rfilter-nts",
@@ -428,10 +501,6 @@ def _main(argv=None) -> int:
             timers.report()
     elif command == "prepro":
         _add_common(parser, with_encoding=True)
-        parser.add_argument("--phred-quality", dest="quality_encoding_name",
-                            default=None,
-                            help="Legacy alias of --quality-encoding "
-                                 "(33, 64, sanger, solexa)")
         parser.add_argument("--ltrim-nts", type=int, default=0,
                             help="Number of left (first) nucleotides to screen")
         parser.add_argument("--rtrim-nts", type=int, default=0,

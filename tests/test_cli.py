@@ -652,3 +652,41 @@ def test_cli_filter_legacy_flags(tmp_path, capsys):
                "--min-quality", "5", "--max-quality", "99"])
     assert rc == 0
     assert "Read quality range  : 10,70" in capsys.readouterr().out
+
+
+def test_cli_legacy_invocation_style(tmp_path, capsys):
+    """Legacy single-binary invocations (action flags, no subcommand —
+    old/README command-line examples) dispatch to the right subcommands."""
+    path = _fastq(tmp_path, n=200, min_len=60, max_len=80, seed=92)
+    # prepro example shape (old/README:104-106)
+    a = tmp_path / "prep"
+    a.mkdir()
+    rc = main(["--prep", "--rtrim-nts", "3", "--ltrim-nts", "5",
+               "--outdir", str(a), "--fq", path, "--phred-quality", "33",
+               "--min-quality", "27", "--max-quality", "64"])
+    assert rc == 0
+    assert (a / "in.fq.valid").exists()
+    capsys.readouterr()
+    # filter example shape (old/README:147-148)
+    b = tmp_path / "filt"
+    b.mkdir()
+    rc = main(["--filter", "--lfilter-nts", "10", "--outdir", str(b),
+               "--fq", path, "--min-quality", "20", "--max-quality", "65"])
+    assert rc == 0
+    assert (b / "passed.fq").exists() and (b / "failed.fq").exists()
+    capsys.readouterr()
+    # qc + chaos-game combo (old/README:187-188): stats AND cgr outputs,
+    # with legacy byte-valued --batch-size converted
+    c = tmp_path / "qccg"
+    c.mkdir()
+    rc = main(["--qc", "--fq", path, "--outdir", str(c), "--kmers",
+               "--batch-size", "50000000",
+               "--chaos-game", "--k", "4", "--write-gs"])
+    assert rc == 0
+    assert (c / "in.fq.summary.txt").exists()
+    assert (c / "in.fq_k=4_FG.pgm").exists()
+    assert (c / "in.fq_k=4.gs").exists()
+    capsys.readouterr()
+    # conflicting action combo -> clean error
+    rc = main(["--filter", "--prep", "--fq", path, "--outdir", str(c)])
+    assert rc == -1
