@@ -320,6 +320,16 @@ _LEGACY_ACTIONS = {"--qc": "stats", "--filter": "filter", "--prep": "prepro",
                    "--preprocessing": "prepro", "--cg": "cgr",
                    "--chaos-game": "cgr"}
 _VALUE_FLAGS = {"--k", "--gs-filename"}  # cgr-only flags that take a value
+# every filter-criteria flag (modern + legacy), all value-taking — stripped
+# from the stats legs of the legacy --qc --filter combined run so the
+# per-output stats don't re-filter
+_CRITERIA_FLAGS = {
+    "--read-length-range", "--read-quality-range", "--left-length",
+    "--left-quality-range", "--right-length", "--right-quality-range",
+    "--max-N", "--max-out-of-quality", "--min-read-length",
+    "--max-read-length", "--max-n-per-read", "--max-nts-mismatch",
+    "--lfilter-nts", "--rfilter-nts", "--min-quality", "--max-quality",
+}
 
 
 def _strip_flags(args, drop_flags, drop_value_flags=()):
@@ -366,6 +376,35 @@ def _legacy_main(argv, exec_name: str) -> int:
         if rc != 0:
             return rc
         return _dispatch("cgr", _strip_flags(rest, ("--kmers",)), exec_name)
+    if sorted(kinds) == ["filter", "stats"]:
+        # legacy combined run: "quality control statistics are provided
+        # both over the .valid and .invalid file" (old/README:144) —
+        # filter first, then stats over each output set
+        import os as _os
+
+        rc = _dispatch("filter", _strip_flags(rest, ("--kmers",)), exec_name)
+        if rc != 0:
+            return rc
+        outdir = "."
+        for i, a in enumerate(rest):
+            if a in ("-o", "--outdir") and i + 1 < len(rest):
+                outdir = rest[i + 1]
+        paired = any(a in ("--fq1", "--fastq1") for a in rest)
+        base = _strip_flags(
+            rest, (),
+            _CRITERIA_FLAGS | {"-f", "--fastq-file", "--fq", "--fastq",
+                               "--fq1", "--fastq1", "--fq2", "--fastq2"},
+        )
+        outs = ((("passed_1.fq", "passed_2.fq"), ("failed_1.fq", "failed_2.fq"))
+                if paired else (("passed.fq",), ("failed.fq",)))
+        for names in outs:
+            paths = [_os.path.join(outdir, n) for n in names]
+            in_flags = (["-f", paths[0]] if len(paths) == 1
+                        else ["--fq1", paths[0], "--fq2", paths[1]])
+            rc = _dispatch("stats", base + in_flags, exec_name)
+            if rc != 0:
+                return rc
+        return 0
     if len(kinds) != 1:
         print(usage(exec_name), end="")
         print("Error: legacy action flags %s are not supported together; "

@@ -690,3 +690,27 @@ def test_cli_legacy_invocation_style(tmp_path, capsys):
     # conflicting action combo -> clean error
     rc = main(["--filter", "--prep", "--fq", path, "--outdir", str(c)])
     assert rc == -1
+
+
+def test_cli_legacy_qc_filter_combo(tmp_path, capsys):
+    """Legacy --qc --filter: filter, then QC stats over both output sets
+    (old/README:144)."""
+    path = _fastq(tmp_path, n=200, min_len=50, max_len=70, n_prob=0.02,
+                  seed=93)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(["--qc", "--filter", "--fq", path, "--outdir", str(out),
+               "--min-quality", "20", "--max-quality", "60",
+               "--max-n-per-read", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    assert (out / "passed.fq").exists() and (out / "failed.fq").exists()
+    # stats reports for BOTH output sets, not filtered again
+    sp = (out / "passed.fq.summary.txt").read_text()
+    sf = (out / "failed.fq.summary.txt").read_text()
+    assert "Filter         : Disabled" in sp
+    n_pass = (out / "passed.fq").read_bytes().count(b"@read_")
+    n_fail = (out / "failed.fq").read_bytes().count(b"@read_")
+    assert n_pass + n_fail == 200
+    assert "Number of reads: %d" % n_pass in sp
+    assert "Number of reads: %d" % n_fail in sf
