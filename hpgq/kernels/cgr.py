@@ -128,14 +128,22 @@ def cgr_batch_tables(codes, quals, lens, valid, k: int, phred: int,
         cwq = jax.lax.dynamic_slice(fwq, (sl,), (chunk,))[:, None]
         ohx = (cx == bins).astype(jnp.float32) * cok          # [chunk, dim]
         ohy = (cy == bins).astype(jnp.float32)                # [chunk, dim]
+        # Precision.HIGHEST is LOAD-BEARING: TPU DEFAULT-precision f32
+        # matmuls multiply in bf16 (8-bit mantissa).  The 0/1 seq one-hots
+        # are bf16-exact, but quality weights reach ±93k (651 for k=7) and
+        # are NOT — a 100k-read TPU soak caught table_q drifting while
+        # table_seq stayed exact.  HIGHEST keeps true-f32 products, and the
+        # chunk bound (docstring) keeps every partial integer-exact in f32.
         seq = jax.lax.dot_general(
             ohx, ohy, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         qtw = ohx * cwq.astype(jnp.float32)
         qt = jax.lax.dot_general(
             qtw, ohy, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         # quality totals in two int32 limbs (hi*2^16 + lo): one cell can
         # exceed 2^31 within a batch (millions of low-complexity windows x
