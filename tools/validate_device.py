@@ -1,0 +1,232 @@
+"""On-device oracle validation: run every engine path against the numpy
+oracle on whatever jax backend is live (designed for the real TPU — the
+CPU-forced test suite cannot catch device-specific numerics, e.g. the
+bf16 default-matmul precision class; see CLAUDE.md hard-won notes).
+
+    python tools/validate_device.py [--reads N]   # default 100k
+
+Checks (all exact unless noted):
+  1. stats+filter+kmers: every counter vs oracle (acc_quality rtol 1e-3).
+  2. paired stats: pair-consistent counters vs oracle, both mates.
+  3. filter: passed/failed output BYTES vs the oracle partition.
+  4. CGR: table_seq, table_q, word count vs the faithful f64 loop oracle.
+
+Exits non-zero on any mismatch; prints one PASS line per check.
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tests"))
+
+import numpy as np  # noqa: E402
+
+
+def arr_eq(a, b):
+    """Engine arrays are lcap-padded; compare the common prefix + zero tails."""
+    a, b = np.asarray(a), np.asarray(b)
+    if a.ndim != b.ndim:
+        return False
+    if a.ndim == 1:
+        m = min(a.shape[0], b.shape[0])
+        return (np.array_equal(a[:m], b[:m])
+                and a[m:].sum() == 0 and b[m:].sum() == 0)
+    m = min(a.shape[1], b.shape[1])
+    return (np.array_equal(a[:, :m], b[:, :m])
+            and a[:, m:].sum() == 0 and b[:, m:].sum() == 0)
+
+
+def counters_equal(eng, orc, skip=()):
+    bad = []
+    for name in vars(orc):
+        if name in skip:
+            continue
+        a, b = getattr(eng, name), getattr(orc, name)
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            ok = arr_eq(a, b)
+        elif isinstance(a, float) or isinstance(b, float):
+            tol = 1e-3 if name == "acc_quality" else 1e-6
+            ok = abs(a - b) <= tol * max(1.0, abs(b))
+        else:
+            ok = a == b
+        if not ok:
+            bad.append(name)
+    return bad
+
+
+def corpus(n, tag="v", **kw):
+    from gen import make_fastq
+
+    path = os.path.join(".bench", "devval_%s_%d.fq" % (tag, n))
+    os.makedirs(".bench", exist_ok=True)
+    if not os.path.exists(path):
+        make_fastq(path, n, **dict(dict(min_len=100, max_len=100,
+                                        n_prob=0.005, seed=7), **kw))
+    return path
+
+
+def check_stats(n):
+    from hpgq.options import FilterCriteria, StatsOptions
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_stats
+
+    fq = corpus(n)
+    kw = dict(min_read_quality=18, max_read_quality=40, max_N=3)
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 131072
+    o.kmers_on = True
+    for k, v in kw.items():
+        setattr(o.criteria, k, v)
+    o.filter_on = True
+    eng = run_stats(o)
+    eng = eng[0] if isinstance(eng, tuple) else eng
+    orc = spec.stats_of_file(spec.iter_seq_qual(fq), kmers_on=True,
+                             criteria=FilterCriteria(**kw), phred=33)
+    bad = counters_equal(eng, orc)
+    assert not bad, "stats counters differ: %s" % bad
+    return "stats+filter+kmers: %d reads, all counters equal" % n
+
+
+def check_paired(n):
+    from hpgq.options import FilterCriteria, StatsOptions
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_stats
+
+    m1 = corpus(n, "m1", seed=31)
+    m2 = corpus(n, "m2", seed=32)
+    kw = dict(min_read_quality=18, max_read_quality=40, max_N=2)
+    o = StatsOptions()
+    o.in_filename, o.in_filename2 = m1, m2
+    o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 131072
+    for k, v in kw.items():
+        setattr(o.criteria, k, v)
+    o.filter_on = True
+    c1, c2 = run_stats(o)
+    crit = FilterCriteria(**kw).substituted()
+    r1 = list(spec.iter_seq_qual(m1))
+    r2 = list(spec.iter_seq_qual(m2))
+    both = [spec.filter_verdict(s1, q1, crit, 33)
+            and spec.filter_verdict(s2, q2, crit, 33)
+            for (s1, q1), (s2, q2) in zip(r1, r2)]
+
+    def sel(recs):
+        return (r for r, b in zip(recs, both) if b)
+
+    o1 = spec.stats_of_file(sel(r1))
+    o2 = spec.stats_of_file(sel(r2))
+    skip = ("filter_on", "num_passed", "num_failed")
+    bad = counters_equal(c1, o1, skip) + counters_equal(c2, o2, skip)
+    assert not bad, "paired counters differ: %s" % bad
+    assert c1.num_passed == sum(both)
+    return "paired stats: %d pairs, both mates equal (passed %d)" % (
+        n, sum(both))
+
+
+def check_filter_bytes(n):
+    from hpgq.options import FilterCriteria, FilterOptions
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_filter
+
+    fq = corpus(n)
+    kw = dict(min_read_quality=18, max_read_quality=40, max_N=2)
+    o = FilterOptions()
+    o.in_filename = fq
+    o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 131072
+    for k, v in kw.items():
+        setattr(o.criteria, k, v)
+    o.filter_on = True
+    res = run_filter(o)
+    crit = FilterCriteria(**kw).substituted()
+    pp, ff = [], []
+    with open(fq, "rb") as f:
+        raw = f.read().split(b"\n")
+    for i in range(0, len(raw) - 1, 4):
+        rec = b"\n".join(raw[i:i + 4]) + b"\n"
+        (pp if spec.filter_verdict(raw[i + 1], raw[i + 3], crit, 33)
+         else ff).append(rec)
+    assert open(res["passed_filename"], "rb").read() == b"".join(pp)
+    assert open(res["failed_filename"], "rb").read() == b"".join(ff)
+    return "filter: %d reads, passed/failed bytes == oracle (%d/%d)" % (
+        n, len(pp), len(ff))
+
+
+def check_cgr(n, k=7):
+    from hpgq.io.fastq import FastqReader
+    from hpgq.io.packer import pack_block
+    from hpgq.options import CgrOptions
+    from hpgq.oracle.cgr import fill_tables_loop
+    from hpgq.pipeline.cgr_run import run_cgr
+
+    fq = corpus(n)
+    o = CgrOptions()
+    o.in_filename = fq
+    o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 131072
+    o.k = k
+    res = run_cgr(o)
+    dim = 1 << k
+    ts = np.zeros((dim, dim), np.int64)
+    tq = np.zeros((dim, dim), np.int64)
+    words = 0
+    with FastqReader(fq, batch_size=20000) as rd:
+        for block in rd:
+            codes, quals, lens, valid = pack_block(block)
+            bs, bq, w = fill_tables_loop(codes, quals, lens, valid, k, 33)
+            ts += bs
+            tq += bq
+            words += w
+    assert words == res["fq_word_count"], (words, res["fq_word_count"])
+    assert np.array_equal(np.asarray(res["table_seq"]), ts), "table_seq"
+    assert np.array_equal(np.asarray(res["table_q"]), tq), "table_q"
+    return "cgr k=%d: %d reads, tables + word count exact" % (k, n)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=100_000)
+    ap.add_argument("--cgr-reads", type=int, default=50_000,
+                    help="the loop oracle is slow; smaller default")
+    args = ap.parse_args()
+
+    from hpgq.utils.compile_cache import enable
+
+    enable()
+    import jax
+
+    print("backend:", jax.default_backend(), jax.devices()[0], flush=True)
+    rc = 0
+    for fn, n in ((check_stats, args.reads), (check_paired, args.reads // 2),
+                  (check_filter_bytes, args.reads),
+                  (check_cgr, args.cgr_reads)):
+        t0 = time.perf_counter()
+        try:
+            msg = fn(n)
+            print("PASS %5.1fs  %s" % (time.perf_counter() - t0, msg),
+                  flush=True)
+        except AssertionError as e:
+            print("FAIL %5.1fs  %s: %s" % (time.perf_counter() - t0,
+                                           fn.__name__, e), flush=True)
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
