@@ -11,9 +11,11 @@ Topology (SURVEY §2.3 P4/P5, §5 'distributed communication backend'):
   the fused per-device kernel inside ``shard_map`` — NO collectives in the
   steady state,
 * hosts step in lockstep; a host whose range is exhausted feeds empty
-  (all-invalid) batches while a 1-int ``psum`` "any data left" vote keeps the
-  step counts equal (the only per-step collective, and only when
-  ``jax.process_count() > 1``),
+  (all-invalid) batches while a tiny per-step shape vote — element-wise max
+  of each rank's ``(lmax, rows, rawlen)`` buckets, all-zero = "everyone
+  done" — keeps step counts AND dispatch shapes (bucketed rows, trimmed
+  wire columns) identical across ranks (the only per-step collective, and
+  only when ``jax.process_count() > 1``),
 * the final merge is one ``psum``/``pmin``/``pmax`` over the mesh
   (``sharded_counters``) — the reference's serial consumer merge
   (``src/stats_fastq.c:257-417``) as a single collective; process 0 writes
@@ -109,27 +111,43 @@ class ShardedStatsSession:
         self._since_flush = 0
         self._reset(lcap)
 
-    def feed_block(self, block, sel=None):
+    def local_shape(self, block):
+        """``(lmax, rows, rawlen)`` dispatch-shape buckets for a block —
+        the per-step lockstep vote vector.  Element-wise max across ranks
+        is sound because every element is a per-rank LOWER bound that any
+        larger bucket also satisfies (lmax: 128-lane length bucket; rows:
+        ndev-divisible 16384-row bucket; rawlen: longest read, from which
+        every rank derives the identical trimmed wire width under the
+        voted lcap).  ``(0, 0, 0)`` marks an exhausted shard."""
+        if block is None:
+            return (0, 0, 0)
+        return (
+            round_up(max(block.max_len(), 1), 128),
+            min(self.batch_reads,
+                round_up(bucket_rows(block.num_reads, self.batch_reads),
+                         self.ndev)),
+            max(block.max_len(), 1),
+        )
+
+    def feed_block(self, block, sel=None, shape=None):
         """Feed a RecordBlock; ``sel`` restricts which reads count (the
         paired pair-consistent filter) — applied by zeroing the wire rows'
-        valid byte (native single-pass pack stays on the fast path)."""
-        lmax = round_up(max(block.max_len(), 1), 128)
+        valid byte (native single-pass pack stays on the fast path).
+
+        ``shape`` is a ``local_shape``-style ``(lmax, rows, rawlen)``: in
+        multihost lockstep every rank MUST pass the same globally voted
+        tuple (shard_map shapes have to match across processes); defaults
+        to this block's local buckets (single-process sessions follow the
+        single-chip engine's trimmed dispatch shapes)."""
+        if shape is None:
+            shape = self.local_shape(block)
+        lmax, rows, rawlen = shape
         if lmax > self.lcap:
             self._grow(lmax)
-        # single-process (one host, N local devices): no lockstep partner,
-        # so shapes can follow the block like the single-chip engine —
-        # bucketed rows (ndev-divisible for the 'data' split) + trimmed
-        # wire columns.  Multi-host keeps fixed shapes (see the note above
-        # run_stats_sharded: trimming there needs a per-step shape vote).
-        sp = jax.process_count() == 1
-        rows = (min(self.batch_reads,
-                    round_up(bucket_rows(block.num_reads, self.batch_reads),
-                             self.ndev))
-                if sp else self.batch_reads)
         if self.wire in ("bitpack", "fused4"):
             from ..io.packer import pack_block_wire, zero_wire_sel
 
-            wl = wire_len(block.max_len(), self.lcap) if sp else self.lcap
+            wl = wire_len(rawlen, self.lcap)
             buf = pack_block_wire(block, self.wire, wl, pad_reads_to=rows)
             if sel is not None:
                 zero_wire_sel(buf, sel)
@@ -143,20 +161,24 @@ class ShardedStatsSession:
             valid[: len(sel)] &= np.asarray(sel, bool)
         self.feed_packed(codes, quals, lens, valid)
 
-    def feed_empty(self):
-        """A lockstep step with no local data (exhausted multi-host shard)."""
+    def feed_empty(self, shape=None):
+        """A lockstep step with no local data (exhausted multi-host shard);
+        ``shape`` is the step's voted ``(lmax, rows, rawlen)`` — the empty
+        batch must match the other ranks' dispatch shapes exactly."""
+        rows = self.batch_reads if shape is None else shape[1]
+        wl = self.lcap if shape is None else wire_len(shape[2], self.lcap)
         if self.wire in ("bitpack", "fused4"):
-            W = (10 * self.lcap // 8 if self.wire == "bitpack"
-                 else self.lcap // 2 + self.lcap) + 8
+            W = (10 * wl // 8 if self.wire == "bitpack"
+                 else wl // 2 + wl) + 8
             # all-zero wire rows decode to valid=0 (no reads)
-            self._feed_wire(np.zeros((self.batch_reads, W), np.uint8))
+            self._feed_wire(np.zeros((rows, W), np.uint8))
             return
-        z = np.zeros((self.batch_reads, self.lcap), dtype=np.int8)
+        z = np.zeros((rows, self.lcap), dtype=np.int8)
         self.feed_packed(
             z + np.int8(5),
             np.zeros_like(z, dtype=np.uint8),
-            np.zeros(self.batch_reads, np.int32),
-            np.zeros(self.batch_reads, bool),
+            np.zeros(rows, np.int32),
+            np.zeros(rows, bool),
         )
 
     def _feed_wire(self, buf):
@@ -187,12 +209,16 @@ class ShardedStatsSession:
 
     def _after_step(self):
         # periodic int32-overflow-safe fold (same bound as DeviceAccumulator,
-        # per-device shard rows)
+        # per-device shard rows).  batch_reads is PER-PROCESS rows (the
+        # global batch is pcnt x batch_reads), so each device's shard is
+        # batch_reads / local_device_count rows — using the global device
+        # count here would overestimate the safe window by pcnt and risk
+        # int32 overflow on multi-host runs.
         from ..core.accumulator import safe_flush_every
 
         self._since_flush += 1
         if self._since_flush >= safe_flush_every(
-            self.batch_reads // self.ndev, self.lcap
+            max(1, self.batch_reads // jax.local_device_count()), self.lcap
         ):
             self._grow(self.lcap)  # fold into carry, reset device partials
 
@@ -209,6 +235,7 @@ class ShardedStatsSession:
 
 
 _jitted_max = jax.jit(jnp.max)
+_jitted_max0 = jax.jit(lambda x: x.max(axis=0))
 _jitted_sum0 = jax.jit(lambda x: x.sum(axis=0))
 
 
@@ -238,11 +265,23 @@ def _vote_max(mesh, value: int) -> int:
     Used once per step in multi-host mode to agree on (a) whether any shard
     still has input (max length 0 = everyone done) and (b) the global length
     bucket, so every process grows its shard_map shapes in lockstep."""
-    local = np.full(jax.local_device_count(), int(value), np.int32)
+    return int(_vote_max_vec(mesh, [int(value)])[0])
+
+
+def _vote_max_vec(mesh, values) -> np.ndarray:
+    """Element-wise cross-process max of a small host-local int vector —
+    the per-step multihost shape vote ((lmax, rows, rawlen) in ONE tiny
+    collective).  Single-process: the values unchanged."""
+    vals = np.atleast_1d(np.asarray(values, dtype=np.int32))
+    if jax.process_count() == 1:
+        return vals
+    local = np.broadcast_to(
+        vals, (jax.local_device_count(),) + vals.shape
+    ).copy()
     g = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("data")), local
     )
-    return int(_jitted_max(g))
+    return np.asarray(jax.device_get(_jitted_max0(g)))
 
 
 class ShardedCgrSession:
@@ -341,19 +380,36 @@ def open_shard_reader(path: str, opts, pidx: int, pcnt: int,
     return reader, iter(reader)
 
 
-def iter_lockstep(mesh, blocks, multihost: bool, min_len: int, timers):
+def iter_lockstep(mesh, blocks, multihost: bool, min_len: int, timers,
+                  shape_fn=None):
     """Lockstep iterator over one shard: yields ``(block_or_None, lmax)``
     once per global step.  In multihost mode a tiny collective agrees on
     'anyone left' and the global length bucket every step (so shard_map
     shapes stay identical across processes); a ``None`` block means this
     shard is exhausted but others are not (feed an empty batch).  Single-
-    process mode degenerates to plain iteration with local buckets."""
+    process mode degenerates to plain iteration with local buckets.
+
+    With ``shape_fn`` (trimmed dispatch shapes — the stats sessions):
+    ``shape_fn(block_or_None)`` returns this rank's int shape-bucket tuple
+    (``ShardedStatsSession.local_shape``; all zeros when exhausted); the
+    whole tuple is voted element-wise max in the SAME single collective and
+    yielded as ``(block, voted_tuple)``.  ``voted[0] == 0`` (no rank has a
+    length bucket) ends the loop."""
     done = False
     while True:
         block = None if done else next(blocks, None)
         if block is None:
             done = True
-        if multihost:
+        if shape_fn is not None:
+            local = shape_fn(block)
+            voted = (
+                tuple(int(v) for v in _vote_max_vec(mesh, local))
+                if multihost else tuple(int(v) for v in local)
+            )
+            if voted[0] == 0:
+                return
+            yield block, voted
+        elif multihost:
             lmax_local = (
                 0 if done else round_up(max(block.max_len(), min_len), 128)
             )
@@ -611,25 +667,24 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
             pair = None if done else next(pairs, None)
             if pair is None:
                 done = True
-            if multihost:
-                lmax_local = 0 if done else round_up(
-                    max(pair[0].max_len(), pair[1].max_len(), 1), 128
-                )
-                lmax = _vote_max(mesh, lmax_local)
-                if lmax == 0:
-                    break
-            else:
-                if done:
-                    break
-                lmax = round_up(max(pair[0].max_len(), pair[1].max_len(), 1),
-                                128)
+            # one shared (lmax, rows, rawlen) bucket covers both mates
+            # (they grow together); multihost votes it element-wise max
+            # across ranks in the one lockstep collective
+            local = ((0, 0, 0) if pair is None else tuple(
+                max(a, b) for a, b in zip(sess1.local_shape(pair[0]),
+                                          sess2.local_shape(pair[1]))
+            ))
+            shape = (tuple(int(v) for v in _vote_max_vec(mesh, local))
+                     if multihost else local)
+            if shape[0] == 0:
+                break
             for sess in (sess1, sess2):
-                if lmax > sess.lcap:
-                    sess._grow(lmax)
+                if shape[0] > sess.lcap:
+                    sess._grow(shape[0])
             with timers.stage("compute"):
                 if pair is None:
-                    sess1.feed_empty()
-                    sess2.feed_empty()
+                    sess1.feed_empty(shape)
+                    sess2.feed_empty(shape)
                     continue
                 b1, b2 = pair
                 sel = None
@@ -640,7 +695,7 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
                     num_failed += b1.num_reads - npass
                     sel = both
                 for sess, blk in ((sess1, b1), (sess2, b2)):
-                    sess.feed_block(blk, sel=sel)
+                    sess.feed_block(blk, sel=sel, shape=shape)
 
     with timers.stage("compute"):
         c1, c2 = sess1.finish(), sess2.finish()
@@ -814,15 +869,13 @@ def _run_output_sharded(opts, timers, mesh, cmd, runner, count_keys):
     return out
 
 
-# NOTE (perf, future work): in MULTI-HOST mode the sharded sessions keep
-# FIXED global batch shapes — full batch_reads rows and full-lcap wire
-# widths — because lockstep requires every rank to agree on each step's
-# shapes; adopting the single-host trimming there needs a per-step
-# (rows, wire_len) vote on top of the existing _vote_max lcap growth.
-# Single-process sessions (one host, N local devices) already bucket rows
-# and trim wire columns like the single-chip engine (feed_block above).
-# Readers keep the exact --batch-size: per-rank step counts feed the
-# lockstep collectives.
+# NOTE: both single-process and MULTI-HOST sharded stats use trimmed
+# dispatch shapes (bucketed rows + trimmed wire columns, like the
+# single-chip engine); in multihost mode the per-step (lmax, rows, rawlen)
+# tuple is voted element-wise max across ranks in the one lockstep
+# collective (iter_lockstep shape_fn), so every rank dispatches identical
+# shard_map shapes.  Readers keep the exact --batch-size: per-rank step
+# counts feed the lockstep collectives.
 def run_stats_sharded(
     opts: StatsOptions,
     timers: Optional[StageTimers] = None,
@@ -888,14 +941,15 @@ def run_stats_sharded(
                                        start_offset=resume_offset)
     last_offset = resume_offset or 0
     try:
-        for block, lmax in iter_lockstep(mesh, blocks, multihost, 1, timers):
-            if lmax > sess.lcap:
-                sess._grow(lmax)
+        for block, shape in iter_lockstep(mesh, blocks, multihost, 1, timers,
+                                          shape_fn=sess.local_shape):
+            if shape[0] > sess.lcap:
+                sess._grow(shape[0])
             with timers.stage("compute"):
                 if block is None:
-                    sess.feed_empty()
+                    sess.feed_empty(shape)
                 else:
-                    sess.feed_block(block)
+                    sess.feed_block(block, shape=shape)
                     last_offset = block.end_offset
             if ck is not None:
                 with timers.stage("checkpoint"):

@@ -360,11 +360,11 @@ def test_sharded_stats_resume(tmp_path):
     real = run_dist.ShardedStatsSession.feed_block
     calls = {"n": 0}
 
-    def limited(self, block):
+    def limited(self, block, **kw):
         if calls["n"] >= 4:
             raise Boom()
         calls["n"] += 1
-        return real(self, block)
+        return real(self, block, **kw)
 
     run_dist.ShardedStatsSession.feed_block = limited
     try:

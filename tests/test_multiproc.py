@@ -463,12 +463,12 @@ if mode == "crash":
     real = run_dist.ShardedStatsSession.feed_block
     state = {"n": 0}
 
-    def limited(self, block):
+    def limited(self, block, **kw):
         if state["n"] >= 3:
             print("CRASHING", flush=True)
             os._exit(3)  # hard kill mid-run, after >=3 checkpoints
         state["n"] += 1
-        return real(self, block)
+        return real(self, block, **kw)
 
     run_dist.ShardedStatsSession.feed_block = limited
 
@@ -530,3 +530,106 @@ def test_two_process_sharded_resume(tmp_path):
     resumed = _run_pair(worker, fq, outs, ck, "plain")
     assert resumed[0] == resumed[1] == ref[0]
     assert not glob.glob(ck + ".rank*")
+
+
+_VOTED_WORKER = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, nproc, fq, outdir, repo, wire = sys.argv[1:8]
+jax.distributed.initialize(coord, int(nproc), int(pid))
+
+os.environ["HPGQ_WIRE"] = wire
+sys.path.insert(0, repo)
+from hpgq.options import StatsOptions
+from hpgq.dist.run_dist import run_stats_sharded
+
+o = StatsOptions()
+o.in_filename = fq
+o.out_dirname = outdir
+o.quality_encoding_value = 33
+o.quality_encoding_name = "phred33"
+# deliberately UNEQUAL per-rank batch sizes: the ranks' step counts and
+# per-step (lmax, rows, rawlen) buckets all differ, so every step's voted
+# trimmed dispatch shape is exercised (incl. empty tail feeds on the
+# faster rank)
+o.batch_size = 250 if int(pid) == 0 else 700
+c = run_stats_sharded(o)
+print(json.dumps({
+    "num_reads": c.num_reads, "acc_length": c.acc_length,
+    "min_length": c.min_length, "max_length": c.max_length,
+    "num_As": c.num_As, "num_Ns": c.num_Ns,
+    "length_hist_sum": int(c.length_hist.sum()),
+    "qual_per_nt_sum": int(c.acc_quality_per_nt.sum()),
+    "gc_hist_sum": int((c.gc_hist * range(len(c.gc_hist))).sum()),
+}))
+"""
+
+
+@pytest.mark.parametrize("wire", ["bitpack", "off"])
+def test_two_process_voted_trimmed_shapes(tmp_path, wire):
+    """Multihost lockstep with per-step voted TRIMMED shapes: the two
+    ranks see different read-length regimes (short first half, long second
+    half, incl. a mid-stream lcap growth past 128) and use different batch
+    sizes, so the voted (lmax, rows, rawlen) tuple differs from either
+    rank's local buckets on most steps.  Global counters must equal the
+    single-process truth."""
+    from gen import make_records, write_fastq
+
+    recs = (make_records(1200, min_len=40, max_len=70, seed=71)
+            + make_records(1200, min_len=90, max_len=200, n_prob=0.02,
+                           seed=72))
+    fq = str(tmp_path / "v.fq")
+    write_fastq(fq, recs)
+
+    worker = str(tmp_path / "vw.py")
+    open(worker, "w").write(_VOTED_WORKER)
+    coord = "localhost:%d" % _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "HPGQ_WIRE")}
+    outs = [str(tmp_path / ("vo%d" % i)) for i in range(2)]
+    for o in outs:
+        os.makedirs(o)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), "2", fq, outs[i], repo,
+             wire],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for i in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err.decode()[-3000:]
+        results.append(json.loads(out.decode().strip().splitlines()[-1]))
+    assert results[0] == results[1]
+
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = str(tmp_path / "vref")
+    os.makedirs(o.out_dirname)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 512
+    ref = run_stats(o)
+    a = results[0]
+    assert a["num_reads"] == ref.num_reads
+    assert a["acc_length"] == ref.acc_length
+    assert a["min_length"] == ref.min_length
+    assert a["max_length"] == ref.max_length
+    assert a["num_As"] == ref.num_As
+    assert a["num_Ns"] == ref.num_Ns
+    assert a["length_hist_sum"] == int(ref.length_hist.sum())
+    assert a["qual_per_nt_sum"] == int(ref.acc_quality_per_nt.sum())
+    assert a["gc_hist_sum"] == int(
+        (ref.gc_hist * np.arange(len(ref.gc_hist))).sum()
+    )
