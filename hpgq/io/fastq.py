@@ -287,6 +287,50 @@ class RecordBlock:
         return n
 
 
+def concat_same_chunk(blocks: "list[RecordBlock]") -> RecordBlock:
+    """Merge RecordBlocks that share one underlying chunk buffer into a
+    single block (zero-copy: the merged block is just the union of the
+    slices' record tables).  Only valid for blocks over the SAME ``arr``
+    (the reader emits consecutive slices of each 16 MB chunk, so this
+    covers every same-chunk run); offsets/end_offset/span_bytes all stay
+    exact because the buffer and base_offset are unchanged."""
+    if len(blocks) == 1:
+        return blocks[0]
+    b0 = blocks[0]
+    out = RecordBlock.__new__(RecordBlock)
+    out.buf = b0.buf
+    out.arr = b0.arr
+    out.base_offset = b0.base_offset
+    out.starts = np.concatenate([b.starts for b in blocks])
+    out.ends = np.concatenate([b.ends for b in blocks])
+    return out
+
+
+def coalesce_blocks(blocks, target_reads: int):
+    """Batch consecutive same-chunk RecordBlocks up to ``target_reads``
+    per emitted block — the dispatch-coalescing iterator for explicit
+    small ``--batch-size`` runs (one device round-trip per ~target reads
+    instead of one per reader block; through a high-latency link the
+    dispatch count, not bytes, is the ceiling).  Record content, order,
+    and resume offsets are untouched; a chunk boundary always flushes
+    (merging across chunks would need a buffer copy for no extra win —
+    chunks already hold ~target reads)."""
+    pend: "list[RecordBlock]" = []
+    n = 0
+    for b in blocks:
+        if pend and (b.arr is not pend[0].arr
+                     or n + b.num_reads > target_reads):
+            yield concat_same_chunk(pend)
+            pend, n = [], 0
+        pend.append(b)
+        n += b.num_reads
+        if n >= target_reads:
+            yield concat_same_chunk(pend)
+            pend, n = [], 0
+    if pend:
+        yield concat_same_chunk(pend)
+
+
 def _index_lines(chunk: bytes, nl: np.ndarray, nrec: int) -> "tuple[np.ndarray, np.ndarray]":
     """Build [nrec,4] line start/end offset arrays from newline positions."""
     if nrec == 0:

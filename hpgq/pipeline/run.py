@@ -37,7 +37,10 @@ def _batch_reads(opts) -> int:
     # row count; the cap only bounds padding)
     if int(opts.device_batch_reads):
         return int(opts.device_batch_reads)
-    return max(256, round_up(max(int(opts.batch_size), _reader_batch(opts)),
+    # dispatch-coalesced runs bucket merged blocks' rows against the
+    # coalescing target, not the (small) reader block size
+    return max(256, round_up(max(int(opts.batch_size), _reader_batch(opts),
+                                 _coalesce_reads(opts)),
                              256))
 
 
@@ -69,6 +72,49 @@ def _reader_batch(opts) -> int:
         if jax.default_backend() != "cpu":
             return 131072
     return int(opts.batch_size)
+
+
+def _coalesce_reads(opts) -> int:
+    """Dispatch-coalescing target in reads (0 = off).
+
+    An explicit small ``--batch-size`` (e.g. the reference's 10000) keeps
+    the READER block size exact but makes every block its own device
+    round-trip — latency-bound through a remote/tunneled link.  When the
+    dispatch size is otherwise unconstrained, consecutive same-chunk
+    blocks are merged (zero-copy, ``io.fastq.coalesce_blocks``) so one
+    dispatch covers ~131072 reads; block content, order, and offsets are
+    untouched.  Suppressed when:
+
+    * a checkpoint is configured (``--checkpoint-every`` counts blocks),
+    * ``--device-batch-reads`` is set (the user hand-tunes dispatching),
+    * blocks are already accelerator-sized (incl. the auto upgrade),
+    * the backend is local CPU (dispatch latency is negligible).
+
+    ``HPGQ_COALESCE=<reads>`` overrides everything (0 forces off)."""
+    env = os.environ.get("HPGQ_COALESCE")
+    if env is not None:
+        return max(0, int(env))
+    if getattr(opts, "checkpoint_path", None):
+        return 0
+    if int(opts.device_batch_reads):
+        return 0
+    if _reader_batch(opts) >= 65536:
+        return 0
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return 0
+    return 131072
+
+
+def _coalesced(opts, reader):
+    """``reader``'s block iterator, dispatch-coalesced when eligible."""
+    tgt = _coalesce_reads(opts)
+    if not tgt:
+        return reader
+    from ..io.fastq import coalesce_blocks
+
+    return coalesce_blocks(iter(reader), tgt)
 
 
 def _iter_blocks(reader, timers, prefetch_depth: int = 3):
@@ -285,7 +331,8 @@ def _run_stats_parallel(opts, timers, crit, br, nshards: int,
             )
             with FastqReader(opts.in_filename, batch_size=_reader_batch(opts),
                              start_offset=start, end_offset=end) as rd:
-                for block, arrs in _iter_packed(rd, sess, br, t, workers=1):
+                for block, arrs in _iter_packed(_coalesced(opts, rd), sess, br,
+                                                t, workers=1):
                     with t.stage("compute"):
                         sess.feed_packed(*arrs)
             with t.stage("compute"):
@@ -407,7 +454,9 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
             opts.in_filename, batch_size=_reader_batch(opts),
             start_offset=max(start, rng[0]), end_offset=rng[1]
         ) as rd, _Profiler(opts.profile_dir):
-            for block, arrs in _iter_packed(rd, sess, br, timers, depth=getattr(opts, "batch_list_size", 0)):
+            for block, arrs in _iter_packed(_coalesced(opts, rd), sess, br,
+                                            timers,
+                                            depth=getattr(opts, "batch_list_size", 0)):
                 with timers.stage("compute"):
                     sess.feed_packed(*arrs)
                 nb += 1
@@ -471,7 +520,8 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
          FastqReader(opts.in_filename2, batch_size=_reader_batch(opts),
                      start_offset=max(start2, rng2[0]),
                      end_offset=rng2[1]) as r2:
-        for b1, b2 in _iter_blocks_paired(r1, r2, timers):
+        for b1, b2 in _iter_blocks_paired(_coalesced(opts, r1),
+                                          _coalesced(opts, r2), timers):
             with timers.stage("compute"):
                 sess.feed_pair(b1, b2)
             nb += 1
@@ -684,7 +734,7 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
              FastqWriter(passed_path, append_at=sizes.get("passed")) as pw, \
              FastqWriter(failed_path, append_at=sizes.get("failed")) as fw:
             for block, ok in _iter_with(
-                rd, vfn, timers,
+                _coalesced(opts, rd), vfn, timers,
                 depth=getattr(opts, "batch_list_size", 0),
             ):
                 with timers.stage("write"):
@@ -723,7 +773,8 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
          FastqWriter(paths["failed_1"], append_at=sizes.get("failed_1")) as f1, \
          FastqWriter(paths["failed_2"], append_at=sizes.get("failed_2")) as f2:
         writers = {"passed_1": p1, "passed_2": p2, "failed_1": f1, "failed_2": f2}
-        for b1, b2 in _iter_blocks_paired(r1, r2, timers):
+        for b1, b2 in _iter_blocks_paired(_coalesced(opts, r1),
+                                          _coalesced(opts, r2), timers):
             with timers.stage("compute"):
                 both = vfn(b1) & vfn(b2)  # pair-consistent discard
             with timers.stage("write"):
@@ -893,7 +944,7 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
             )
             try:
                 for block, trims in _iter_with(
-                    rd, efn, timers,
+                    _coalesced(opts, rd), efn, timers,
                     depth=getattr(opts, "batch_list_size", 0),
                 ):
                     emit(block, trims, ew, fw)
@@ -937,7 +988,8 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
              FastqReader(opts.in_filename2, batch_size=_reader_batch(opts),
                          start_offset=max(aux.get("offset2", 0), rng2[0]),
                          end_offset=rng2[1]) as r2:
-            for b1, b2 in _iter_blocks_paired(r1, r2, timers):
+            for b1, b2 in _iter_blocks_paired(_coalesced(opts, r1),
+                                          _coalesced(opts, r2), timers):
                 with timers.stage("compute"):
                     lt1, rt1, ok1 = efn(b1)
                     lt2, rt2, ok2 = efn(b2)

@@ -238,3 +238,101 @@ def test_bucket_rows():
     assert bucket_rows(131000, 131072) == 131072
     assert bucket_rows(300, 512) == 512      # small caps stay exact
     assert bucket_rows(5000, 0) == 5000      # no cap -> no padding
+
+
+def test_coalesce_blocks(tmp_path):
+    """Dispatch coalescing: same-chunk blocks merge zero-copy up to the
+    target; record content/order and resume offsets are untouched."""
+    from hpgq.io.fastq import coalesce_blocks
+
+    path = str(tmp_path / "c.fq")
+    records = make_fastq(path, 1000, min_len=30, max_len=80, seed=5)
+    small = _read_all(path, 100)  # 10 blocks, one shared chunk
+    merged = list(coalesce_blocks(iter(small), 350))
+    # 100-read blocks against a 350 target: groups of 3 (adding the 4th
+    # would exceed), remainder 100 -> [300, 300, 300, 100]
+    assert [b.num_reads for b in merged] == [300, 300, 300, 100]
+    assert all(m.arr is small[0].arr for m in merged)  # zero-copy
+    got = []
+    for m in merged:
+        for i in range(m.num_reads):
+            got.append((m.sequence(i), m.quality(i)))
+    assert got == [(r[1], r[2]) for r in records]
+    # merged end_offset == last member's (a valid resume point)
+    assert merged[0].end_offset == small[2].end_offset
+    assert merged[-1].end_offset == small[-1].end_offset
+    # span accounting survives the merge
+    assert sum(m.span_bytes for m in merged) == sum(b.span_bytes for b in small)
+
+    # a chunk boundary always flushes: blocks over different buffers never merge
+    b_lo, b_hi = small[0], small[5]
+    fake_hi = b_hi.slice(0, b_hi.num_reads)
+    fake_hi.arr = b_hi.arr.copy()  # simulate a new chunk buffer
+    out = list(coalesce_blocks(iter([b_lo, fake_hi]), 10_000))
+    assert [b.num_reads for b in out] == [100, 100]
+
+
+def test_coalesced_pipeline_equivalence(tmp_path, monkeypatch):
+    """HPGQ_COALESCE-forced runs: identical stats counters and
+    byte-identical filter outputs vs the uncoalesced run, with fewer
+    device dispatches."""
+    import os
+
+    from hpgq.options import FilterOptions, StatsOptions
+    from hpgq.pipeline.run import run_filter, run_stats
+    from hpgq.utils.timers import StageTimers
+
+    path = str(tmp_path / "p.fq")
+    make_fastq(path, 2000, min_len=40, max_len=120, seed=6, n_prob=0.02)
+
+    def stats_opts(sub):
+        o = StatsOptions()
+        o.in_filename = path
+        o.out_dirname = str(tmp_path / sub)
+        os.makedirs(o.out_dirname, exist_ok=True)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 150
+        o.batch_size_set = True
+        return o
+
+    monkeypatch.delenv("HPGQ_COALESCE", raising=False)
+    t_plain = StageTimers()
+    ref = run_stats(stats_opts("plain"), t_plain)
+
+    monkeypatch.setenv("HPGQ_COALESCE", "600")
+    t_co = StageTimers()
+    got = run_stats(stats_opts("co"), t_co)
+    assert got.equals(ref)
+    assert t_co.num_batches < t_plain.num_batches
+    # byte-identical reports
+    name = "p.fq.summary.txt"
+    assert (
+        open(os.path.join(str(tmp_path / "co"), name), "rb").read()
+        == open(os.path.join(str(tmp_path / "plain"), name), "rb").read()
+    )
+
+    def filter_opts(sub):
+        o = FilterOptions()
+        o.in_filename = path
+        o.out_dirname = str(tmp_path / sub)
+        os.makedirs(o.out_dirname, exist_ok=True)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 150
+        o.batch_size_set = True
+        o.criteria.min_read_quality = 18
+        o.criteria.max_read_quality = 45
+        return o
+
+    monkeypatch.delenv("HPGQ_COALESCE", raising=False)
+    rf = run_filter(filter_opts("fplain"))
+    monkeypatch.setenv("HPGQ_COALESCE", "600")
+    gf = run_filter(filter_opts("fco"))
+    assert (gf["num_passed"], gf["num_failed"]) == (rf["num_passed"],
+                                                    rf["num_failed"])
+    for name in ("passed.fq", "failed.fq"):
+        assert (
+            open(os.path.join(str(tmp_path / "fco"), name), "rb").read()
+            == open(os.path.join(str(tmp_path / "fplain"), name), "rb").read()
+        )
