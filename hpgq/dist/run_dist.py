@@ -287,24 +287,27 @@ def _vote_max_vec(mesh, values) -> np.ndarray:
 class ShardedCgrSession:
     """Chaos-game accumulation data-parallel over the mesh: each device
     fills its own [dim, dim] tables inside shard_map (zero steady-state
-    collectives); the merge is one psum (tables are plain sums)."""
+    collectives); the merge is one psum (tables are plain sums).  Batches
+    ride the active wire format (one uint8 buffer per host per step,
+    decoded per device) with the same voted trimmed dispatch shapes as the
+    stats sessions."""
 
     def __init__(self, mesh, k: int, phred: int, batch_reads: int):
-        from jax.sharding import PartitionSpec
         from .mesh import shard_map
+        from ..core.accumulator import resolve_wire
         from ..kernels.cgr import cgr_batch_tables
 
         self.mesh = mesh if mesh is not None else data_mesh()
         self.k = k
         self.phred = phred
-        ndev = self.mesh.devices.size
+        self.ndev = ndev = self.mesh.devices.size
         self.batch_reads = round_up(max(batch_reads, ndev), ndev)
         dim = 1 << k
         self.table_seq = np.zeros((dim, dim), dtype=np.int64)
         self.table_q = np.zeros((dim, dim), dtype=np.int64)
         self.word_count = 0
+        self.wire = resolve_wire()
         self._sharding = NamedSharding(self.mesh, P("data"))
-        self._steps = {}
 
         def device_fn(codes, quals, lens, valid):
             ts, tq_hi, tq_lo, w = cgr_batch_tables(
@@ -317,43 +320,80 @@ class ShardedCgrSession:
                 jax.lax.psum(w, "data"),
             )
 
-        self._device_fn = device_fn
-        self._P = PartitionSpec
-        self._shard_map = shard_map
+        # jit shape-caches per dispatch shape; shard_map retraces under it
+        self._step_arrays = jax.jit(shard_map(
+            device_fn, mesh=self.mesh,
+            in_specs=(P("data"),) * 4, out_specs=(P(),) * 4,
+        ))
+        self._step_wire = None
+        if self.wire in ("bitpack", "fused4"):
+            from ..kernels.stats_jnp import wire_unbits, wire_unfuse
 
-    def _step_for(self, L: int):
-        fn = self._steps.get(L)
-        if fn is None:
-            Pp = self._P
-            fn = jax.jit(self._shard_map(
-                self._device_fn,
-                mesh=self.mesh,
-                in_specs=(Pp("data"), Pp("data"), Pp("data"), Pp("data")),
-                out_specs=(Pp(), Pp(), Pp(), Pp()),
+            unf = wire_unbits if self.wire == "bitpack" else wire_unfuse
+
+            def device_fn_wire(buf):
+                return device_fn(*unf(buf))
+
+            self._step_wire = jax.jit(shard_map(
+                device_fn_wire, mesh=self.mesh,
+                in_specs=(P("data"),), out_specs=(P(),) * 4,
             ))
-            self._steps[L] = fn
-        return fn
 
-    def feed_block(self, block):
-        lmax = round_up(max(block.max_len(), self.k), 128)
-        packed = pack_block(block, max_len=lmax, pad_reads_to=self.batch_reads)
-        self.feed_packed(*packed)
+    def local_shape(self, block):
+        """``(lmax, rows, rawlen)`` vote vector — see
+        ``ShardedStatsSession.local_shape`` (lmax floors at the word size
+        ``k`` so every step has at least one window column)."""
+        if block is None:
+            return (0, 0, 0)
+        return (
+            round_up(max(block.max_len(), self.k), 128),
+            min(self.batch_reads,
+                round_up(bucket_rows(block.num_reads, self.batch_reads),
+                         self.ndev)),
+            max(block.max_len(), self.k),
+        )
 
-    def feed_empty(self, L: int = 128):
-        z = np.full((self.batch_reads, L), 5, dtype=np.int8)
+    def feed_block(self, block, shape=None):
+        if shape is None:
+            shape = self.local_shape(block)
+        lmax, rows, rawlen = shape
+        if self._step_wire is not None:
+            from ..io.packer import pack_block_wire
+
+            buf = pack_block_wire(block, self.wire,
+                                  wire_len(rawlen, lmax), pad_reads_to=rows)
+            self._fold(self._step_wire(*make_global_batch(
+                self.mesh, self._sharding, (buf,)
+            )))
+            return
+        self.feed_packed(*pack_block(block, max_len=lmax, pad_reads_to=rows))
+
+    def feed_empty(self, shape=None):
+        lmax, rows, rawlen = shape if shape else (128, self.batch_reads, 1)
+        if self._step_wire is not None:
+            wl = wire_len(rawlen, lmax)
+            W = (10 * wl // 8 if self.wire == "bitpack" else wl // 2 + wl) + 8
+            # all-zero wire rows decode to valid=0 (no reads)
+            self._fold(self._step_wire(*make_global_batch(
+                self.mesh, self._sharding, (np.zeros((rows, W), np.uint8),)
+            )))
+            return
+        z = np.full((rows, lmax), 5, dtype=np.int8)
         self.feed_packed(z, np.zeros_like(z, dtype=np.uint8),
-                         np.zeros(self.batch_reads, np.int32),
-                         np.zeros(self.batch_reads, bool))
+                         np.zeros(rows, np.int32),
+                         np.zeros(rows, bool))
 
     def feed_packed(self, codes, quals, lens, valid):
         batch = make_global_batch(
             self.mesh, self._sharding,
             (codes, quals, lens.astype(np.int32), valid),
         )
+        self._fold(self._step_arrays(*batch))
+
+    def _fold(self, tables) -> None:
         from ..kernels.cgr import combine_quality_limbs
 
-        ts, tq_hi, tq_lo, w = self._step_for(codes.shape[1])(*batch)
-        host = jax.device_get((ts, tq_hi, tq_lo, w))
+        host = jax.device_get(tables)
         self.table_seq += np.asarray(host[0], dtype=np.int64)
         self.table_q += combine_quality_limbs(host[1], host[2])
         self.word_count += int(host[3])
@@ -573,15 +613,14 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
                                            start_offset=in_offset)
         last_offset = in_offset or 0
         try:
-            for block, lmax in iter_lockstep(mesh, blocks, multihost,
-                                             sess.k, timers):
+            for block, shape in iter_lockstep(mesh, blocks, multihost,
+                                              sess.k, timers,
+                                              shape_fn=sess.local_shape):
                 with timers.stage("compute"):
                     if block is None:
-                        sess.feed_empty(lmax)
+                        sess.feed_empty(shape)
                     else:
-                        packed = pack_block(block, max_len=lmax,
-                                            pad_reads_to=sess.batch_reads)
-                        sess.feed_packed(*packed)
+                        sess.feed_block(block, shape=shape)
                         last_offset = block.end_offset
                 if ck is not None:
                     with timers.stage("checkpoint"):

@@ -474,3 +474,42 @@ def test_sharded_wire_trim_with_growth(tmp_path, monkeypatch):
     monkeypatch.setenv("HPGQ_WIRE", "bitpack")
     wired = run_stats_sharded(opts(b))
     assert wired.equals(plain)
+
+
+def test_sharded_cgr_wire_equivalence(tmp_path, monkeypatch):
+    """Sharded CGR over the bitpack wire (trimmed voted shapes) produces
+    the same tables/words as the arrays path and the local pipeline."""
+    import numpy as np
+
+    from hpgq.options import CgrOptions
+    from hpgq.dist.run_dist import run_cgr_sharded
+    from hpgq.pipeline.cgr_run import run_cgr
+
+    fq = str(tmp_path / "cw.fq")
+    make_fastq(fq, 1500, min_len=30, max_len=140, n_prob=0.02, seed=77)
+
+    def opts(out):
+        o = CgrOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 400
+        o.k = 4
+        return o
+
+    outs = [tmp_path / n for n in ("c_off", "c_bit", "c_ref")]
+    for o in outs:
+        o.mkdir()
+    monkeypatch.setenv("HPGQ_WIRE", "off")
+    plain = run_cgr_sharded(opts(outs[0]))
+    monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+    wired = run_cgr_sharded(opts(outs[1]))
+    ref = run_cgr(opts(outs[2]))
+    for got in (plain, wired):
+        assert got["fq_word_count"] == ref["fq_word_count"]
+        assert np.array_equal(got["table_seq"], ref["table_seq"])
+        assert np.array_equal(got["table_q"], ref["table_q"])
+    assert (outs[1] / "cw.fq_k=4_FG.pgm").read_bytes() == (
+        outs[2] / "cw.fq_k=4_FG.pgm"
+    ).read_bytes()
