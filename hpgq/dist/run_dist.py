@@ -511,9 +511,12 @@ class _RotatingRankCheckpoint:
         self.ordinal = common
         return cands[common]
 
-    def maybe_save(self, counters, offset: int, extra=None, fold=None):
+    def maybe_save(self, counters, offset: int, extra=None, fold=None,
+                   counters2=None):
         """Call once per lockstep step; saves every ``every`` steps (running
-        ``fold()`` first — e.g. the collective carry fold)."""
+        ``fold()`` first — e.g. the collective carry fold).  ``counters``/
+        ``counters2`` may be callables (evaluated after the fold);
+        ``counters2`` holds the mate-2 accumulator for paired stats."""
         from ..utils.checkpoint import save_counters_checkpoint
 
         self.nsteps += 1
@@ -521,7 +524,6 @@ class _RotatingRankCheckpoint:
             return False
         if fold is not None:
             fold()
-            counters = counters() if callable(counters) else counters
         self.ordinal += 1
         slot = "a" if self.ordinal % 2 == 0 else "b"
         payload = dict(extra or {})
@@ -530,6 +532,7 @@ class _RotatingRankCheckpoint:
             self.base + "." + slot,
             counters() if callable(counters) else counters,
             offset, self.key, extra=payload,
+            counters2=counters2() if callable(counters2) else counters2,
         )
         return True
 
@@ -662,14 +665,6 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
     crit = opts.criteria if opts.filter_on else None
     br = _sharded_batch_reads(opts, mesh)
 
-    if getattr(opts, "checkpoint_path", None):
-        import logging
-
-        logging.getLogger("hpgq").warning(
-            "--checkpoint is not supported for sharded paired stats; "
-            "running without checkpoints"
-        )
-
     if multihost:
         _require_splittable([opts.in_filename, opts.in_filename2],
                             "paired stats")
@@ -683,6 +678,37 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
                                 batch_reads=br)
     sess2 = ShardedStatsSession(mesh, phred, opts.kmers_on, None,
                                 batch_reads=br)
+
+    # checkpointing: per-rank rotating two-slot files with common-ordinal
+    # voting (same protocol as single-end sharded stats); state = both
+    # mates' folded carries + both local reader offsets + this rank's
+    # pass/fail tallies.  Saves land at the SAME lockstep step on every
+    # rank (incl. empty tail steps), so restored states describe one
+    # global step.
+    ck = None
+    num_passed = num_failed = 0
+    if getattr(opts, "checkpoint_path", None):
+        import json as _json
+
+        ck_key = _json.dumps({
+            "cmd": "stats-sharded-paired",
+            "in": [os.path.abspath(opts.in_filename),
+                   os.path.abspath(opts.in_filename2)],
+            "phred": phred, "kmers": opts.kmers_on,
+            "crit": _crit_key(crit),
+            "rank": pidx, "nprocs": pcnt,
+        }, sort_keys=True)
+        ck = _RotatingRankCheckpoint(mesh, opts.checkpoint_path, ck_key,
+                                     opts.checkpoint_every or 50)
+        got = ck.resume()
+        if got:
+            carry1, off1, extra = got
+            sess1.carry = carry1
+            sess2.carry = extra["__counters2__"]
+            num_passed = int(extra["passed"])
+            num_failed = int(extra["failed"])
+            s1 = max(s1, int(off1))
+            s2 = max(s2, int(extra["offset2"]))
     vfn = (
         ShapeCachedFn(
             lambda: (
@@ -695,7 +721,7 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
         else None
     )
 
-    num_passed = num_failed = 0
+    last_off1, last_off2 = s1, s2
     with FastqReader(opts.in_filename, batch_size=opts.batch_size,
                      start_offset=s1, end_offset=e1) as r1, \
          FastqReader(opts.in_filename2, batch_size=opts.batch_size,
@@ -724,20 +750,33 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
                 if pair is None:
                     sess1.feed_empty(shape)
                     sess2.feed_empty(shape)
-                    continue
-                b1, b2 = pair
-                sel = None
-                if vfn is not None:
-                    both = vfn(b1) & vfn(b2)
-                    npass = int(both.sum())
-                    num_passed += npass
-                    num_failed += b1.num_reads - npass
-                    sel = both
-                for sess, blk in ((sess1, b1), (sess2, b2)):
-                    sess.feed_block(blk, sel=sel, shape=shape)
+                else:
+                    b1, b2 = pair
+                    sel = None
+                    if vfn is not None:
+                        both = vfn(b1) & vfn(b2)
+                        npass = int(both.sum())
+                        num_passed += npass
+                        num_failed += b1.num_reads - npass
+                        sel = both
+                    for sess, blk in ((sess1, b1), (sess2, b2)):
+                        sess.feed_block(blk, sel=sel, shape=shape)
+                    last_off1, last_off2 = b1.end_offset, b2.end_offset
+            if ck is not None:
+                with timers.stage("checkpoint"):
+                    ck.maybe_save(
+                        lambda: sess1.carry, last_off1,
+                        counters2=lambda: sess2.carry,
+                        extra={"offset2": last_off2,
+                               "passed": num_passed, "failed": num_failed},
+                        fold=lambda: (sess1._grow(sess1.lcap),
+                                      sess2._grow(sess2.lcap)),
+                    )
 
     with timers.stage("compute"):
         c1, c2 = sess1.finish(), sess2.finish()
+    if ck is not None:
+        ck.complete()
     if crit is not None:
         gp, gf = (int(x) for x in _vote_sum(mesh, [num_passed, num_failed]))
     else:

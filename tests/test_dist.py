@@ -513,3 +513,69 @@ def test_sharded_cgr_wire_equivalence(tmp_path, monkeypatch):
     assert (outs[1] / "cw.fq_k=4_FG.pgm").read_bytes() == (
         outs[2] / "cw.fq_k=4_FG.pgm"
     ).read_bytes()
+
+
+def test_sharded_paired_stats_resume(tmp_path):
+    """Interrupted sharded PAIRED stats resumes from its rotating
+    checkpoint (both mates' carries + both offsets + pass/fail tallies)
+    and matches the uninterrupted run."""
+    import os
+
+    from hpgq.dist import run_dist
+    from hpgq.dist.run_dist import run_stats_sharded
+    from hpgq.options import StatsOptions
+
+    import dataclasses
+
+    f1 = str(tmp_path / "pr1.fq")
+    f2 = str(tmp_path / "pr2.fq")
+    make_fastq(f1, 2200, min_len=40, max_len=100, n_prob=0.01, seed=81)
+    make_fastq(f2, 2200, min_len=35, max_len=110, n_prob=0.01, seed=82)
+
+    def opts(out, **kw):
+        o = StatsOptions()
+        o.in_filename = f1
+        o.in_filename2 = f2
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 250
+        o.criteria = dataclasses.replace(CRIT)
+        o.filter_on = True
+        for k, v in kw.items():
+            setattr(o, k, v)
+        return o
+
+    out_a, out_b = tmp_path / "pa", tmp_path / "pb"
+    out_a.mkdir(); out_b.mkdir()
+    fa1, fa2 = run_stats_sharded(opts(out_a))
+
+    ck = str(tmp_path / "pp.ck.npz")
+    ob = opts(out_b, checkpoint_path=ck, checkpoint_every=1)
+
+    class Boom(Exception):
+        pass
+
+    real = run_dist.ShardedStatsSession.feed_block
+    calls = {"n": 0}
+
+    def limited(self, block, **kw):
+        if calls["n"] >= 8:  # 2 sessions per step -> >=4 checkpoints
+            raise Boom()
+        calls["n"] += 1
+        return real(self, block, **kw)
+
+    run_dist.ShardedStatsSession.feed_block = limited
+    try:
+        with pytest.raises(Boom):
+            run_stats_sharded(ob)
+    finally:
+        run_dist.ShardedStatsSession.feed_block = real
+    assert os.path.exists(ck + ".a") or os.path.exists(ck + ".b")
+
+    r1, r2 = run_stats_sharded(ob)
+    assert not os.path.exists(ck + ".a") and not os.path.exists(ck + ".b")
+    assert r1.equals(fa1) and r2.equals(fa2)
+    assert (r1.num_passed, r1.num_failed) == (fa1.num_passed, fa1.num_failed)
+    name = os.path.basename(f1) + ".summary.txt"
+    assert (out_b / name).read_bytes() == (out_a / name).read_bytes()

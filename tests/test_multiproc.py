@@ -633,3 +633,112 @@ def test_two_process_voted_trimmed_shapes(tmp_path, wire):
     assert a["gc_hist_sum"] == int(
         (ref.gc_hist * np.arange(len(ref.gc_hist))).sum()
     )
+
+
+_PAIRED_RESUME_WORKER = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, nproc, fq1, fq2, outdir, repo, ck, mode = sys.argv[1:10]
+jax.distributed.initialize(coord, int(nproc), int(pid))
+
+sys.path.insert(0, repo)
+from hpgq.options import StatsOptions
+from hpgq.dist import run_dist
+from hpgq.dist.run_dist import run_stats_sharded
+
+o = StatsOptions()
+o.in_filename = fq1
+o.in_filename2 = fq2
+o.out_dirname = outdir
+o.quality_encoding_value = 33
+o.quality_encoding_name = "phred33"
+o.batch_size = 200
+o.criteria.min_read_quality = 18
+o.criteria.max_read_quality = 40
+o.filter_on = True
+if ck != "-":
+    o.checkpoint_path = ck
+    o.checkpoint_every = 1
+
+if mode == "crash":
+    real = run_dist.ShardedStatsSession.feed_block
+    state = {"n": 0}
+
+    def limited(self, block, **kw):
+        if state["n"] >= 6:  # 2 sessions/step -> >=3 paired checkpoints
+            print("CRASHING", flush=True)
+            os._exit(3)
+        state["n"] += 1
+        return real(self, block, **kw)
+
+    run_dist.ShardedStatsSession.feed_block = limited
+
+c1, c2 = run_stats_sharded(o)
+print(json.dumps({
+    "r1": [c1.num_reads, c1.num_passed, c1.num_failed, c1.acc_length,
+           int(c1.length_hist.sum()), int(c1.acc_quality_per_nt.sum())],
+    "r2": [c2.num_reads, c2.num_passed, c2.num_failed, c2.acc_length,
+           int(c2.length_hist.sum()), int(c2.acc_quality_per_nt.sum())],
+}))
+"""
+
+
+def test_two_process_sharded_paired_resume(tmp_path):
+    """2-process sharded PAIRED stats crash/resume: per-rank rotating
+    checkpoints vote a common ordinal, both mates' offsets restore, final
+    counters equal the uninterrupted 2-process run."""
+    import glob
+
+    n = 1800
+    fq1 = str(tmp_path / "q1.fq")
+    fq2 = str(tmp_path / "q2.fq")
+    make_fastq(fq1, n, min_len=40, max_len=100, seed=91)
+    make_fastq(fq2, n, min_len=35, max_len=110, seed=92)
+    worker = str(tmp_path / "prw.py")
+    open(worker, "w").write(_PAIRED_RESUME_WORKER)
+
+    def run_pair(ck, mode, expect_fail=False):
+        coord = "localhost:%d" % _free_port()
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        outs = []
+        for i in range(2):
+            d = str(tmp_path / ("pr_%s_%d" % (mode, i)))
+            os.makedirs(d, exist_ok=True)
+            outs.append(d)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, coord, str(i), "2", fq1, fq2,
+                 outs[i], repo, ck, mode],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            )
+            for i in range(2)
+        ]
+        results = []
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            if expect_fail:
+                results.append(p.returncode)
+            else:
+                assert p.returncode == 0, err.decode()[-3000:]
+                results.append(
+                    json.loads(out.decode().strip().splitlines()[-1]))
+        return results
+
+    ref = run_pair("-", "plain")
+    assert ref[0] == ref[1]
+
+    ck = str(tmp_path / "pmp.ck.npz")
+    rcs = run_pair(ck, "crash", expect_fail=True)
+    assert 3 in rcs
+    assert glob.glob(ck + ".rank*")
+
+    resumed = run_pair(ck, "resume")
+    assert resumed[0] == resumed[1] == ref[0]
+    assert not glob.glob(ck + ".rank*")
