@@ -87,7 +87,6 @@ class ShardedStatsSession:
         self.batch_reads = round_up(max(batch_reads, self.ndev), self.ndev)
         self.lcap = lcap
         self.carry = None  # StatsCounters folded in on lcap growth/flush
-        self._since_flush = 0
         self.wire = resolve_wire()
         self._reset(lcap)
 
@@ -99,6 +98,7 @@ class ShardedStatsSession:
             wire=self.wire,
         )
         self._sharding = NamedSharding(self.mesh, P("data"))
+        self._rows_since_flush = 0
 
     def _grow(self, lcap: int):
         done = sharded_counters(
@@ -108,7 +108,6 @@ class ShardedStatsSession:
         if self.carry is not None:
             done = self.carry.merge(done)
         self.carry = done
-        self._since_flush = 0
         self._reset(lcap)
 
     def local_shape(self, block):
@@ -184,7 +183,7 @@ class ShardedStatsSession:
     def _feed_wire(self, buf):
         (gbuf,) = make_global_batch(self.mesh, self._sharding, (buf,))
         self.acc = self._step(self.acc, gbuf)
-        self._after_step()
+        self._after_step(buf.shape[0])
 
     def feed_packed(self, codes, quals, lens, valid):
         if codes.shape[1] > self.lcap:
@@ -205,21 +204,22 @@ class ShardedStatsSession:
             (codes, quals, lens.astype(np.int32), valid),
         )
         self.acc = self._step(self.acc, *batch)
-        self._after_step()
+        self._after_step(codes.shape[0])
 
-    def _after_step(self):
-        # periodic int32-overflow-safe fold (same bound as DeviceAccumulator,
-        # per-device shard rows).  batch_reads is PER-PROCESS rows (the
-        # global batch is pcnt x batch_reads), so each device's shard is
-        # batch_reads / local_device_count rows — using the global device
-        # count here would overestimate the safe window by pcnt and risk
-        # int32 overflow on multi-host runs.
-        from ..core.accumulator import safe_flush_every
-
-        self._since_flush += 1
-        if self._since_flush >= safe_flush_every(
-            max(1, self.batch_reads // jax.local_device_count()), self.lcap
-        ):
+    def _after_step(self, step_rows: int):
+        # Periodic int32-overflow-safe fold (same bound as
+        # DeviceAccumulator).  The budget is PER-DEVICE ROWS accumulated
+        # since the last fold: each rank feeds step_rows local rows, so a
+        # device's shard is step_rows * pcnt / ndev rows — computed ONLY
+        # from lockstep-voted quantities (step_rows is the voted rows
+        # bucket) and global constants, so every rank crosses the
+        # threshold at the SAME step and the collective fold inside
+        # _grow() stays synchronized (a rank-local window — e.g. one
+        # derived from this rank's own --batch-size — would deadlock the
+        # mesh when ranks disagree).
+        self._rows_since_flush += max(1, step_rows * jax.process_count()
+                                      // self.ndev)
+        if self._rows_since_flush * max(self.lcap, 130) >= (1 << 30):
             self._grow(self.lcap)  # fold into carry, reset device partials
 
 
@@ -369,7 +369,13 @@ class ShardedCgrSession:
         self.feed_packed(*pack_block(block, max_len=lmax, pad_reads_to=rows))
 
     def feed_empty(self, shape=None):
-        lmax, rows, rawlen = shape if shape else (128, self.batch_reads, 1)
+        # default rawlen floors at k so the decoded width always fits at
+        # least one CGR window (wire_len(1, 128) would be 8 columns —
+        # window_cells needs >= k)
+        if shape is None:
+            shape = (round_up(max(128, self.k), 128), self.batch_reads,
+                     self.k)
+        lmax, rows, rawlen = shape
         if self._step_wire is not None:
             wl = wire_len(rawlen, lmax)
             W = (10 * wl // 8 if self.wire == "bitpack" else wl // 2 + wl) + 8
@@ -461,7 +467,9 @@ def iter_lockstep(mesh, blocks, multihost: bool, min_len: int, timers,
             if done:
                 return
             yield block, round_up(max(block.max_len(), min_len), 128)
-        if block is not None:
+        if block is not None and hasattr(block, "num_reads"):
+            # paired iterators yield (b1, b2) tuples and account their own
+            # timers (_iter_blocks_paired); only bare blocks count here
             timers.num_batches += 1
             timers.total_reads += block.num_reads
 
@@ -721,28 +729,23 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
         else None
     )
 
+    # one shared (lmax, rows, rawlen) bucket covers both mates (they grow
+    # together); the lockstep iterator votes it element-wise max across
+    # ranks in the one per-step collective
+    def pair_shape(pair):
+        if pair is None:
+            return (0, 0, 0)
+        return tuple(max(a, b) for a, b in zip(sess1.local_shape(pair[0]),
+                                               sess2.local_shape(pair[1])))
+
     last_off1, last_off2 = s1, s2
     with FastqReader(opts.in_filename, batch_size=opts.batch_size,
                      start_offset=s1, end_offset=e1) as r1, \
          FastqReader(opts.in_filename2, batch_size=opts.batch_size,
                      start_offset=s2, end_offset=e2) as r2:
         pairs = _iter_blocks_paired(r1, r2, timers)
-        done = False
-        while True:
-            pair = None if done else next(pairs, None)
-            if pair is None:
-                done = True
-            # one shared (lmax, rows, rawlen) bucket covers both mates
-            # (they grow together); multihost votes it element-wise max
-            # across ranks in the one lockstep collective
-            local = ((0, 0, 0) if pair is None else tuple(
-                max(a, b) for a, b in zip(sess1.local_shape(pair[0]),
-                                          sess2.local_shape(pair[1]))
-            ))
-            shape = (tuple(int(v) for v in _vote_max_vec(mesh, local))
-                     if multihost else local)
-            if shape[0] == 0:
-                break
+        for pair, shape in iter_lockstep(mesh, pairs, multihost, 1, timers,
+                                         shape_fn=pair_shape):
             for sess in (sess1, sess2):
                 if shape[0] > sess.lcap:
                     sess._grow(shape[0])

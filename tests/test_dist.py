@@ -476,8 +476,9 @@ def test_sharded_wire_trim_with_growth(tmp_path, monkeypatch):
     assert wired.equals(plain)
 
 
-def test_sharded_cgr_wire_equivalence(tmp_path, monkeypatch):
-    """Sharded CGR over the bitpack wire (trimmed voted shapes) produces
+@pytest.mark.parametrize("wire", ["bitpack", "fused4"])
+def test_sharded_cgr_wire_equivalence(tmp_path, monkeypatch, wire):
+    """Sharded CGR over each wire format (trimmed voted shapes) produces
     the same tables/words as the arrays path and the local pipeline."""
     import numpy as np
 
@@ -503,7 +504,7 @@ def test_sharded_cgr_wire_equivalence(tmp_path, monkeypatch):
         o.mkdir()
     monkeypatch.setenv("HPGQ_WIRE", "off")
     plain = run_cgr_sharded(opts(outs[0]))
-    monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+    monkeypatch.setenv("HPGQ_WIRE", wire)
     wired = run_cgr_sharded(opts(outs[1]))
     ref = run_cgr(opts(outs[2]))
     for got in (plain, wired):
