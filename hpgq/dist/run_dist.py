@@ -71,6 +71,11 @@ def striped_blocks(reader, stripe: int, n_stripes: int):
             yield block
 
 
+# int32-overflow budget for the sharded sessions' periodic collective fold
+# (see ShardedStatsSession._after_step); module-level so tests can shrink it
+_FLUSH_BUDGET = 1 << 30
+
+
 class ShardedStatsSession:
     """Streaming stats over a data mesh: per-device accumulators inside
     shard_map, one collective merge at the end."""
@@ -219,7 +224,7 @@ class ShardedStatsSession:
         # mesh when ranks disagree).
         self._rows_since_flush += max(1, step_rows * jax.process_count()
                                       // self.ndev)
-        if self._rows_since_flush * max(self.lcap, 130) >= (1 << 30):
+        if self._rows_since_flush * max(self.lcap, 130) >= _FLUSH_BUDGET:
             self._grow(self.lcap)  # fold into carry, reset device partials
 
 

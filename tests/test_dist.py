@@ -302,24 +302,32 @@ def test_sharded_kmers(tmp_path):
 def test_sharded_periodic_flush_equivalence(tmp_path, monkeypatch):
     """Forcing a device->host fold every batch changes nothing (the sharded
     session's int32-overflow protection is associative)."""
-    import hpgq.core.accumulator as acc_mod
+    from hpgq.dist import run_dist
     from hpgq.dist.run_dist import ShardedStatsSession
 
     fq = str(tmp_path / "f.fq")
     make_fastq(fq, 1200, min_len=40, max_len=90, n_prob=0.01, seed=44)
 
-    def run(flush_every):
-        monkeypatch.setattr(acc_mod, "safe_flush_every",
-                            lambda *_: flush_every)
+    def run(budget):
+        monkeypatch.setattr(run_dist, "_FLUSH_BUDGET", budget)
         sess = ShardedStatsSession(data_mesh(), 33, crit=CRIT,
                                    batch_reads=256)
+        folds = {"n": 0}
+        real = sess._grow
+
+        def counting_grow(lcap):
+            folds["n"] += 1
+            return real(lcap)
+
+        sess._grow = counting_grow
         with FastqReader(fq, batch_size=256) as rd:
             for block in rd:
                 sess.feed_block(block)
-        return sess.finish()
+        return sess.finish(), folds["n"]
 
-    a = run(1)        # fold after every batch
-    b = run(10**9)    # never fold until finish
+    a, folds_a = run(1)      # budget exhausted every batch -> fold per batch
+    b, folds_b = run(1 << 62)  # never fold until finish
+    assert folds_a >= 4 and folds_b == 0, (folds_a, folds_b)
     assert a.equals(b)
     assert a.num_passed == b.num_passed and a.num_failed == b.num_failed
 
