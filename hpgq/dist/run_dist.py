@@ -894,18 +894,12 @@ def _run_output_sharded(opts, timers, mesh, cmd, runner, count_keys):
     process's input range + shard-suffixed output dir, run the ordinary
     pipeline on the shard, then concat + sum counts."""
     import dataclasses
-    import logging
 
     pidx, pcnt = jax.process_index(), jax.process_count()
     inputs = [opts.in_filename] + (
         [opts.in_filename2] if opts.paired_end else []
     )
     _require_splittable(inputs, cmd)
-    if getattr(opts, "checkpoint_path", None):
-        logging.getLogger("hpgq").warning(
-            "--checkpoint is not supported for multi-host %s; running "
-            "without checkpoints", cmd
-        )
 
     if opts.paired_end:
         (s1, e1), (s2, e2) = split_paired_ranges(
@@ -923,7 +917,13 @@ def _run_output_sharded(opts, timers, mesh, cmd, runner, count_keys):
     os.makedirs(shard_dir, exist_ok=True)
     local = dataclasses.replace(opts) if dataclasses.is_dataclass(opts) else opts
     local.out_dirname = shard_dir
-    local.checkpoint_path = None
+    # checkpointing: each rank resumes its own shard independently (no
+    # lockstep in the output commands — the only collectives are the final
+    # count sum and concat barrier); the per-rank file plus the range in
+    # the checkpointer's config key refuse a resume under a different
+    # process count (ranges would differ)
+    ck_base = getattr(opts, "checkpoint_path", None)
+    local.checkpoint_path = ck_base and "%s.rank%04d" % (ck_base, pidx)
     # the range fields both bound the runner's readers AND disable the
     # in-process parallel shard path inside it (this host's range IS one
     # shard; nesting would re-split the whole file)

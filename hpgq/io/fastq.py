@@ -502,6 +502,16 @@ class FastqWriter:
                 open(path, "wb").close()
             # r+b, not ab: POSIX append mode ignores seek/truncate positions
             self._fh = open(path, "r+b")
+            size = os.fstat(self._fh.fileno()).st_size
+            if append_at > size:
+                # truncate() past EOF would silently zero-extend the file
+                self._fh.close()
+                raise ValueError(
+                    "checkpoint expects %d bytes in %s but the file has %d "
+                    "— it was truncated or replaced since the checkpoint; "
+                    "remove the checkpoint to restart from scratch"
+                    % (append_at, path, size)
+                )
             self._fh.truncate(append_at)
             self._fh.seek(append_at)
 

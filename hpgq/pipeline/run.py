@@ -806,12 +806,21 @@ class _OutputCheckpointer:
         self.counts = counts
         self.count_keys = count_keys
         self.nb = 0
+        def _rng(name):
+            r = getattr(opts, name, None)
+            return r and [int(r[0]), None if r[1] is None else int(r[1])]
+
         self.key = json.dumps({
             "cmd": cmd,
             "in": os.path.abspath(opts.in_filename),
             "phred": opts.quality_encoding_value,
             "crit": dataclasses.astuple(crit) if crit is not None else None,
             "outs": sorted(paths),
+            # shard ranges (multi-host filter/edit): a resume under a
+            # different process count computes different ranges and must
+            # be refused, not silently misapplied
+            "range": _rng("input_range"),
+            "range2": _rng("input_range2"),
         }, sort_keys=True) if self.path else None
 
     def resume(self, aux_keys: tuple = ()):

@@ -336,3 +336,21 @@ def test_coalesced_pipeline_equivalence(tmp_path, monkeypatch):
             open(os.path.join(str(tmp_path / "fco"), name), "rb").read()
             == open(os.path.join(str(tmp_path / "fplain"), name), "rb").read()
         )
+
+
+def test_writer_resume_refuses_truncated_file(tmp_path):
+    """Resuming (append_at) into a file shorter than the checkpointed size
+    must raise — truncate() past EOF would silently zero-extend the output
+    and corrupt it."""
+    from hpgq.io.fastq import FastqWriter
+
+    p = str(tmp_path / "out.fq")
+    with FastqWriter(p) as w:
+        w.write(b"@r\nACGT\n+\n!!!!\n")
+    size = len(b"@r\nACGT\n+\n!!!!\n")
+    # normal resume at or below the current size works
+    with FastqWriter(p, append_at=size) as w:
+        w.write(b"@s\nA\n+\n!\n")
+    open(p, "wb").close()  # simulate operator truncation
+    with pytest.raises(ValueError, match="truncated or replaced"):
+        FastqWriter(p, append_at=size)

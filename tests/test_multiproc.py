@@ -742,3 +742,128 @@ def test_two_process_sharded_paired_resume(tmp_path):
     resumed = run_pair(ck, "resume")
     assert resumed[0] == resumed[1] == ref[0]
     assert not glob.glob(ck + ".rank*")
+
+
+_FILTER_RESUME_WORKER = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, nproc, fq, outdir, repo, ck, mode = sys.argv[1:9]
+jax.distributed.initialize(coord, int(nproc), int(pid))
+
+sys.path.insert(0, repo)
+from hpgq.options import FilterOptions
+from hpgq.dist.run_dist import run_filter_sharded
+
+o = FilterOptions()
+o.in_filename = fq
+o.out_dirname = outdir
+o.quality_encoding_value = 33
+o.quality_encoding_name = "phred33"
+o.batch_size = 200
+o.criteria.min_read_quality = 18
+o.criteria.max_read_quality = 40
+o.criteria.max_N = 3
+if ck != "-":
+    o.checkpoint_path = ck
+    o.checkpoint_every = 1
+
+if mode == "crash":
+    from hpgq.io import fastq as fq_mod
+
+    real = fq_mod.RecordBlock.write_selected
+    state = {"n": 0}
+
+    def limited(self, out, select):
+        if state["n"] >= 6:  # 2 writes/block -> >=3 blocks, >=2 checkpoints
+            print("CRASHING", flush=True)
+            os._exit(3)
+        state["n"] += 1
+        return real(self, out, select)
+
+    fq_mod.RecordBlock.write_selected = limited
+
+res = run_filter_sharded(o)
+print(json.dumps({"num_passed": res["num_passed"],
+                  "num_failed": res["num_failed"]}))
+"""
+
+
+def test_two_process_sharded_filter_resume(tmp_path):
+    """2-process sharded filter crash/resume: each rank resumes its own
+    shard from its per-rank checkpoint; the concatenated outputs are
+    byte-identical to the single-process run."""
+    import glob
+
+    n = 2400
+    fq = str(tmp_path / "fr.fq")
+    make_fastq(fq, n, min_len=40, max_len=110, n_prob=0.02, seed=93)
+    worker = str(tmp_path / "frw.py")
+    open(worker, "w").write(_FILTER_RESUME_WORKER)
+    shared = str(tmp_path / "fout")
+    os.makedirs(shared)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_pair(ck, mode, expect_fail=False):
+        coord = "localhost:%d" % _free_port()
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, coord, str(i), "2", fq, shared,
+                 repo, ck, mode],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            )
+            for i in range(2)
+        ]
+        results = []
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            if expect_fail:
+                results.append(p.returncode)
+            else:
+                assert p.returncode == 0, err.decode()[-3000:]
+                results.append(
+                    json.loads(out.decode().strip().splitlines()[-1]))
+        return results
+
+    ck = str(tmp_path / "fmp.ck.npz")
+    rcs = run_pair(ck, "crash", expect_fail=True)
+    # both ranks die mid-shard: at least one via the injected self-kill
+    # (exit 3); the other may instead abort when the coordinator (rank 0)
+    # vanishes under it (exit 1) — shards are independent, so either way
+    # is a valid crash to resume from
+    assert 3 in rcs and all(rc != 0 for rc in rcs), rcs
+    assert glob.glob(ck + ".rank*")  # >=1 rank checkpointed before dying
+
+    resumed = run_pair(ck, "resume")
+    assert resumed[0] == resumed[1]
+    assert not glob.glob(ck + ".rank*")
+
+    # single-process truth, byte-identical outputs
+    from hpgq.options import FilterOptions
+    from hpgq.pipeline.run import run_filter
+
+    ref_dir = str(tmp_path / "fref")
+    os.makedirs(ref_dir)
+    o = FilterOptions()
+    o.in_filename = fq
+    o.out_dirname = ref_dir
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 512
+    o.criteria.min_read_quality = 18
+    o.criteria.max_read_quality = 40
+    o.criteria.max_N = 3
+    ref = run_filter(o)
+    assert resumed[0]["num_passed"] == ref["num_passed"]
+    assert resumed[0]["num_failed"] == ref["num_failed"]
+    for name in ("passed.fq", "failed.fq"):
+        assert (
+            open(os.path.join(shared, name), "rb").read()
+            == open(os.path.join(ref_dir, name), "rb").read()
+        ), name

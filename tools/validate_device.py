@@ -10,6 +10,9 @@ Checks (all exact unless noted):
   2. paired stats: pair-consistent counters vs oracle, both mates.
   3. filter: passed/failed output BYTES vs the oracle partition.
   4. CGR: table_seq, table_q, word count vs the faithful f64 loop oracle.
+  5. sharded session (degenerate 1-device mesh on the live backend):
+     wire decode + voted trimmed shapes vs the same oracle as (1).
+  6. coalesced dispatch (explicit small batch + HPGQ_COALESCE) == (1).
 
 Exits non-zero on any mismatch; prints one PASS line per check.
 """
@@ -199,6 +202,59 @@ def check_cgr(n, k=7):
     return "cgr k=%d: %d reads, tables + word count exact" % (k, n)
 
 
+def check_sharded(n):
+    from hpgq.options import FilterCriteria, StatsOptions
+    from hpgq.oracle import spec
+    from hpgq.dist.run_dist import run_stats_sharded
+
+    fq = corpus(n)
+    kw = dict(min_read_quality=18, max_read_quality=40, max_N=3)
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 65536
+    for k, v in kw.items():
+        setattr(o.criteria, k, v)
+    o.filter_on = True
+    eng = run_stats_sharded(o)
+    orc = spec.stats_of_file(spec.iter_seq_qual(fq), kmers_on=False,
+                             criteria=FilterCriteria(**kw), phred=33)
+    bad = counters_equal(eng, orc)
+    assert not bad, "sharded counters differ: %s" % bad
+    return "sharded stats (1-device mesh): %d reads, all counters equal" % n
+
+
+def check_coalesced(n):
+    from hpgq.options import FilterCriteria, StatsOptions
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_stats
+
+    fq = corpus(n)
+    kw = dict(min_read_quality=18, max_read_quality=40, max_N=3)
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 10000  # reference default, explicitly set
+    o.batch_size_set = True
+    for k, v in kw.items():
+        setattr(o.criteria, k, v)
+    o.filter_on = True
+    os.environ["HPGQ_COALESCE"] = "131072"
+    try:
+        eng = run_stats(o)
+    finally:
+        del os.environ["HPGQ_COALESCE"]
+    orc = spec.stats_of_file(spec.iter_seq_qual(fq), kmers_on=False,
+                             criteria=FilterCriteria(**kw), phred=33)
+    bad = counters_equal(eng, orc)
+    assert not bad, "coalesced counters differ: %s" % bad
+    return "coalesced dispatch (10k blocks -> 131k): %d reads equal" % n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=100_000)
@@ -215,7 +271,9 @@ def main():
     rc = 0
     for fn, n in ((check_stats, args.reads), (check_paired, args.reads // 2),
                   (check_filter_bytes, args.reads),
-                  (check_cgr, args.cgr_reads)):
+                  (check_cgr, args.cgr_reads),
+                  (check_sharded, args.reads // 2),
+                  (check_coalesced, args.reads // 2)):
         t0 = time.perf_counter()
         try:
             msg = fn(n)
