@@ -107,6 +107,26 @@ def _add_common(p: argparse.ArgumentParser, with_windows=True, with_encoding=Fal
                    help="Print per-stage timing report")
     p.add_argument("--log-level", type=int, default=2,
                    help="Log level 1 (debug) .. 5 (fatal)")
+    p.add_argument("--v", "--verbose", dest="verbose", action="store_true",
+                   help="Verbose console logging (legacy --v, "
+                        "old/main_hpg_fastq_old.c:158)")
+    # legacy GPU geometry knobs (old/main_hpg_fastq_old.c:159-161):
+    # accepted for drop-in command-line parity, meaningless on a TPU mesh
+    # (scale-out is --sharded); a non-default value logs a warning
+    p.add_argument("--gpu-num-blocks", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--gpu-num-threads", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--gpu-num-devices", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    # legacy QC mean-quality position window (old/main_hpg_fastq_old.c:
+    # 100-101,335-352; defaults 0/1024 = whole read).  The legacy kernel
+    # that consumed it is not vendored; non-default values are refused
+    # rather than silently misinterpreted.
+    p.add_argument("--start-quality-nt", type=int, default=0,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--end-quality-nt", type=int, default=1024,
+                   help=argparse.SUPPRESS)
     p.add_argument("--log-file", default=None, help="Log file path")
     p.add_argument("--conf", default=None,
                    help="key=value option file; file overrides command line")
@@ -246,12 +266,31 @@ def _ns_to_opts(ns: argparse.Namespace, cls):
     opts.use_pallas = ns.use_pallas
     opts.sharded = getattr(ns, "sharded", False)
 
+    if (getattr(ns, "start_quality_nt", 0)
+            or getattr(ns, "end_quality_nt", 1024) != 1024):
+        # legacy kernel consuming this window is not vendored in the
+        # reference; refusing beats silently computing whole-read means
+        raise OptionsError(
+            "\nError: --start-quality-nt/--end-quality-nt position windows "
+            "are not supported; quality statistics cover the whole read"
+        )
+
     logging.basicConfig(
         filename=ns.log_file or "hpg-fastq.log",
         filemode="w",
         level=_LOG_LEVELS.get(ns.log_level, logging.INFO),
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    if getattr(ns, "verbose", False):
+        # legacy --v mirrors logging to the console (log_verbose global,
+        # src/hpg-fastq.c:39-41)
+        logging.getLogger().addHandler(logging.StreamHandler())
+    for knob in ("gpu_num_blocks", "gpu_num_threads", "gpu_num_devices"):
+        if getattr(ns, knob, None) is not None:
+            logging.getLogger("hpgq").warning(
+                "--%s has no effect on a TPU mesh (scale-out is --sharded)",
+                knob.replace("_", "-"),
+            )
     return opts
 
 
@@ -316,7 +355,8 @@ def main(argv=None) -> int:
 # hpgq subcommands.  --qc together with --cg/--chaos-game runs both (the
 # legacy note: "Chaos Game ... must be launched together with Quality
 # Control", old/README:177).
-_LEGACY_ACTIONS = {"--qc": "stats", "--filter": "filter", "--prep": "prepro",
+_LEGACY_ACTIONS = {"--qc": "stats", "--quality-control": "stats",
+                   "--filter": "filter", "--prep": "prepro",
                    "--preprocessing": "prepro", "--cg": "cgr",
                    "--chaos-game": "cgr"}
 _VALUE_FLAGS = {"--k", "--gs-filename"}  # cgr-only flags that take a value

@@ -714,3 +714,27 @@ def test_cli_legacy_qc_filter_combo(tmp_path, capsys):
     assert n_pass + n_fail == 200
     assert "Number of reads: %d" % n_pass in sp
     assert "Number of reads: %d" % n_fail in sf
+
+
+def test_legacy_misc_flags(tmp_path, capsys):
+    """Remaining legacy getopt flags: --quality-control action alias,
+    --v/--verbose, accepted-but-inert GPU geometry knobs, and the
+    unsupported QC position window refusing cleanly
+    (old/main_hpg_fastq_old.c:100-101,131-192)."""
+    from gen import make_fastq
+    from hpgq.cli.main import main
+
+    fq = str(tmp_path / "lg.fq")
+    make_fastq(fq, 300, min_len=50, max_len=90, seed=3)
+    out = tmp_path / "o"
+    out.mkdir()
+
+    rc = main(["--quality-control", "--fq", fq, "--outdir", str(out),
+               "--gpu-num-threads", "512", "--gpu-num-blocks", "16",
+               "--gpu-num-devices", "1", "--v"])
+    assert rc in (0, None)
+    assert (out / "lg.fq.summary.txt").exists()
+
+    with pytest.raises(SystemExit):
+        main(["stats", "-f", fq, "-o", str(out), "--start-quality-nt", "5"])
+    assert "position windows are not supported" in capsys.readouterr().err
