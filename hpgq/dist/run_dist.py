@@ -670,7 +670,7 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
     from ..kernels.stats_jnp import _crit_key
     from ..kernels import stats_jnp
     from ..pipeline.run import _iter_blocks_paired
-    from ..pipeline.session import ShapeCachedFn
+    from ..pipeline.session import ShapeCachedPairFn
 
     pidx, pcnt = jax.process_index(), jax.process_count()
     multihost = pcnt > 1
@@ -723,12 +723,13 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
             s1 = max(s1, int(off1))
             s2 = max(s2, int(extra["offset2"]))
     vfn = (
-        ShapeCachedFn(
-            lambda: (
-                lambda c, q, l, v: stats_jnp.verdicts(c, q, l, crit, phred) & v
-            ),
+        ShapeCachedPairFn(
+            lambda: (lambda c1, q1, l1, v1, c2, q2, l2, v2:
+                     (stats_jnp.verdicts(c1, q1, l1, crit, phred) & v1)
+                     & (stats_jnp.verdicts(c2, q2, l2, crit, phred) & v2)),
             br,
-            cache_key=("verdict", _crit_key(crit), phred, br),
+            cache_key=("verdict-pair", _crit_key(crit), phred, br),
+            qn_ok=True,
         )
         if crit is not None
         else None
@@ -762,7 +763,7 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
                     b1, b2 = pair
                     sel = None
                     if vfn is not None:
-                        both = vfn(b1) & vfn(b2)
+                        both = vfn(b1, b2)
                         npass = int(both.sum())
                         num_passed += npass
                         num_failed += b1.num_reads - npass

@@ -25,7 +25,6 @@ import zlib
 
 import numpy as np
 
-_HDR = struct.Struct("<4BIBBH")  # magic(4), mtime, xfl, os, xlen
 _SUB = struct.Struct("<BBH")     # si1, si2, slen
 
 

@@ -373,7 +373,6 @@ class FastqReader:
             self._fh = ReadaheadFile(self._fh)
         self._end = end_offset
         self._tail = b""
-        self._eof = False
         self.bytes_consumed = start_offset  # logical (decompressed) offset
         self._raw_read = start_offset
 
@@ -394,7 +393,6 @@ class FastqReader:
             data = self._fh.read(want) if want > 0 else b""
             self._raw_read += len(data)
             if not data:
-                self._eof = True
                 if self._tail:
                     chunk, self._tail = self._tail, b""
                     if not chunk.endswith(b"\n"):
@@ -457,9 +455,6 @@ class FastqReader:
         self.bytes_consumed += len(chunk) if consumed is None else consumed
         return RecordBlock(chunk, starts, ends, base_offset=base)
 
-    def _slice_block(self, block: RecordBlock, lo: int, hi: int) -> RecordBlock:
-        return block.slice(lo, hi)
-
     def __iter__(self) -> Iterator[RecordBlock]:
         carry: Optional[RecordBlock] = None
         carry_pos = 0
@@ -471,7 +466,7 @@ class FastqReader:
                     return
             n = carry.num_reads - carry_pos
             if n >= self.batch_size:
-                yield self._slice_block(carry, carry_pos, carry_pos + self.batch_size)
+                yield carry.slice(carry_pos, carry_pos + self.batch_size)
                 carry_pos += self.batch_size
                 if carry_pos >= carry.num_reads:
                     carry = None
@@ -479,7 +474,7 @@ class FastqReader:
                 # batch boundary falls inside the chunk tail: emit the remainder
                 # as a (short) block — merging is accumulation-invariant.
                 if n > 0:
-                    yield self._slice_block(carry, carry_pos, carry.num_reads)
+                    yield carry.slice(carry_pos, carry.num_reads)
                 carry = None
 
 

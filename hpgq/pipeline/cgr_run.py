@@ -65,9 +65,14 @@ class CgrSession:
         lmax = round_up(max(block.max_len(), self.k), 128)
         rows = bucket_rows(block.num_reads, self.batch_reads)
         if self.wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_wire
+            from ..io.packer import pack_block_wire, wire_len
 
-            buf = pack_block_wire(block, self.wire, lmax,
+            # trimmed wire columns like every other wire consumer (floored
+            # at k so the decode always fits one CGR window); the cgr step
+            # decodes width-agnostically — no on-device re-pad needed
+            buf = pack_block_wire(block, self.wire,
+                                  wire_len(max(block.max_len(), self.k),
+                                           lmax),
                                   pad_reads_to=rows)
             acc = self._step(zero_cgr_acc(self.k), buf)
         else:
@@ -165,10 +170,8 @@ def run_cgr(opts: CgrOptions, timers: Optional[StageTimers] = None) -> dict:
                 # producer pool and fold host-side in input order
                 from .run import _iter_with
 
-                def tables(block):
-                    return sess.block_tables(block)
-
-                for _block, host in _iter_with(rd, tables, timers):
+                for _block, host in _iter_with(rd, sess.block_tables,
+                                               timers):
                     with timers.stage("compute"):
                         sess.fold_host(host)
     if ck_path and os.path.exists(ck_path):

@@ -28,7 +28,7 @@ from ..kernels import stats_jnp
 from ..options import EditOptions, FilterOptions, StatsOptions
 from ..report.stats_report import stats_report
 from ..utils.timers import StageTimers
-from .session import ShapeCachedFn, StatsSession
+from .session import ShapeCachedFn, ShapeCachedPairFn, StatsSession
 
 
 def _batch_reads(opts) -> int:
@@ -750,6 +750,15 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
         return _run_output_parallel(
             opts, timers, run_filter, ("num_passed", "num_failed")
         )
+    # fused pair verdict: both mates' batches in ONE device dispatch
+    pvfn = ShapeCachedPairFn(
+        lambda: (lambda c1, q1, l1, v1, c2, q2, l2, v2:
+                 (stats_jnp.verdicts(c1, q1, l1, crit, phred) & v1)
+                 & (stats_jnp.verdicts(c2, q2, l2, crit, phred) & v2)),
+        br,
+        cache_key=("verdict-pair", _crit_key(crit), phred, br),
+        qn_ok=True,
+    )
     paths = {
         "passed_1": os.path.join(opts.out_dirname, "passed_1.fq"),
         "passed_2": os.path.join(opts.out_dirname, "passed_2.fq"),
@@ -776,7 +785,7 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
         for b1, b2 in _iter_blocks_paired(_coalesced(opts, r1),
                                           _coalesced(opts, r2), timers):
             with timers.stage("compute"):
-                both = vfn(b1) & vfn(b2)  # pair-consistent discard
+                both = pvfn(b1, b2)  # pair-consistent discard, one dispatch
             with timers.stage("write"):
                 out["num_passed"] += b1.write_selected(p1, both)
                 b2.write_selected(p2, both)
@@ -897,6 +906,39 @@ def _make_edit_fn(opts: EditOptions, br: int):
     )
 
 
+def _make_edit_pair_fn(opts: EditOptions, br: int):
+    """Fused paired trim+post-filter: both mates in one device dispatch
+    (pair-consistent discard = AND of the mates' post-trim verdicts)."""
+    crit = opts.criteria
+    phred = opts.quality_encoding_value
+    filter_on = opts.filter_on
+    post_crit = crit.without_windows()
+
+    def build():
+        def one(codes, quals, lens, valid):
+            lens32 = lens.astype(np.int32)
+            lt, rt = stats_jnp.trims(quals, lens32, crit, phred)
+            if filter_on:
+                nc, nq, nl = stats_jnp.apply_trims(codes, quals, lens32, lt, rt)
+                ok = stats_jnp.verdicts(nc, nq, nl, post_crit, phred) & valid
+            else:
+                ok = valid
+            return lt, rt, ok
+
+        def fn(c1, q1, l1, v1, c2, q2, l2, v2):
+            lt1, rt1, ok1 = one(c1, q1, l1, v1)
+            lt2, rt2, ok2 = one(c2, q2, l2, v2)
+            return lt1, rt1, lt2, rt2, ok1 & ok2
+
+        return fn
+
+    return ShapeCachedPairFn(
+        build, br,
+        cache_key=("edit-pair", _crit_key(crit), phred, filter_on, br),
+        qn_ok=True,
+    )
+
+
 def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
     """The `edit` command → edit.fq (+ failed.fq when filtering).
 
@@ -986,8 +1028,7 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
         ("num_edited", "num_passed", "num_failed"),
     )
     start1, sizes, aux = ck.resume(aux_keys=("offset2",))
-    writers = {k: FastqWriter(v, append_at=sizes.get(k))
-               for k, v in paths.items()}
+    writers = {}
     try:
         rng1 = getattr(opts, "input_range", None) or (0, None)
         rng2 = getattr(opts, "input_range2", None) or (0, None)
@@ -997,12 +1038,16 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
              FastqReader(opts.in_filename2, batch_size=_reader_batch(opts),
                          start_offset=max(aux.get("offset2", 0), rng2[0]),
                          end_offset=rng2[1]) as r2:
+            # writers are opened (mode "wb": truncating!) only after BOTH
+            # readers opened — a bad mate-2 path must not destroy the
+            # previous run's outputs
+            for key, v in paths.items():
+                writers[key] = FastqWriter(v, append_at=sizes.get(key))
+            pefn = _make_edit_pair_fn(opts, br)
             for b1, b2 in _iter_blocks_paired(_coalesced(opts, r1),
                                           _coalesced(opts, r2), timers):
                 with timers.stage("compute"):
-                    lt1, rt1, ok1 = efn(b1)
-                    lt2, rt2, ok2 = efn(b2)
-                    both = ok1 & ok2
+                    lt1, rt1, lt2, rt2, both = pefn(b1, b2)
                 with timers.stage("write"):
                     out["num_edited"] += int(
                         ((lt1 > 0) | (rt1 > 0)).sum() + ((lt2 > 0) | (rt2 > 0)).sum()

@@ -256,6 +256,22 @@ class ShapeCachedFn:
             fn = self._cache[key] = jax.jit(wrap(self._build()))
         return fn
 
+    def _resolved_wire(self):
+        from ..core.accumulator import resolve_wire
+
+        wire = resolve_wire()
+        if wire in ("bitpack", "fused4"):
+            from ..kernels.stats_jnp import (
+                wire_unbits,
+                wire_unfuse,
+                wire_unqn8,
+            )
+
+            if self._qn and os.environ.get("HPGQ_QN_WIRE", "1") != "0":
+                return "qn8", wire_unqn8
+            return wire, (wire_unbits if wire == "bitpack" else wire_unfuse)
+        return wire, None
+
     def __call__(self, block):
         from ..core.accumulator import resolve_wire
 
@@ -289,4 +305,38 @@ class ShapeCachedFn:
             out = self._fn_for(codes.shape, None, lambda f: f)(
                 codes, quals, lens, valid
             )
+        return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)
+
+
+class ShapeCachedPairFn(ShapeCachedFn):
+    """Fused paired dispatch: BOTH mates' batches in ONE jitted call.
+
+    ``build_fn()`` must return ``fn(c1, q1, l1, v1, c2, q2, l2, v2)``.
+    Paired filter/edit previously paid two serialized device round-trips
+    per batch (pack+H2D+dispatch+D2H each); per-dispatch latency is
+    first-order on tunneled/remote links (see PERF.md), so the pair rides
+    one call — the same reshaping that fused paired stats
+    (``make_paired_stats_step``).  Mates share one (rows, wire-width)
+    shape, like :class:`PairedStatsSession`."""
+
+    def __call__(self, b1, b2):
+        n = b1.num_reads  # == b2.num_reads (lockstep pair slices)
+        lmax = round_up(max(b1.max_len(), b2.max_len(), 1), 128)
+        rows = bucket_rows(n, self.batch_reads)
+        wire, unf = self._resolved_wire()
+        if unf is not None:
+            from ..io.packer import pack_block_wire
+
+            wl = wire_len(max(b1.max_len(), b2.max_len()), lmax)
+            in1 = pack_block_wire(b1, wire, wl, pad_reads_to=rows)
+            in2 = pack_block_wire(b2, wire, wl, pad_reads_to=rows)
+            wrap = lambda inner: (  # noqa: E731
+                lambda a, b: inner(*unf(a), *unf(b)))
+            out = self._fn_for(in1.shape, wire, wrap)(in1, in2)
+        else:
+            p1 = pack_block(b1, max_len=lmax, pad_reads_to=rows)
+            p2 = pack_block(b2, max_len=lmax, pad_reads_to=rows)
+            out = self._fn_for(p1[0].shape, None, lambda f: f)(*p1, *p2)
+        import jax
+
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)

@@ -285,3 +285,42 @@ def test_profile_dir_trace(tmp_path):
     run_stats(o, report=False)
     files = [p for p in prof.rglob("*") if p.is_file()]
     assert files, "profiler trace directory is empty"
+
+
+def test_paired_edit_bad_mate_preserves_outputs(tmp_path):
+    """A paired edit whose mate-2 fails to OPEN must not destroy the
+    previous run's outputs: writers (mode 'wb' — truncating) open only
+    after both readers opened."""
+    import pytest
+
+    from gen import make_fastq
+    from hpgq.options import EditOptions
+    from hpgq.pipeline.run import run_edit
+
+    f1 = str(tmp_path / "e1.fq")
+    f2 = str(tmp_path / "e2.fq")
+    make_fastq(f1, 300, min_len=50, max_len=90, seed=21)
+    make_fastq(f2, 300, min_len=50, max_len=90, seed=22)
+
+    def opts(mate2):
+        o = EditOptions()
+        o.in_filename = f1
+        o.in_filename2 = mate2
+        o.out_dirname = str(tmp_path)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 100
+        o.criteria.left_length = 5
+        o.criteria.min_left_quality = 20
+        o.criteria.max_left_quality = 60
+        return o
+
+    run_edit(opts(f2))
+    before = {n: (tmp_path / n).read_bytes()
+              for n in ("edit_1.fq", "edit_2.fq")}
+    assert all(before.values())
+
+    with pytest.raises(FileNotFoundError):
+        run_edit(opts(str(tmp_path / "missing.fq")))
+    for n, data in before.items():
+        assert (tmp_path / n).read_bytes() == data, n
