@@ -115,6 +115,9 @@ class StatsCounters:
     def merge(self, other: "StatsCounters") -> "StatsCounters":
         """Associative merge (the reference's consumer loop as a vector add)."""
         assert self.phred == other.phred
+        # mismatched kmers_on would either broadcast-error or silently drop
+        # the other side's k-mer tables — fail loudly instead
+        assert self.kmers_on == other.kmers_on, (self.kmers_on, other.kmers_on)
         self.ensure_length(other.lcap)
         o = other
         self.num_reads += o.num_reads

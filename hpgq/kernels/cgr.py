@@ -17,9 +17,23 @@ and its N-reset (which resets the word counter, not the point,
 only fires where f64 rounding saturates ``f_prior`` to ``dim`` (a >=53-long
 single-letter A/T (x) or G/T (y) run immediately before the window), and in
 the all-ones window where it fires the clamp restores the window code — the
-sole true divergence is an off-by-one cell for a non-all-ones window right
-after such a run; we take the exact-math cell (documented deviation,
-verified against the loop oracle ``hpgq.oracle.cgr`` in tests/test_cgr.py).
+closed form's sole numeric divergence is an off-by-one cell for a
+non-all-ones window right after such a run; we take the exact-math cell
+(documented deviation, verified against the loop oracle ``hpgq.oracle.cgr``
+in tests/test_cgr.py).
+
+Deviation [D7] — non-ACGTN bytes (IUPAC codes etc., packer code 5): the
+kernel treats them exactly like N (any window containing one is invalid),
+whereas the reference's switch lets them FALL THROUGH with no state change
+(``old/chaos_game.c:199-234`` has no default case), splicing a k-word
+across the unknown byte AND then subtracting the wrong quality byte from
+the sliding accumulator (``:259`` indexes quality by original position,
+which after a splice is not the oldest counted base).  Splicing artificial
+words across unknown bases — with a corrupted quality window — is a
+reference quirk we deliberately do not replicate (same stance as the [D6]
+case-folding deviation); equivalence contract: kernel(batch) ==
+loop-oracle(batch with code 5 mapped to N), tested in tests/test_cgr.py.
+PARITY.md quantifies the reach (zero on ACGTN-only corpora).
 
 So per batch the kernel is: sliding-window x/y bit codes (valid iff all k
 bases in {A,C,G,T} and the window fits in the read), then a 2-D histogram

@@ -577,7 +577,7 @@ def make_stats_step(
     # (stats_pallas.batch_partials_pallas_long); beyond that the full-width
     # per-position outputs outgrow VMEM and the jnp path (which XLA tiles
     # itself) takes over
-    if engine == "pallas" and lcap > 65536:
+    if engine.startswith("pallas") and lcap > 65536:
         engine = "jnp"
     if vary_axis is not None and engine.startswith("pallas"):
         # shard_map callers need the vma-aware jnp path; the pallas branch
@@ -666,7 +666,7 @@ def make_paired_stats_step(
     Replaces the 4-dispatch loop (verdict x2 + accumulate x2) — dispatch
     latency is first-order on tunneled/remote links."""
     engine = resolve_engine(engine)
-    if engine == "pallas" and lcap > 65536:
+    if engine.startswith("pallas") and lcap > 65536:
         engine = "jnp"
     cache_key = ("paired", lcap, phred, kmers_on, _crit_key(crit), engine,
                  wire)

@@ -18,6 +18,13 @@ matches only uppercase bytes (``old/chaos_game.c:199-234``) and lets
 lowercase fall through with no effect (soft-masked bases are real bases;
 silently skipping them mid-word would splice artificial k-words together).
 
+Non-ACGTN bytes (packer code 5): this loop replicates the reference's
+fall-through faithfully — the byte is skipped, a k-word can splice across
+it, and the sliding-window subtraction then reads the wrong (original-
+position) quality byte.  The production kernel deliberately deviates:
+it treats such bytes like N (deviation [D7], ``hpgq/kernels/cgr.py``), so
+kernel(batch) == this_loop(batch with 5 -> N).
+
 This loop is the equivalence witness for the vectorized closed form in
 ``hpgq.kernels.cgr`` (see that module for the proof sketch) and is used by
 tests only — the pipelines run the kernel.

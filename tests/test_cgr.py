@@ -259,3 +259,40 @@ def test_quality_table_exceeds_int32():
     assert expected > 2**31  # the scenario the old code wrapped on
     assert int(tq[3, 0]) == expected
     assert tq.sum() == expected
+
+
+def test_cgr_other_bytes_treated_as_N():
+    """[D7]: in-read non-ACGTN bytes (packer code 5 — IUPAC etc.).  The
+    reference loop splices k-words across them (and then subtracts the
+    wrong quality byte); the kernel deliberately treats them like N.
+    Contract: kernel(batch) == loop-oracle(batch with 5 -> N), and the
+    oracle on the raw batch genuinely DIVERGES (the deviation is real)."""
+    import jax.numpy as jnp
+
+    from hpgq.kernels.cgr import cgr_batch_tables, combine_quality_limbs
+    from hpgq.oracle.cgr import fill_tables_loop
+
+    k = 4
+    codes, quals, lens, valid = _rand_batch(160, 64, seed=91, n_prob=0.02)
+    rng = np.random.default_rng(92)
+    pos = np.arange(64)[None, :]
+    inread = pos < lens[:, None]
+    codes[(rng.random(codes.shape) < 0.05) & inread] = 5  # IUPAC-ish bytes
+    valid[:] = True
+
+    ts, hi, lo, w = cgr_batch_tables(
+        jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(lens),
+        jnp.asarray(valid), k, 33,
+    )
+    eng = (np.asarray(ts, np.int64), combine_quality_limbs(hi, lo), int(w))
+
+    as_n = np.where(codes == 5, np.int8(4), codes)
+    ots, otq, ow = fill_tables_loop(as_n, quals, lens, valid, k, 33)
+    assert eng[2] == ow
+    assert np.array_equal(eng[0], ots)
+    assert np.array_equal(eng[1], otq)
+
+    # the raw (reference-faithful, splicing) oracle differs — the
+    # deviation is real on this corpus, not vacuous
+    rts, _, rw = fill_tables_loop(codes, quals, lens, valid, k, 33)
+    assert rw != ow or not np.array_equal(rts, ots)

@@ -328,3 +328,26 @@ def test_verdicts_long_read_no_overflow():
     seq = b"A" * L
     assert spec.filter_verdict(seq, bytes([63]) * L, crit.substituted(), 33)
     assert not spec.filter_verdict(seq, bytes([32]) * L, crit.substituted(), 33)
+
+
+def test_pallas_interpret_long_read_fallback():
+    """engine=pallas_interpret must take the same jnp fallback as
+    engine=pallas beyond the blockwise kernel's 65536-lane ceiling
+    (previously crashed with the blockwise assert)."""
+    import numpy as np
+
+    from hpgq.kernels.stats_jnp import make_paired_stats_step, make_stats_step, zero_partials
+
+    lcap = 131072
+    step = make_stats_step(lcap, 33, False, None, jit=False,
+                           engine="pallas_interpret", wire=None)
+    codes = np.full((2, lcap), 5, np.int8)
+    codes[:, :10] = 0
+    quals = np.zeros((2, lcap), np.uint8)
+    quals[:, :10] = 40
+    lens = np.full(2, 10, np.int32)
+    acc = step(zero_partials(lcap, False), codes, quals, lens,
+               np.ones(2, bool))
+    assert int(acc["num_reads"]) == 2
+    make_paired_stats_step(lcap, 33, False, None, engine="pallas_interpret",
+                           wire=None)  # builds without the blockwise assert
