@@ -193,21 +193,36 @@ def _apply_conf(ns: argparse.Namespace, conf: dict):
         "log-file": "log_file",
         "t": "time_on",
         "time": "time_on",
-        # legacy prepro keys (old/README:84-101)
+        # legacy prepro/filter keys (old/README:84-142): prepro uses the
+        # plain dests, stats/filter/edit carry the lg_ alias dests — first
+        # present attribute wins
         "ltrim-nts": "ltrim_nts",
         "rtrim-nts": "rtrim_nts",
-        "min-quality": "min_quality",
-        "max-quality": "max_quality",
+        "min-quality": ("min_quality", "lg_min_quality"),
+        "max-quality": ("max_quality", "lg_max_quality"),
         "phred-quality": "quality_encoding_name",
-        "min-read-length": "min_read_length",
+        "min-read-length": ("min_read_length", "lg_min_read_length"),
+        "max-read-length": ("lg_max_read_length",),
+        "max-n-per-read": ("lg_max_n_per_read",),
+        "max-nts-mismatch": ("lg_max_nts_mismatch",),
+        "lfilter-nts": ("lg_lfilter_nts",),
+        "rfilter-nts": ("lg_rfilter_nts",),
     }
     for key, val in conf.items():
-        attr = mapping.get(key)
-        if attr is None or not hasattr(ns, attr):
+        attrs = mapping.get(key)
+        if attrs is None:
+            continue
+        if isinstance(attrs, str):
+            attrs = (attrs,)
+        attr = next((a for a in attrs if hasattr(ns, a)), None)
+        if attr is None:
             continue
         cur = getattr(ns, attr)
         if isinstance(cur, bool) or val is True:
-            setattr(ns, attr, bool(val))
+            # libconfig-style booleans: a bare key or truthy word enables,
+            # false/0/off/no disables (bool("false") would enable!)
+            setattr(ns, attr, str(val).strip().lower()
+                    not in ("false", "0", "off", "no"))
         elif isinstance(cur, int) or (cur is None and str(val).lstrip("-").isdigit()):
             try:
                 setattr(ns, attr, int(val))
@@ -221,6 +236,16 @@ def _ns_to_opts(ns: argparse.Namespace, cls):
     opts = cls()
     if ns.conf:
         _apply_conf(ns, _parse_conf(ns.conf))
+    if hasattr(ns, "lg_min_quality"):
+        # AFTER the conf (file overrides command line) so conf-set legacy
+        # keys participate in the translation
+        _apply_legacy_filter_flags(ns)
+    if getattr(ns, "in_filename2", None) and not getattr(ns, "in_filename1",
+                                                         None):
+        raise OptionsError(
+            "Both pair ends files are mandatory, use both --fastq1 and "
+            "--fastq2 options"
+        )
     if getattr(ns, "in_filename1", None) and not ns.in_filename:
         opts.in_filename = ns.in_filename1
         opts.in_filename2 = ns.in_filename2
@@ -292,6 +317,22 @@ def _ns_to_opts(ns: argparse.Namespace, cls):
                 knob.replace("_", "-"),
             )
     return opts
+
+
+def _add_legacy_filter_aliases(parser) -> None:
+    """Register the legacy getopt filter-flag spellings
+    (old/README:121-142) — on stats, filter, AND edit, like the legacy
+    single binary, whose getopt table was shared across actions
+    (old/main_hpg_fastq_old.c:131-192).  Translated onto the modern range
+    strings in ``_apply_legacy_filter_flags`` so display/validation see
+    one form."""
+    for legacy in ("--min-read-length", "--max-read-length",
+                   "--max-n-per-read", "--max-nts-mismatch",
+                   "--lfilter-nts", "--rfilter-nts",
+                   "--min-quality", "--max-quality"):
+        parser.add_argument(legacy, type=int, default=None,
+                            dest="lg_" + legacy[2:].replace("-", "_"),
+                            help="Legacy alias (see MIGRATION.md)")
 
 
 def _apply_legacy_filter_flags(ns) -> None:
@@ -390,6 +431,17 @@ def _strip_flags(args, drop_flags, drop_value_flags=()):
 def _legacy_main(argv, exec_name: str) -> int:
     """Dispatch a legacy-style invocation (action flags, no subcommand):
     ``hpg-fastq --filter --fq in.fq --outdir out ...``."""
+    # normalize the argparse-legal '--flag=value' form into two tokens so
+    # the action/criteria/outdir/batch-size argv scans below see every
+    # spelling (argparse downstream accepts both forms either way)
+    norm = []
+    for a in argv:
+        if a.startswith("--") and "=" in a:
+            flag, val = a.split("=", 1)
+            norm += [flag, val]
+        else:
+            norm.append(a)
+    argv = norm
     kinds = []
     for a in argv:
         k = _LEGACY_ACTIONS.get(a)
@@ -476,6 +528,7 @@ def _dispatch(command: str, rest, exec_name: str) -> int:
         _add_common(parser, with_encoding=True)
         parser.add_argument("--kmers", dest="kmers_on", action="store_true",
                             help="Enable k-mers analysis (5-mer)")
+        _add_legacy_filter_aliases(parser)
         ns = parser.parse_args(rest)
         opts = _ns_to_opts(ns, StatsOptions)
         opts.kmers_on = ns.kmers_on
@@ -508,17 +561,8 @@ def _dispatch(command: str, rest, exec_name: str) -> int:
             timers.report()
     elif command == "filter":
         _add_common(parser, with_encoding=True)
-        # legacy flag spellings (old/README:121-142) — translated onto the
-        # modern range strings below so display/validation see one form
-        for legacy in ("--min-read-length", "--max-read-length",
-                       "--max-n-per-read", "--max-nts-mismatch",
-                       "--lfilter-nts", "--rfilter-nts",
-                       "--min-quality", "--max-quality"):
-            parser.add_argument(legacy, type=int, default=None,
-                                dest="lg_" + legacy[2:].replace("-", "_"),
-                                help="Legacy alias (see MIGRATION.md)")
+        _add_legacy_filter_aliases(parser)
         ns = parser.parse_args(rest)
-        _apply_legacy_filter_flags(ns)
         opts = _ns_to_opts(ns, FilterOptions)
         validate_common(opts)
         display(opts)
@@ -545,6 +589,7 @@ def _dispatch(command: str, rest, exec_name: str) -> int:
             timers.report()
     elif command == "edit":
         _add_common(parser, with_encoding=True)
+        _add_legacy_filter_aliases(parser)
         ns = parser.parse_args(rest)
         opts = _ns_to_opts(ns, EditOptions)
         validate_common(opts)

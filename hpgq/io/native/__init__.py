@@ -70,6 +70,20 @@ def get_lib():
             return lib
 
         try:
+            if not os.path.exists(_SRC):
+                # prebuilt .so shipped without source: usable iff the ABI
+                # matches (the rebuild path below is unavailable)
+                if not os.path.exists(_SO):
+                    raise FileNotFoundError(_SRC)
+                lib = _load()
+                if lib.hpgq_abi_version() != _ABI:
+                    raise RuntimeError(
+                        "prebuilt native packer ABI %d != expected %d and "
+                        "packer.cpp is absent" % (lib.hpgq_abi_version(), _ABI)
+                    )
+                _bind(lib)
+                _lib = lib
+                return _lib
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 _build()
             lib = _load()

@@ -112,6 +112,10 @@ def pack_block_fused(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
     instead of codes/quals tensors + numpy nibble-pack + concat)."""
     from ..kernels.stats_jnp import wire_fuse
 
+    # the nibble area holds L/2 bytes: an odd L would make the native
+    # packer write the tail nibble into the quality region (silent
+    # corruption) — every producer uses wire_len (granularity >= 8)
+    assert int(max_len) % 2 == 0, max_len
     return _pack_wire_dispatch(block, max_len, pad_reads_to,
                                "pack_fused", wire_fuse)
 

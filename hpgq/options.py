@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 import sys
 from typing import Optional
 
@@ -61,11 +62,15 @@ def parse_range(range_str: Optional[str], msg: str):
         return NO_VALUE, NO_VALUE
 
     def _scan_int(s: str, which: str) -> int:
-        # C sscanf("%d") accepts leading whitespace and a signed prefix.
-        try:
-            return int(s.strip().split()[0]) if s.strip() else _fail(which)
-        except (ValueError, IndexError):
+        # C sscanf("%d"): leading whitespace + signed integer PREFIX —
+        # trailing garbage is accepted and ignored ("80x" parses as 80),
+        # so inputs the reference tool accepts must parse here too.
+        # (A literal "-1" scans to NO_VALUE and is therefore treated as
+        # unset — the reference's own sentinel collision, commons_fastq.h:21.)
+        m = re.match(r"\s*[+-]?\d+", s)
+        if not m:
             _fail(which)
+        return int(m.group())
 
     def _fail(which: str):
         raise OptionsError(
