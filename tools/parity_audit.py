@@ -114,6 +114,37 @@ def main():
             for q in qsums[bad][:2]:
                 d1_examples.append([int(n), int(q)])
 
+    # [D7] CGR non-ACGTN handling: on a deliberately IUPAC-salted corpus,
+    # count reads whose CGR contribution differs between the kernel
+    # semantics (code 5 -> N) and the reference's splice fall-through —
+    # measured per read with the loop oracle on both interpretations.
+    # (On the main corpus above this is structurally 0: gen.py emits only
+    # ACGTN.)
+    from hpgq.oracle.cgr import fill_tables_loop
+
+    rng = np.random.default_rng(1234)
+    d7_reads = 0
+    d7_total = 20_000
+    k = 7
+    for start in range(0, d7_total, 2000):
+        B = min(2000, d7_total - start)
+        L = 120
+        codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+        codes[rng.random((B, L)) < 0.01] = 4
+        codes[rng.random((B, L)) < 0.01] = 5  # IUPAC-ish bytes
+        quals = rng.integers(33, 74, size=(B, L)).astype(np.uint8)
+        lens = np.full(B, L, np.int32)
+        valid = np.ones(B, bool)
+        as_n = np.where(codes == 5, np.int8(4), codes)
+        for i in range(B):
+            a = fill_tables_loop(codes[i:i + 1], quals[i:i + 1],
+                                 lens[i:i + 1], valid[i:i + 1], k, 33)
+            b = fill_tables_loop(as_n[i:i + 1], quals[i:i + 1],
+                                 lens[i:i + 1], valid[i:i + 1], k, 33)
+            if (a[2] != b[2] or not np.array_equal(a[0], b[0])
+                    or not np.array_equal(a[1], b[1])):
+                d7_reads += 1
+
     out = {
         "corpus": path,
         "total_reads": total,
@@ -124,6 +155,8 @@ def main():
         "CGR_run53_reads": cgr_runs,
         "D1_exhaustive_pairs_len_le_500": d1_pairs,
         "D1_examples_n_qsum": d1_examples,
+        "D7_iupac_salted_reads_total": d7_total,
+        "D7_iupac_salted_reads_divergent": d7_reads,
     }
     print(json.dumps(out, indent=2))
 
