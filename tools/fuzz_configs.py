@@ -1,0 +1,205 @@
+"""Randomized config-space differential fuzzer: random corpora x random
+criteria x wire formats x batch/coalescing knobs x paired, engine vs the
+numpy oracle — the class of testing that catches interactions the fixed
+test matrix misses.
+
+    python tools/fuzz_configs.py [--rounds N] [--seed S]   # default 20
+
+Each round draws a corpus (lengths, N rate, lowercase rate, CRLF, final
+newline) and a command config, runs the production pipeline, and checks
+every counter (stats) or the output byte partition (filter) against the
+oracle.  Exits non-zero on the first mismatch, printing the full config
+needed to reproduce.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tests"))
+
+import numpy as np  # noqa: E402
+
+
+def _counters_equal(eng, orc):
+    bad = []
+    for name in vars(orc):
+        a, b = getattr(eng, name), getattr(orc, name)
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            a, b = np.asarray(a), np.asarray(b)
+            m = min(a.shape[-1], b.shape[-1])
+            ok = (np.array_equal(a[..., :m], b[..., :m])
+                  and a[..., m:].sum() == 0 and b[..., m:].sum() == 0)
+        elif isinstance(a, float) or isinstance(b, float):
+            tol = 1e-3 if name == "acc_quality" else 1e-6
+            ok = abs(a - b) <= tol * max(1.0, abs(b))
+        else:
+            ok = a == b
+        if not ok:
+            bad.append(name)
+    return bad
+
+
+def one_round(rng, rnd: int) -> dict:
+    from gen import make_records, write_fastq
+    from hpgq.options import (
+        FilterCriteria,
+        FilterOptions,
+        StatsOptions,
+    )
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_filter, run_stats
+
+    cfg = {
+        "round": rnd,
+        "n": int(rng.integers(200, 4000)),
+        "min_len": int(rng.integers(1, 80)),
+        "n_prob": float(rng.choice([0.0, 0.01, 0.05])),
+        "lowercase_prob": float(rng.choice([0.0, 0.1])),
+        "wire": str(rng.choice(["bitpack", "fused4", "pack4", "off"])),
+        "qn": str(rng.choice(["0", "1"])),
+        "batch_size": int(rng.choice([37, 250, 1000, 10000])),
+        "coalesce": int(rng.choice([0, 777, 131072])),
+        "paired": bool(rng.integers(0, 2)),
+        "kmers": bool(rng.integers(0, 2)),
+        "cmd": str(rng.choice(["stats", "filter"])),
+        "seed": int(rng.integers(0, 2**31)),
+    }
+    cfg["max_len"] = cfg["min_len"] + int(rng.integers(0, 200))
+    crit_draw = {
+        "min_read_quality": int(rng.choice([-1, 18, 35])),
+        "max_read_quality": int(rng.choice([-1, 40, 60])),
+        "max_N": int(rng.choice([-1, 0, 2])),
+        "min_read_length": int(rng.choice([-1, 30])),
+        "max_read_length": int(rng.choice([-1, 150])),
+        "max_out_of_quality": int(rng.choice([-1, 50])),
+        "left_length": int(rng.choice([-1, 5])),
+        "min_left_quality": int(rng.choice([-1, 20])),
+        "max_left_quality": int(rng.choice([-1, 65])),
+        "right_length": int(rng.choice([-1, 7])),
+        "min_right_quality": int(rng.choice([-1, 15])),
+        "max_right_quality": int(rng.choice([-1, 70])),
+    }
+    crit_kw = {k: v for k, v in crit_draw.items() if v != -1}
+    cfg["criteria"] = crit_kw
+    filter_on = bool(crit_kw) and (cfg["cmd"] == "filter"
+                                   or bool(rng.integers(0, 2)))
+    if cfg["cmd"] == "filter" and not crit_kw:
+        crit_kw = {"min_read_quality": 20}
+        cfg["criteria"] = crit_kw
+        filter_on = True
+    cfg["filter_on"] = filter_on
+
+    os.environ["HPGQ_WIRE"] = cfg["wire"]
+    os.environ["HPGQ_QN_WIRE"] = cfg["qn"]
+    os.environ["HPGQ_COALESCE"] = str(cfg["coalesce"])
+    try:
+        tmp = tempfile.mkdtemp(prefix="fuzz_")
+        f1 = os.path.join(tmp, "a.fq")
+        make_kw = dict(min_len=cfg["min_len"], max_len=cfg["max_len"],
+                       n_prob=cfg["n_prob"],
+                       lowercase_prob=cfg["lowercase_prob"])
+        write_fastq(f1, make_records(cfg["n"], seed=cfg["seed"], **make_kw))
+        f2 = None
+        if cfg["paired"]:
+            f2 = os.path.join(tmp, "b.fq")
+            write_fastq(f2, make_records(cfg["n"], seed=cfg["seed"] ^ 1,
+                                         **make_kw))
+
+        def mk(cls):
+            o = cls()
+            o.in_filename = f1
+            o.in_filename2 = f2
+            o.out_dirname = tmp
+            o.quality_encoding_value = 33
+            o.quality_encoding_name = "phred33"
+            o.batch_size = cfg["batch_size"]
+            o.batch_size_set = True
+            o.criteria = FilterCriteria(**crit_kw)
+            o.filter_on = filter_on
+            return o
+
+        crit = FilterCriteria(**crit_kw).substituted() if filter_on else None
+
+        if cfg["cmd"] == "stats":
+            o = mk(StatsOptions)
+            o.kmers_on = cfg["kmers"]
+            got = run_stats(o, report=False)
+            if cfg["paired"]:
+                c1, c2 = got
+                r1 = list(spec.iter_seq_qual(f1))
+                r2 = list(spec.iter_seq_qual(f2))
+                if crit is not None:
+                    both = [spec.filter_verdict(s1, q1, crit, 33)
+                            and spec.filter_verdict(s2, q2, crit, 33)
+                            for (s1, q1), (s2, q2) in zip(r1, r2)]
+                else:
+                    both = [True] * len(r1)
+                skip = ("filter_on", "num_passed", "num_failed")
+                for c, recs in ((c1, r1), (c2, r2)):
+                    orc = spec.stats_of_file(
+                        (r for r, b in zip(recs, both) if b),
+                        kmers_on=cfg["kmers"])
+                    bad = [x for x in _counters_equal(c, orc)
+                           if x not in skip]
+                    assert not bad, bad
+                assert c1.num_passed == sum(both), "num_passed"
+            else:
+                orc = spec.stats_of_file(
+                    spec.iter_seq_qual(f1), kmers_on=cfg["kmers"],
+                    criteria=FilterCriteria(**crit_kw) if filter_on else None,
+                    phred=33)
+                bad = _counters_equal(got, orc)
+                assert not bad, bad
+        else:
+            o = mk(FilterOptions)
+            res = run_filter(o)
+            raw = open(f1, "rb").read().split(b"\n")
+            raw2 = open(f2, "rb").read().split(b"\n") if cfg["paired"] else None
+            pp, ff = [], []
+            for i in range(0, len(raw) - 1, 4):
+                rec = b"\n".join(raw[i:i + 4]) + b"\n"
+                ok = spec.filter_verdict(raw[i + 1], raw[i + 3], crit, 33)
+                if cfg["paired"]:
+                    ok = ok and spec.filter_verdict(raw2[i + 1], raw2[i + 3],
+                                                    crit, 33)
+                (pp if ok else ff).append(rec)
+            p_name = "passed_1.fq" if cfg["paired"] else "passed.fq"
+            f_name = "failed_1.fq" if cfg["paired"] else "failed.fq"
+            assert open(os.path.join(tmp, p_name), "rb").read() == b"".join(pp), "passed bytes"
+            assert open(os.path.join(tmp, f_name), "rb").read() == b"".join(ff), "failed bytes"
+            assert res["num_passed"] == len(pp) and res["num_failed"] == len(ff)
+    finally:
+        for k in ("HPGQ_WIRE", "HPGQ_QN_WIRE", "HPGQ_COALESCE"):
+            os.environ.pop(k, None)
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from hpgq.utils.compile_cache import enable
+
+    enable()
+    rng = np.random.default_rng(args.seed)
+    for r in range(args.rounds):
+        try:
+            cfg = one_round(rng, r)
+            print("PASS", json.dumps(cfg, sort_keys=True), flush=True)
+        except AssertionError as e:
+            print("FAIL round=%d: %s" % (r, e), flush=True)
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
