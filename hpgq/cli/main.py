@@ -139,8 +139,9 @@ def _add_common(p: argparse.ArgumentParser, with_windows=True, with_encoding=Fal
     p.add_argument("--profile-dir", default=None,
                    help="Write a jax.profiler trace to this directory")
     p.add_argument("--sharded", action="store_true",
-                   help="Data-parallel over all devices (multi-chip/multi-host "
-                        "mesh; stats single-end only)")
+                   help="Data-parallel over all devices (multi-chip/"
+                        "multi-host mesh; every command, single- and "
+                        "paired-end)")
     p.add_argument("--no-pallas", dest="use_pallas", action="store_false",
                    help="Disable Pallas kernels (use the XLA-fused jnp path)")
 

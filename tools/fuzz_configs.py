@@ -96,15 +96,34 @@ def one_round(rng, rnd: int) -> dict:
         filter_on = True
     cfg["filter_on"] = filter_on
 
+    try:
+        return _run_round(cfg, crit_kw, filter_on, make_kw_of(cfg))
+    except AssertionError as e:
+        e.cfg = cfg
+        raise
+
+
+def make_kw_of(cfg):
+    return dict(min_len=cfg["min_len"], max_len=cfg["max_len"],
+                n_prob=cfg["n_prob"], lowercase_prob=cfg["lowercase_prob"])
+
+
+def _run_round(cfg, crit_kw, filter_on, make_kw):
+    from gen import make_records, write_fastq
+    from hpgq.options import (
+        FilterCriteria,
+        FilterOptions,
+        StatsOptions,
+    )
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_filter, run_stats
+
     os.environ["HPGQ_WIRE"] = cfg["wire"]
     os.environ["HPGQ_QN_WIRE"] = cfg["qn"]
     os.environ["HPGQ_COALESCE"] = str(cfg["coalesce"])
     try:
         tmp = tempfile.mkdtemp(prefix="fuzz_")
         f1 = os.path.join(tmp, "a.fq")
-        make_kw = dict(min_len=cfg["min_len"], max_len=cfg["max_len"],
-                       n_prob=cfg["n_prob"],
-                       lowercase_prob=cfg["lowercase_prob"])
         write_fastq(f1, make_records(cfg["n"], seed=cfg["seed"], **make_kw))
         f2 = None
         if cfg["paired"]:
@@ -149,7 +168,8 @@ def one_round(rng, rnd: int) -> dict:
                     bad = [x for x in _counters_equal(c, orc)
                            if x not in skip]
                     assert not bad, bad
-                assert c1.num_passed == sum(both), "num_passed"
+                if crit is not None:
+                    assert c1.num_passed == sum(both), "num_passed"
             else:
                 orc = spec.stats_of_file(
                     spec.iter_seq_qual(f1), kmers_on=cfg["kmers"],
@@ -196,7 +216,9 @@ def main():
             cfg = one_round(rng, r)
             print("PASS", json.dumps(cfg, sort_keys=True), flush=True)
         except AssertionError as e:
-            print("FAIL round=%d: %s" % (r, e), flush=True)
+            print("FAIL round=%d: %s\n  cfg=%s" % (r, e,
+                  json.dumps(getattr(e, "cfg", None), sort_keys=True)),
+                  flush=True)
             return 1
     return 0
 
