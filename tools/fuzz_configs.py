@@ -68,7 +68,7 @@ def one_round(rng, rnd: int) -> dict:
         "coalesce": int(rng.choice([0, 777, 131072])),
         "paired": bool(rng.integers(0, 2)),
         "kmers": bool(rng.integers(0, 2)),
-        "cmd": str(rng.choice(["stats", "filter"])),
+        "cmd": str(rng.choice(["stats", "filter", "edit"])),
         "seed": int(rng.integers(0, 2**31)),
     }
     cfg["max_len"] = cfg["min_len"] + int(rng.integers(0, 200))
@@ -94,6 +94,15 @@ def one_round(rng, rnd: int) -> dict:
         crit_kw = {"min_read_quality": 20}
         cfg["criteria"] = crit_kw
         filter_on = True
+    if cfg["cmd"] == "edit":
+        # edit needs at least one trim window; draw one if absent
+        if crit_kw.get("left_length", -1) < 0 \
+                and crit_kw.get("right_length", -1) < 0:
+            crit_kw["left_length"] = 6
+            crit_kw.setdefault("min_left_quality", 25)
+            crit_kw.setdefault("max_left_quality", 60)
+            cfg["criteria"] = crit_kw
+        cfg["paired"] = False  # single-end edit fuzz (paired rides filter)
     cfg["filter_on"] = filter_on
 
     try:
@@ -177,6 +186,36 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
                     phred=33)
                 bad = _counters_equal(got, orc)
                 assert not bad, bad
+        elif cfg["cmd"] == "edit":
+            from hpgq.options import EditOptions
+            from hpgq.pipeline.run import run_edit
+
+            o = mk(EditOptions)
+            res = run_edit(o)
+            crit_raw = FilterCriteria(**crit_kw)
+            crit_sub = crit_raw.substituted()
+            post = crit_sub.without_windows()
+            raw = open(f1, "rb").read().split(b"\n")
+            want_edit, want_failed = [], []
+            n_edited = 0
+            for i in range(0, len(raw) - 1, 4):
+                seq, qual = raw[i + 1], raw[i + 3]
+                lt, rt = spec.trim_lengths(seq, qual, crit_sub, 33)
+                if lt or rt:
+                    n_edited += 1
+                ts, tq = seq[lt:len(seq) - rt], qual[lt:len(qual) - rt]
+                rec = b"\n".join([raw[i], ts, raw[i + 2], tq]) + b"\n"
+                if filter_on:
+                    ok = spec.filter_verdict(ts, tq, post, 33)
+                    (want_edit if ok else want_failed).append(rec)
+                else:
+                    want_edit.append(rec)
+            assert res["num_edited"] == n_edited, "num_edited"
+            got = open(os.path.join(tmp, "edit.fq"), "rb").read()
+            assert got == b"".join(want_edit), "edit bytes"
+            if filter_on:
+                gotf = open(os.path.join(tmp, "failed.fq"), "rb").read()
+                assert gotf == b"".join(want_failed), "failed bytes"
         else:
             o = mk(FilterOptions)
             res = run_filter(o)
