@@ -1,7 +1,7 @@
 """Randomized config-space differential fuzzer: random corpora x random
-criteria x wire formats x batch/coalescing knobs x paired, engine vs the
-numpy oracle — the class of testing that catches interactions the fixed
-test matrix misses.
+criteria x wire formats x batch/coalescing knobs x paired, across every
+command (stats/filter/edit/cgr), engine vs the numpy oracle — the class
+of testing that catches interactions the fixed test matrix misses.
 
     python tools/fuzz_configs.py [--rounds N] [--seed S]   # default 20
 
@@ -68,9 +68,12 @@ def one_round(rng, rnd: int) -> dict:
         "coalesce": int(rng.choice([0, 777, 131072])),
         "paired": bool(rng.integers(0, 2)),
         "kmers": bool(rng.integers(0, 2)),
-        "cmd": str(rng.choice(["stats", "filter", "edit"])),
+        "cmd": str(rng.choice(["stats", "filter", "edit", "cgr"])),
         "seed": int(rng.integers(0, 2**31)),
     }
+    if cfg["cmd"] == "cgr":
+        cfg["k"] = int(rng.choice([3, 4, 5, 7]))
+        cfg["n"] = min(cfg["n"], 1500)  # the per-nt loop oracle is slow
     cfg["max_len"] = cfg["min_len"] + int(rng.integers(0, 200))
     crit_draw = {
         "min_read_quality": int(rng.choice([-1, 18, 35])),
@@ -103,6 +106,8 @@ def one_round(rng, rnd: int) -> dict:
             crit_kw.setdefault("max_left_quality", 60)
             cfg["criteria"] = crit_kw
         cfg["paired"] = False  # single-end edit fuzz (paired rides filter)
+    if cfg["cmd"] == "cgr":
+        filter_on = False  # cgr has no inline filter
     cfg["filter_on"] = filter_on
 
     try:
@@ -216,6 +221,34 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
             if filter_on:
                 gotf = open(os.path.join(tmp, "failed.fq"), "rb").read()
                 assert gotf == b"".join(want_failed), "failed bytes"
+        elif cfg["cmd"] == "cgr":
+            from hpgq.io.fastq import FastqReader
+            from hpgq.io.packer import pack_block
+            from hpgq.options import CgrOptions
+            from hpgq.oracle.cgr import fill_tables_loop
+            from hpgq.pipeline.cgr_run import run_cgr
+
+            k = cfg["k"]
+            o = mk(CgrOptions)
+            o.k = k
+            o.filter_on = False
+            res = run_cgr(o)
+            dim = 1 << k
+            ots = np.zeros((dim, dim), dtype=np.int64)
+            otq = np.zeros((dim, dim), dtype=np.int64)
+            ow = 0
+            for path in [f1] + ([f2] if cfg["paired"] else []):
+                with FastqReader(path, batch_size=1 << 20) as rd:
+                    for block in rd:
+                        codes, quals, lens, valid = pack_block(block)
+                        ts, tq, w = fill_tables_loop(
+                            codes, quals, lens, valid, k, 33)
+                        ots += ts
+                        otq += tq
+                        ow += w
+            assert res["fq_word_count"] == ow, "cgr word count"
+            assert np.array_equal(res["table_seq"], ots), "cgr table_seq"
+            assert np.array_equal(res["table_q"], otq), "cgr table_q"
         else:
             o = mk(FilterOptions)
             res = run_filter(o)
