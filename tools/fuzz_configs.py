@@ -74,6 +74,15 @@ def one_round(rng, rnd: int) -> dict:
     if cfg["cmd"] == "cgr":
         cfg["k"] = int(rng.choice([3, 4, 5, 7]))
         cfg["n"] = min(cfg["n"], 1500)  # the per-nt loop oracle is slow
+    # checkpoint rounds: interrupt after a few batches, resume, and hold
+    # the final outputs to the same oracle assertions as a clean run
+    cfg["checkpoint"] = bool(rng.integers(0, 4) == 0)
+    if cfg["checkpoint"]:
+        cfg["batch_size"] = max(20, cfg["n"] // 6)  # guarantee >=~6 batches
+        cfg["stop_after"] = int(rng.integers(1, 4))
+        # env-forced coalescing would merge the whole corpus into one
+        # dispatch — nothing left to interrupt after block 1
+        cfg["coalesce"] = 0
     cfg["max_len"] = cfg["min_len"] + int(rng.integers(0, 200))
     crit_draw = {
         "min_read_quality": int(rng.choice([-1, 18, 35])),
@@ -115,6 +124,51 @@ def one_round(rng, rnd: int) -> dict:
     except AssertionError as e:
         e.cfg = cfg
         raise
+
+
+def _run_maybe_interrupted(cfg, run_fn, opts):
+    """Run the command; in checkpoint rounds, first run it with the block
+    iterator rigged to raise after ``stop_after`` batches (the production
+    interrupt shape the checkpoint tests use), then resume to completion."""
+    if not cfg["checkpoint"]:
+        return run_fn(opts)
+
+    from hpgq.pipeline import cgr_run as cgr_mod
+    from hpgq.pipeline import run as run_mod
+
+    opts.checkpoint_path = os.path.join(opts.out_dirname, "fuzz.ck.npz")
+    opts.checkpoint_every = 1
+    calls = {"n": 0}
+
+    def wrap(real):
+        def limited(*a, **k):
+            for b in real(*a, **k):
+                if calls["n"] >= cfg["stop_after"]:
+                    raise KeyboardInterrupt
+                calls["n"] += 1
+                yield b
+        return limited
+
+    saved = (run_mod._iter_packed, run_mod._iter_with, cgr_mod._iter_blocks,
+             run_mod._iter_blocks_paired)
+    run_mod._iter_packed = wrap(saved[0])
+    run_mod._iter_with = wrap(saved[1])
+    cgr_mod._iter_blocks = wrap(saved[2])
+    run_mod._iter_blocks_paired = wrap(saved[3])
+    interrupted = False
+    try:
+        try:
+            res = run_fn(opts)
+        except KeyboardInterrupt:
+            interrupted = True
+            res = None
+    finally:
+        (run_mod._iter_packed, run_mod._iter_with, cgr_mod._iter_blocks,
+         run_mod._iter_blocks_paired) = saved
+    if interrupted:
+        res = run_fn(opts)  # resume from the checkpoint
+    cfg["interrupted"] = interrupted
+    return res
 
 
 def make_kw_of(cfg):
@@ -163,7 +217,8 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
         if cfg["cmd"] == "stats":
             o = mk(StatsOptions)
             o.kmers_on = cfg["kmers"]
-            got = run_stats(o, report=False)
+            got = _run_maybe_interrupted(
+                cfg, lambda o: run_stats(o, report=False), o)
             if cfg["paired"]:
                 c1, c2 = got
                 r1 = list(spec.iter_seq_qual(f1))
@@ -196,7 +251,7 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
             from hpgq.pipeline.run import run_edit
 
             o = mk(EditOptions)
-            res = run_edit(o)
+            res = _run_maybe_interrupted(cfg, run_edit, o)
             crit_raw = FilterCriteria(**crit_kw)
             crit_sub = crit_raw.substituted()
             post = crit_sub.without_windows()
@@ -232,7 +287,7 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
             o = mk(CgrOptions)
             o.k = k
             o.filter_on = False
-            res = run_cgr(o)
+            res = _run_maybe_interrupted(cfg, run_cgr, o)
             dim = 1 << k
             ots = np.zeros((dim, dim), dtype=np.int64)
             otq = np.zeros((dim, dim), dtype=np.int64)
@@ -251,7 +306,7 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
             assert np.array_equal(res["table_q"], otq), "cgr table_q"
         else:
             o = mk(FilterOptions)
-            res = run_filter(o)
+            res = _run_maybe_interrupted(cfg, run_filter, o)
             raw = open(f1, "rb").read().split(b"\n")
             raw2 = open(f2, "rb").read().split(b"\n") if cfg["paired"] else None
             pp, ff = [], []
