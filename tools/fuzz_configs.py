@@ -83,6 +83,13 @@ def one_round(rng, rnd: int) -> dict:
         # env-forced coalescing would merge the whole corpus into one
         # dispatch — nothing left to interrupt after block 1
         cfg["coalesce"] = 0
+    # sharded rounds: drive the real shard_map session on a 1-device mesh
+    # (filter/edit --sharded degenerate to the ordinary pipeline at one
+    # process, so only stats/cgr exercise new code); kept orthogonal to the
+    # checkpoint arm — its interrupt hook doesn't reach the lockstep loop
+    cfg["sharded"] = bool(cfg["cmd"] in ("stats", "cgr")
+                          and not cfg["checkpoint"]
+                          and rng.integers(0, 3) == 0)
     cfg["max_len"] = cfg["min_len"] + int(rng.integers(0, 200))
     crit_draw = {
         "min_read_quality": int(rng.choice([-1, 18, 35])),
@@ -217,8 +224,13 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
         if cfg["cmd"] == "stats":
             o = mk(StatsOptions)
             o.kmers_on = cfg["kmers"]
-            got = _run_maybe_interrupted(
-                cfg, lambda o: run_stats(o, report=False), o)
+            if cfg["sharded"]:
+                from hpgq.dist.run_dist import run_stats_sharded
+
+                got = run_stats_sharded(o, report=False)
+            else:
+                got = _run_maybe_interrupted(
+                    cfg, lambda o: run_stats(o, report=False), o)
             if cfg["paired"]:
                 c1, c2 = got
                 r1 = list(spec.iter_seq_qual(f1))
@@ -287,6 +299,7 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
             o = mk(CgrOptions)
             o.k = k
             o.filter_on = False
+            o.sharded = cfg["sharded"]  # run_cgr self-dispatches to sharded
             res = _run_maybe_interrupted(cfg, run_cgr, o)
             dim = 1 << k
             ots = np.zeros((dim, dim), dtype=np.int64)
