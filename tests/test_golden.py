@@ -45,8 +45,10 @@ def _normalize(data: bytes, outdir: str) -> bytes:
     )
 
 
-def _check_tree(outdir: str, golden_sub: str):
-    """Byte-compare every file under outdir with tests/golden/<golden_sub>."""
+def _check_tree(outdir: str, golden_sub: str, last: bool = True):
+    """Byte-compare every file under outdir with tests/golden/<golden_sub>.
+    Pass ``last=False`` for all but a test's final tree so regeneration
+    reaches every tree before skipping."""
     gdir = os.path.join(GOLDEN, golden_sub)
     if REGEN:
         shutil.rmtree(gdir, ignore_errors=True)
@@ -56,6 +58,8 @@ def _check_tree(outdir: str, golden_sub: str):
                 data = _normalize(f.read(), outdir)
             with open(os.path.join(gdir, name), "wb") as f:
                 f.write(data)
+        if not last:
+            return
         pytest.skip("goldens regenerated; review the diff")
     assert os.path.isdir(gdir), "missing golden dir %s" % gdir
     got = sorted(os.listdir(outdir))
@@ -114,3 +118,32 @@ def test_golden_cgr(tmp_path):
     rc = main(["cgr", "-f", path, "-o", str(out), "--k", "5"])
     assert rc == 0
     _check_tree(str(out), "cgr")
+
+
+def test_golden_cgr_gs_and_diff(tmp_path):
+    """Freeze the .gs signature bytes and the FG_dif.pgm diff-vs-reference
+    flow (chaos_game_load_table_gs / _calculate_table_dif, old/chaos_game.c
+    :269-372): corpus A writes its signature, corpus B diffs against it."""
+    a = _corpus(tmp_path, name="ga.fq", seed=79)
+    b = _corpus(tmp_path, name="gb.fq", seed=80)
+    out_a, out_b = tmp_path / "oa", tmp_path / "ob"
+    out_a.mkdir(), out_b.mkdir()
+    rc = main(["cgr", "-f", a, "-o", str(out_a), "--k", "5", "--write-gs"])
+    assert rc == 0
+    _check_tree(str(out_a), "cgr_gs", last=False)
+    gs = os.path.join(str(out_a), "ga.fq_k=5.gs")
+    rc = main(["cgr", "-f", b, "-o", str(out_b), "--k", "5",
+               "--gs-filename", gs])
+    assert rc == 0
+    _check_tree(str(out_b), "cgr_diff")
+
+
+def test_golden_prepro(tmp_path):
+    path = _corpus(tmp_path)
+    out = tmp_path / "out"
+    out.mkdir()
+    rc = main(["prepro", "-f", path, "-o", str(out),
+               "--ltrim-nts", "5", "--rtrim-nts", "3",
+               "--min-quality", "27", "--max-quality", "64"])
+    assert rc == 0
+    _check_tree(str(out), "prepro")
