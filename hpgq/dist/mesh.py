@@ -104,8 +104,11 @@ def make_sharded_stats_step(
     shard_map — one host->device array per batch per host instead of four
     (same minimal-H2D design as the single-chip engine).
     """
+    # engine resolves per backend (pallas on TPU, jnp elsewhere): the fused
+    # pallas kernel runs per device inside shard_map — its out_shape structs
+    # carry vma=('data',) so jax's vma typing accepts the manual axis
     step = stats_jnp.make_stats_step(lcap, phred, kmers_on, crit, jit=False,
-                                     engine="jnp", vary_axis="data")
+                                     vary_axis="data")
     acc_spec = jax.tree_util.tree_map(lambda _: P("data"), stats_jnp.zero_partials(lcap, kmers_on))
 
     if wire in ("bitpack", "fused4"):

@@ -579,9 +579,11 @@ def make_stats_step(
     # itself) takes over
     if engine.startswith("pallas") and lcap > 65536:
         engine = "jnp"
-    if vary_axis is not None and engine.startswith("pallas"):
-        # shard_map callers need the vma-aware jnp path; the pallas branch
-        # does not thread vary_axis through its kmer scan
+    if vary_axis is not None and engine == "pallas_interpret":
+        # interpret mode evaluates the kernel body as plain jax ops inside
+        # shard_map, where kernel constants (iotas) trip the strict vma
+        # typing; compiled Mosaic kernels are opaque — only the out_shape
+        # vma matters — so real-TPU pallas DOES run under shard_map
         engine = "jnp"
     cache_key = (lcap, phred, kmers_on, _crit_key(crit), engine, donate, wire,
                  vary_axis)
@@ -595,7 +597,8 @@ def make_stats_step(
         from .stats_pallas import make_batch_partials
 
         pfn = make_batch_partials(
-            lcap, phred, kmers_on, crit, interpret=engine == "pallas_interpret"
+            lcap, phred, kmers_on, crit,
+            interpret=engine == "pallas_interpret", vary_axis=vary_axis
         )
 
         def step(acc, codes, quals, lens, valid):

@@ -45,6 +45,14 @@ from .stats_jnp import MIN_LENGTH_INIT
 
 TB = 256  # batch-tile rows (multiple of the int8 sublane tile, 32)
 
+
+def _out_struct(shape, dtype, vary_axis=None):
+    """pallas out_shape struct; under shard_map the vma typing requires the
+    outputs to declare the manual axis they vary over."""
+    if vary_axis is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset({vary_axis}))
+
 # o_scalars_i lane slots
 _NUM_READS, _ACC_LENGTH, _MIN_LEN, _MAX_LEN, _NUM_PASSED, _NUM_FAILED = range(6)
 
@@ -167,12 +175,17 @@ def _stats_kernel(codes_ref, quals_ref, lens_ref, valid_ref,
 
 
 def batch_partials_pallas(codes, quals, lens, valid, lcap: int, phred: int,
-                          crit=None, interpret: bool = False):
+                          crit=None, interpret: bool = False,
+                          vary_axis=None):
     """Pallas analog of ``stats_jnp.batch_partials`` (non-kmer fields).
 
     Requires ``codes.shape == [B, L]`` with ``L % 128 == 0``; B is padded to
     a TB multiple here (padded rows are invalid).  Returns the same partials
     dict contract as the jnp path (kmer fields excluded).
+
+    ``vary_axis``: shard_map manual axis the call runs under — stamped as
+    ``vma`` on the kernel's out_shape structs (jax's vma typing requires
+    pallas outputs to declare how they vary across mesh axes).
     """
     B, L = codes.shape
     assert L % 128 == 0 and L <= lcap, (L, lcap)
@@ -194,16 +207,17 @@ def batch_partials_pallas(codes, quals, lens, valid, lcap: int, phred: int,
     grid = (Bp // TB,)
     row = lambda i: (i, 0)
     fixed = lambda i: (0, 0)
+    sds = functools.partial(_out_struct, vary_axis=vary_axis)
     out_shapes = (
-        jax.ShapeDtypeStruct((1, 128), jnp.int32),        # scalars int
-        jax.ShapeDtypeStruct((1, 128), jnp.float32),      # scalars f32
-        jax.ShapeDtypeStruct((1, lhp), jnp.int32),        # length hist
-        jax.ShapeDtypeStruct((1, QUAL_BINS), jnp.int32),  # quality hist
-        jax.ShapeDtypeStruct((1, _round_up(GC_BINS, 128)), jnp.int32),
-        jax.ShapeDtypeStruct((1, L), jnp.int32),          # coverage per nt
-        jax.ShapeDtypeStruct((1, L), jnp.int32),          # qual sum per nt
-        jax.ShapeDtypeStruct((8, L), jnp.int32),          # base per nt (5 used)
-        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),         # per-read pass mask
+        sds((1, 128), jnp.int32),        # scalars int
+        sds((1, 128), jnp.float32),      # scalars f32
+        sds((1, lhp), jnp.int32),        # length hist
+        sds((1, QUAL_BINS), jnp.int32),  # quality hist
+        sds((1, _round_up(GC_BINS, 128)), jnp.int32),
+        sds((1, L), jnp.int32),          # coverage per nt
+        sds((1, L), jnp.int32),          # qual sum per nt
+        sds((8, L), jnp.int32),          # base per nt (5 used)
+        sds((Bp, 1), jnp.int32),         # per-read pass mask
     )
     out_specs = tuple(
         pl.BlockSpec(s.shape, fixed, memory_space=pltpu.VMEM)
@@ -440,7 +454,8 @@ def _stats_kernel_blockwise(codes_ref, quals_ref, lens_ref, valid_ref,
 
 def batch_partials_pallas_long(codes, quals, lens, valid, lcap: int,
                                phred: int, crit=None,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               vary_axis=None):
     """Blockwise-L pallas partials for long reads (L > 4096): same contract
     as :func:`batch_partials_pallas` (SURVEY §5 long-context row).  Keeps
     the fused in-VMEM design up to lcap 65536 by tiling the read dimension;
@@ -471,16 +486,17 @@ def batch_partials_pallas_long(codes, quals, lens, valid, lcap: int,
     lblk = lambda i, j: (i, j % nL)
     tile = lambda i, j: (i, 0)
     fixed = lambda i, j: (0, 0)
+    sds = functools.partial(_out_struct, vary_axis=vary_axis)
     out_shapes = (
-        jax.ShapeDtypeStruct((1, 128), jnp.int32),        # scalars int
-        jax.ShapeDtypeStruct((1, 128), jnp.float32),      # scalars f32
-        jax.ShapeDtypeStruct((1, lhp), jnp.int32),        # length hist
-        jax.ShapeDtypeStruct((1, QUAL_BINS), jnp.int32),  # quality hist
-        jax.ShapeDtypeStruct((1, _round_up(GC_BINS, 128)), jnp.int32),
-        jax.ShapeDtypeStruct((1, L), jnp.int32),          # coverage per nt
-        jax.ShapeDtypeStruct((1, L), jnp.int32),          # qual sum per nt
-        jax.ShapeDtypeStruct((8, L), jnp.int32),          # base per nt (5 used)
-        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),         # per-read pass mask
+        sds((1, 128), jnp.int32),        # scalars int
+        sds((1, 128), jnp.float32),      # scalars f32
+        sds((1, lhp), jnp.int32),        # length hist
+        sds((1, QUAL_BINS), jnp.int32),  # quality hist
+        sds((1, _round_up(GC_BINS, 128)), jnp.int32),
+        sds((1, L), jnp.int32),          # coverage per nt
+        sds((1, L), jnp.int32),          # qual sum per nt
+        sds((8, L), jnp.int32),          # base per nt (5 used)
+        sds((Bp, 1), jnp.int32),         # per-read pass mask
     )
     out_specs = tuple(
         pl.BlockSpec(s.shape, fixed, memory_space=pltpu.VMEM)
@@ -531,10 +547,12 @@ def batch_partials_pallas_long(codes, quals, lens, valid, lcap: int,
 
 
 def make_batch_partials(lcap: int, phred: int, kmers_on: bool, crit=None,
-                        interpret: bool = False):
+                        interpret: bool = False, vary_axis=None):
     """Fused-partials fn matching the jnp contract, with verdicts computed
     in-kernel; the optional kmer fields ride the jnp path around the kernel
-    (XLA fuses both under one jit)."""
+    (XLA fuses both under one jit).  ``vary_axis``: shard_map manual axis
+    the call runs under (threaded to the kernel out_shapes' vma and the
+    kmer scan's carry)."""
     from . import stats_jnp
 
     def fn(codes, quals, lens, valid):
@@ -544,7 +562,8 @@ def make_batch_partials(lcap: int, phred: int, kmers_on: bool, crit=None,
         bp = (batch_partials_pallas_long if lcap > _MAX_SINGLE_L
               else batch_partials_pallas)
         p = bp(
-            codes, quals, lens, valid, lcap, phred, crit, interpret=interpret
+            codes, quals, lens, valid, lcap, phred, crit,
+            interpret=interpret, vary_axis=vary_axis
         )
         kvalid = p.pop("_passed_mask")  # in-kernel verdicts, not recomputed
         if kmers_on:
@@ -554,9 +573,11 @@ def make_batch_partials(lcap: int, phred: int, kmers_on: bool, crit=None,
             if L >= KMER_K:
                 kc, okw = stats_jnp.kmer_codes(codes, lens.astype(jnp.int32))
                 okw &= kvalid[:, None]
-                k2d = stats_jnp.kmer_hist2d(kc, okw, lcap)
+                k2d = stats_jnp.kmer_hist2d(kc, okw, lcap,
+                                            vary_axis=vary_axis)
             else:
-                k2d = jnp.zeros((NUM_KMERS, lcap), jnp.int32)
+                k2d = stats_jnp._vary(
+                    jnp.zeros((NUM_KMERS, lcap), jnp.int32), vary_axis)
             p["kmer_per_nt"] = k2d
             p["kmer_counts"] = k2d.sum(axis=1)
         return p
