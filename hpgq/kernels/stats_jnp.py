@@ -579,12 +579,15 @@ def make_stats_step(
     # itself) takes over
     if engine.startswith("pallas") and lcap > 65536:
         engine = "jnp"
-    if vary_axis is not None and engine == "pallas_interpret":
-        # interpret mode evaluates the kernel body as plain jax ops inside
-        # shard_map, where kernel constants (iotas) trip the strict vma
-        # typing; compiled Mosaic kernels are opaque — only the out_shape
-        # vma matters — so real-TPU pallas DOES run under shard_map
-        engine = "jnp"
+    if vary_axis is not None and engine.startswith("pallas"):
+        # Under shard_map, compiled Mosaic kernels are opaque — only the
+        # out_shape vma matters — so real-TPU pallas runs as-is.  Interpret
+        # mode instead evaluates the kernel body as plain jax ops, whose
+        # constants (iotas) trip the strict vma typing; and an explicit
+        # HPGQ_ENGINE=pallas on a non-TPU backend would fail to compile at
+        # all (the sharded path historically ran jnp there) — both downgrade.
+        if engine == "pallas_interpret" or jax.default_backend() != "tpu":
+            engine = "jnp"
     cache_key = (lcap, phred, kmers_on, _crit_key(crit), engine, donate, wire,
                  vary_axis)
     if jit and cache_key in _STEP_CACHE:

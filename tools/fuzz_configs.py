@@ -193,6 +193,8 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
     from hpgq.oracle import spec
     from hpgq.pipeline.run import run_filter, run_stats
 
+    knobs = ("HPGQ_WIRE", "HPGQ_QN_WIRE", "HPGQ_COALESCE")
+    saved_env = {k: os.environ.get(k) for k in knobs}
     os.environ["HPGQ_WIRE"] = cfg["wire"]
     os.environ["HPGQ_QN_WIRE"] = cfg["qn"]
     os.environ["HPGQ_COALESCE"] = str(cfg["coalesce"])
@@ -336,8 +338,14 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
             assert open(os.path.join(tmp, f_name), "rb").read() == b"".join(ff), "failed bytes"
             assert res["num_passed"] == len(pp) and res["num_failed"] == len(ff)
     finally:
-        for k in ("HPGQ_WIRE", "HPGQ_QN_WIRE", "HPGQ_COALESCE"):
-            os.environ.pop(k, None)
+        # restore (not clear): the smoke tests run this inside the pytest
+        # session, where clobbering an exported knob would leak into every
+        # test collected afterwards
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     return cfg
 
 
