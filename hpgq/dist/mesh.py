@@ -146,6 +146,59 @@ def make_sharded_stats_step(
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def make_sharded_paired_stats_step(
+    mesh: Mesh,
+    lcap: int,
+    phred: int,
+    kmers_on: bool = False,
+    crit=None,
+    donate: bool = True,
+    wire=None,
+):
+    """Jitted SPMD paired-stats update over the data mesh: BOTH mates'
+    pair-consistent verdicts + accumulation in ONE dispatch per step.
+
+        step(acc1, acc2, in1, in2) -> (acc1', acc2')
+
+    Each device runs the fused paired kernel
+    (``stats_jnp.make_paired_stats_step``) on its shard of both mates — no
+    steady-state collectives; pair pass/fail tallies accumulate in mate-1's
+    device partials (num_passed/num_failed leaves), psum'd by the final
+    collective merge.  Replaces the sharded-paired loop's 3 dispatches per
+    step (pair verdict + one feed per mate) — dispatch latency is
+    first-order on tunneled links, and on real ICI this halves per-step
+    launch overhead.
+
+    ``wire='bitpack'``/``'fused4'``: ``inN`` is one global uint8 wire
+    buffer ``[ndev*B, W]`` sharded on 'data', decoded per device (wire
+    columns may be trimmed; the paired step re-pads to lcap on device).
+    Otherwise ``inN`` is the mate's plain (codes, quals, lens, valid)
+    tuple, each sharded on 'data'."""
+    wire = wire if wire in ("bitpack", "fused4") else None
+    step = stats_jnp.make_paired_stats_step(
+        lcap, phred, kmers_on, crit, jit=False, wire=wire, vary_axis="data"
+    )
+    acc_spec = jax.tree_util.tree_map(
+        lambda _: P("data"), stats_jnp.zero_partials(lcap, kmers_on)
+    )
+
+    def device_fn(acc1, acc2, in1, in2):
+        i1 = jax.tree_util.tree_map(lambda x: x[0], acc1)
+        i2 = jax.tree_util.tree_map(lambda x: x[0], acc2)
+        o1, o2 = step(i1, i2, in1, in2)
+        return (jax.tree_util.tree_map(lambda x: x[None], o1),
+                jax.tree_util.tree_map(lambda x: x[None], o2))
+
+    batch_spec = P("data") if wire else (P("data"),) * 4
+    fn = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(acc_spec, acc_spec, batch_spec, batch_spec),
+        out_specs=(acc_spec, acc_spec),
+    )
+    return jax.jit(fn, donate_argnums=(0, 1) if donate else ())
+
+
 _MERGE_CACHE: dict = {}
 
 

@@ -43,6 +43,7 @@ from ..utils.timers import StageTimers
 from .mesh import (
     data_mesh,
     initialize_distributed,
+    make_sharded_paired_stats_step,
     make_sharded_stats_step,
     range_splittable,
     sharded_counters,
@@ -237,6 +238,148 @@ class ShardedStatsSession:
             c = self.carry.merge(c)
             c.filter_on = self.crit is not None
         return c
+
+
+class ShardedPairedStatsSession:
+    """Paired-end sharded stats: BOTH mates' pair-consistent verdicts +
+    accumulation in ONE shard_map dispatch per lockstep step
+    (``make_sharded_paired_stats_step``) — the sharded twin of the
+    single-host :class:`~hpgq.pipeline.session.PairedStatsSession`, and
+    the fusion of the former 3-dispatch loop (pair verdict + one feed per
+    mate).  Pair pass/fail tallies live in mate-1's device partials
+    (num_passed/num_failed leaves), so checkpoints and the final counters
+    carry them with no per-step host sync; the collective merge psums them
+    globally.  One shared (lmax, rows, rawlen) bucket covers both mates
+    (they grow together)."""
+
+    def __init__(self, mesh, phred: int, kmers_on=False, crit=None,
+                 batch_reads: int = 16384, lcap: int = 128):
+        from ..core.accumulator import resolve_wire
+
+        self.mesh = mesh if mesh is not None else data_mesh()
+        self.ndev = self.mesh.devices.size
+        self.phred = phred
+        self.kmers_on = kmers_on
+        self.crit = crit
+        self.batch_reads = round_up(max(batch_reads, self.ndev), self.ndev)
+        self.carry1 = None  # StatsCounters folded in on lcap growth/flush
+        self.carry2 = None
+        w = resolve_wire()
+        # pack4 has no single-buffer sharded form; plain arrays there (same
+        # degradation as ShardedStatsSession)
+        self.wire = w if w in ("bitpack", "fused4") else None
+        self._reset(lcap)
+
+    def _reset(self, lcap: int):
+        self.lcap = lcap
+        self.acc1 = zero_sharded_partials(self.mesh, lcap, self.kmers_on)
+        self.acc2 = zero_sharded_partials(self.mesh, lcap, self.kmers_on)
+        self._step = make_sharded_paired_stats_step(
+            self.mesh, lcap, self.phred, self.kmers_on, self.crit,
+            wire=self.wire,
+        )
+        self._sharding = NamedSharding(self.mesh, P("data"))
+        self._rows_since_flush = 0
+
+    def _grow(self, lcap: int):
+        """Collective-fold both mates' partials into the host carries and
+        rebuild at ``lcap``.  Multihost: collective — every rank must call
+        at the same lockstep step (guaranteed by voted shapes / the voted
+        flush budget, as for ShardedStatsSession)."""
+        for name, acc in (("carry1", self.acc1), ("carry2", self.acc2)):
+            done = sharded_counters(
+                acc, self.mesh, self.lcap, self.phred, self.kmers_on
+            )
+            done.filter_on = self.crit is not None
+            prev = getattr(self, name)
+            setattr(self, name, done if prev is None else prev.merge(done))
+        self._reset(lcap)
+
+    def local_shape(self, pair):
+        """``(lmax, rows, rawlen)`` buckets for a lockstep mate-block pair
+        (the per-step vote vector; same contract as
+        ``ShardedStatsSession.local_shape``).  ``(0, 0, 0)`` marks an
+        exhausted shard."""
+        if pair is None:
+            return (0, 0, 0)
+        b1, b2 = pair
+        ml = max(b1.max_len(), b2.max_len(), 1)
+        nr = max(b1.num_reads, b2.num_reads)
+        return (
+            round_up(ml, 128),
+            min(self.batch_reads,
+                round_up(bucket_rows(nr, self.batch_reads), self.ndev)),
+            ml,
+        )
+
+    def feed_pair(self, b1, b2, shape=None):
+        """One fused step over a lockstep mate-block pair.  ``shape`` is
+        the voted ``(lmax, rows, rawlen)`` in multihost mode (defaults to
+        this pair's local buckets)."""
+        if shape is None:
+            shape = self.local_shape((b1, b2))
+        lmax, rows, rawlen = shape
+        if lmax > self.lcap:
+            self._grow(lmax)
+        if self.wire:
+            from ..io.packer import pack_block_wire
+
+            wl = wire_len(rawlen, self.lcap)
+            in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows)
+            in2 = pack_block_wire(b2, self.wire, wl, pad_reads_to=rows)
+            g1, g2 = make_global_batch(self.mesh, self._sharding, (in1, in2))
+        else:
+            p1 = pack_block(b1, max_len=self.lcap, pad_reads_to=rows)
+            p2 = pack_block(b2, max_len=self.lcap, pad_reads_to=rows)
+            g = make_global_batch(
+                self.mesh, self._sharding,
+                (p1[0], p1[1], p1[2].astype(np.int32), p1[3],
+                 p2[0], p2[1], p2[2].astype(np.int32), p2[3]),
+            )
+            g1, g2 = tuple(g[:4]), tuple(g[4:])
+        self.acc1, self.acc2 = self._step(self.acc1, self.acc2, g1, g2)
+        self._after_step(rows)
+
+    def feed_empty(self, shape=None):
+        """A lockstep step with no local pairs (exhausted multihost shard);
+        dispatch shapes must match the other ranks' voted tuple exactly."""
+        rows = self.batch_reads if shape is None else shape[1]
+        if self.wire:
+            wl = self.lcap if shape is None else wire_len(shape[2], self.lcap)
+            W = (10 * wl // 8 if self.wire == "bitpack"
+                 else wl // 2 + wl) + 8
+            # all-zero wire rows decode to valid=0 (no reads)
+            z = np.zeros((rows, W), np.uint8)
+            g1, g2 = make_global_batch(self.mesh, self._sharding, (z, z))
+        else:
+            z = np.zeros((rows, self.lcap), dtype=np.int8) + np.int8(5)
+            q = np.zeros((rows, self.lcap), np.uint8)
+            l = np.zeros(rows, np.int32)
+            v = np.zeros(rows, bool)
+            g = make_global_batch(self.mesh, self._sharding,
+                                  (z, q, l, v, z, q, l, v))
+            g1, g2 = tuple(g[:4]), tuple(g[4:])
+        self.acc1, self.acc2 = self._step(self.acc1, self.acc2, g1, g2)
+        self._after_step(rows)
+
+    def _after_step(self, step_rows: int):
+        # per-mate int32 budget — identical to ShardedStatsSession (each
+        # mate's accumulator sees step_rows local rows per step); computed
+        # only from voted quantities so multihost folds stay lockstep
+        self._rows_since_flush += max(1, step_rows * jax.process_count()
+                                      // self.ndev)
+        if self._rows_since_flush * max(self.lcap, 130) >= _FLUSH_BUDGET:
+            self._grow(self.lcap)
+
+    def finish(self):
+        """(counters1, counters2) with globally merged stats; the
+        pair-consistent pass/fail tallies ride counters1 (mirrored onto
+        counters2 by the caller, like the single-host paired runner)."""
+        self._grow(self.lcap)
+        c1, c2 = self.carry1, self.carry2
+        for c in (c1, c2):
+            c.filter_on = self.crit is not None
+        return c1, c2
 
 
 _jitted_max = jax.jit(jnp.max)
@@ -661,16 +804,15 @@ def run_cgr_sharded(opts, timers: Optional[StageTimers] = None, mesh=None):
 
 def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
     """Paired-end sharded stats: record-count-aligned shard ranges for both
-    mates (``split_paired_ranges``), pair-consistent inline filter computed
-    on local devices, per-mate sharded accumulation, lockstep length votes
-    so every process grows its shard_map shapes together.  Mirrors the
-    single-process paired path (``pipeline.run.run_stats``)."""
+    mates (``split_paired_ranges``), ONE fused shard_map dispatch per step
+    (pair-consistent verdict + both mates' accumulation,
+    ``ShardedPairedStatsSession``), lockstep shape votes so every process
+    grows its shard_map shapes together.  Mirrors the single-process paired
+    path (``pipeline.run.run_stats``)."""
     import dataclasses
 
     from ..kernels.stats_jnp import _crit_key
-    from ..kernels import stats_jnp
     from ..pipeline.run import _iter_blocks_paired
-    from ..pipeline.session import ShapeCachedPairFn
 
     pidx, pcnt = jax.process_index(), jax.process_count()
     multihost = pcnt > 1
@@ -687,24 +829,23 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
     else:
         (s1, e1), (s2, e2) = (0, None), (0, None)
 
-    sess1 = ShardedStatsSession(mesh, phred, opts.kmers_on, None,
-                                batch_reads=br)
-    sess2 = ShardedStatsSession(mesh, phred, opts.kmers_on, None,
-                                batch_reads=br)
+    sess = ShardedPairedStatsSession(mesh, phred, opts.kmers_on, crit,
+                                     batch_reads=br)
 
     # checkpointing: per-rank rotating two-slot files with common-ordinal
     # voting (same protocol as single-end sharded stats); state = both
-    # mates' folded carries + both local reader offsets + this rank's
-    # pass/fail tallies.  Saves land at the SAME lockstep step on every
-    # rank (incl. empty tail steps), so restored states describe one
-    # global step.
+    # mates' folded carries (pass/fail tallies ride inside carry1, folded
+    # from the device accumulator) + both local reader offsets.  Saves
+    # land at the SAME lockstep step on every rank (incl. empty tail
+    # steps), so restored states describe one global step.
     ck = None
-    num_passed = num_failed = 0
     if getattr(opts, "checkpoint_path", None):
         import json as _json
 
         ck_key = _json.dumps({
             "cmd": "stats-sharded-paired",
+            "fused": True,  # pass/fail moved into carry1 — old-format
+            # checkpoints (host-side tallies) must not resume here
             "in": [os.path.abspath(opts.in_filename),
                    os.path.abspath(opts.in_filename2)],
             "phred": phred, "kmers": opts.kmers_on,
@@ -716,33 +857,10 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
         got = ck.resume()
         if got:
             carry1, off1, extra = got
-            sess1.carry = carry1
-            sess2.carry = extra["__counters2__"]
-            num_passed = int(extra["passed"])
-            num_failed = int(extra["failed"])
+            sess.carry1 = carry1
+            sess.carry2 = extra["__counters2__"]
             s1 = max(s1, int(off1))
             s2 = max(s2, int(extra["offset2"]))
-    vfn = (
-        ShapeCachedPairFn(
-            lambda: (lambda c1, q1, l1, v1, c2, q2, l2, v2:
-                     (stats_jnp.verdicts(c1, q1, l1, crit, phred) & v1)
-                     & (stats_jnp.verdicts(c2, q2, l2, crit, phred) & v2)),
-            br,
-            cache_key=("verdict-pair", _crit_key(crit), phred, br),
-            qn_ok=True,
-        )
-        if crit is not None
-        else None
-    )
-
-    # one shared (lmax, rows, rawlen) bucket covers both mates (they grow
-    # together); the lockstep iterator votes it element-wise max across
-    # ranks in the one per-step collective
-    def pair_shape(pair):
-        if pair is None:
-            return (0, 0, 0)
-        return tuple(max(a, b) for a, b in zip(sess1.local_shape(pair[0]),
-                                               sess2.local_shape(pair[1])))
 
     last_off1, last_off2 = s1, s2
     with FastqReader(opts.in_filename, batch_size=opts.batch_size,
@@ -751,48 +869,34 @@ def _run_stats_sharded_paired(opts, timers, mesh, report: bool = True):
                      start_offset=s2, end_offset=e2) as r2:
         pairs = _iter_blocks_paired(r1, r2, timers)
         for pair, shape in iter_lockstep(mesh, pairs, multihost, 1, timers,
-                                         shape_fn=pair_shape):
-            for sess in (sess1, sess2):
-                if shape[0] > sess.lcap:
-                    sess._grow(shape[0])
+                                         shape_fn=sess.local_shape):
+            if shape[0] > sess.lcap:
+                sess._grow(shape[0])
             with timers.stage("compute"):
                 if pair is None:
-                    sess1.feed_empty(shape)
-                    sess2.feed_empty(shape)
+                    sess.feed_empty(shape)
                 else:
                     b1, b2 = pair
-                    sel = None
-                    if vfn is not None:
-                        both = vfn(b1, b2)
-                        npass = int(both.sum())
-                        num_passed += npass
-                        num_failed += b1.num_reads - npass
-                        sel = both
-                    for sess, blk in ((sess1, b1), (sess2, b2)):
-                        sess.feed_block(blk, sel=sel, shape=shape)
+                    sess.feed_pair(b1, b2, shape=shape)
                     last_off1, last_off2 = b1.end_offset, b2.end_offset
             if ck is not None:
                 with timers.stage("checkpoint"):
                     ck.maybe_save(
-                        lambda: sess1.carry, last_off1,
-                        counters2=lambda: sess2.carry,
-                        extra={"offset2": last_off2,
-                               "passed": num_passed, "failed": num_failed},
-                        fold=lambda: (sess1._grow(sess1.lcap),
-                                      sess2._grow(sess2.lcap)),
+                        lambda: sess.carry1, last_off1,
+                        counters2=lambda: sess.carry2,
+                        extra={"offset2": last_off2},
+                        fold=lambda: sess._grow(sess.lcap),
                     )
 
     with timers.stage("compute"):
-        c1, c2 = sess1.finish(), sess2.finish()
+        c1, c2 = sess.finish()
     if ck is not None:
         ck.complete()
-    if crit is not None:
-        gp, gf = (int(x) for x in _vote_sum(mesh, [num_passed, num_failed]))
-    else:
-        gp = gf = 0
+    # pass/fail tallies were psum'd globally by the collective merge into
+    # c1; mirror onto c2 like the single-host paired runner
     for c in (c1, c2):
         c.filter_on = crit is not None
-        c.num_passed, c.num_failed = gp, gf
+        c.num_passed, c.num_failed = c1.num_passed, c1.num_failed
     if report and jax.process_index() == 0:
         with timers.stage("reporting"):
             stats_report(c1, opts)

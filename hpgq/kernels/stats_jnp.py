@@ -656,6 +656,7 @@ def make_paired_stats_step(
     jit: bool = True,
     engine: Optional[str] = None,
     wire: Optional[str] = None,
+    vary_axis=None,
 ):
     """Fused per-batch update for BOTH mates of a paired batch in ONE
     dispatch:
@@ -670,12 +671,22 @@ def make_paired_stats_step(
     per-pair passed/failed tallies fold into ``acc1``'s num_passed /
     num_failed (device-resident — the host never syncs per batch).
     Replaces the 4-dispatch loop (verdict x2 + accumulate x2) — dispatch
-    latency is first-order on tunneled/remote links."""
+    latency is first-order on tunneled/remote links.
+
+    ``vary_axis``: shard_map manual axis the step runs under (the fused
+    sharded-paired step, ``dist.mesh.make_sharded_paired_stats_step``);
+    same engine-downgrade rules as :func:`make_stats_step`."""
     engine = resolve_engine(engine)
     if engine.startswith("pallas") and lcap > 65536:
         engine = "jnp"
+    if vary_axis is not None and engine.startswith("pallas"):
+        # same downgrade rules as make_stats_step: interpret-mode kernel
+        # bodies trip strict vma typing, and compiled Mosaic can't build on
+        # non-TPU backends
+        if engine == "pallas_interpret" or jax.default_backend() != "tpu":
+            engine = "jnp"
     cache_key = ("paired", lcap, phred, kmers_on, _crit_key(crit), engine,
-                 wire)
+                 wire, vary_axis)
     if jit and cache_key in _STEP_CACHE:
         return _STEP_CACHE[cache_key]
 
@@ -683,12 +694,13 @@ def make_paired_stats_step(
         from .stats_pallas import make_batch_partials
 
         pfn = make_batch_partials(
-            lcap, phred, kmers_on, None, interpret=engine == "pallas_interpret"
+            lcap, phred, kmers_on, None,
+            interpret=engine == "pallas_interpret", vary_axis=vary_axis
         )
     else:
         def pfn(codes, quals, lens, valid):
             return batch_partials(codes, quals, lens, valid, lcap, phred,
-                                  kmers_on)
+                                  kmers_on, vary_axis=vary_axis)
 
     if wire in ("fused4", "bitpack"):
         def unf(t):

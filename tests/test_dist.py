@@ -592,21 +592,21 @@ def test_sharded_paired_stats_resume(tmp_path):
     class Boom(Exception):
         pass
 
-    real = run_dist.ShardedStatsSession.feed_block
+    real = run_dist.ShardedPairedStatsSession.feed_pair
     calls = {"n": 0}
 
-    def limited(self, block, **kw):
-        if calls["n"] >= 8:  # 2 sessions per step -> >=4 checkpoints
+    def limited(self, b1, b2, **kw):
+        if calls["n"] >= 4:  # 1 fused step per pair -> >=4 checkpoints
             raise Boom()
         calls["n"] += 1
-        return real(self, block, **kw)
+        return real(self, b1, b2, **kw)
 
-    run_dist.ShardedStatsSession.feed_block = limited
+    run_dist.ShardedPairedStatsSession.feed_pair = limited
     try:
         with pytest.raises(Boom):
             run_stats_sharded(ob)
     finally:
-        run_dist.ShardedStatsSession.feed_block = real
+        run_dist.ShardedPairedStatsSession.feed_pair = real
     assert os.path.exists(ck + ".a") or os.path.exists(ck + ".b")
 
     r1, r2 = run_stats_sharded(ob)

@@ -666,17 +666,17 @@ if ck != "-":
     o.checkpoint_every = 1
 
 if mode == "crash":
-    real = run_dist.ShardedStatsSession.feed_block
+    real = run_dist.ShardedPairedStatsSession.feed_pair
     state = {"n": 0}
 
-    def limited(self, block, **kw):
-        if state["n"] >= 6:  # 2 sessions/step -> >=3 paired checkpoints
+    def limited(self, b1, b2, **kw):
+        if state["n"] >= 3:  # 1 fused step/pair -> >=3 paired checkpoints
             print("CRASHING", flush=True)
             os._exit(3)
         state["n"] += 1
-        return real(self, block, **kw)
+        return real(self, b1, b2, **kw)
 
-    run_dist.ShardedStatsSession.feed_block = limited
+    run_dist.ShardedPairedStatsSession.feed_pair = limited
 
 c1, c2 = run_stats_sharded(o)
 print(json.dumps({

@@ -12,7 +12,8 @@ Checks (all exact unless noted):
   4. CGR: table_seq, table_q, word count vs the faithful f64 loop oracle.
   5. sharded session (degenerate 1-device mesh on the live backend):
      wire decode + voted trimmed shapes vs the same oracle as (1).
-  6. coalesced dispatch (explicit small batch + HPGQ_COALESCE) == (1).
+  6. sharded PAIRED session (fused 1-dispatch pair step) vs oracle.
+  7. coalesced dispatch (explicit small batch + HPGQ_COALESCE) == (1).
 
 Exits non-zero on any mismatch; prints one PASS line per check.
 """
@@ -226,6 +227,47 @@ def check_sharded(n):
     return "sharded stats (1-device mesh): %d reads, all counters equal" % n
 
 
+def check_sharded_paired(n):
+    """Fused sharded-paired step (ONE shard_map dispatch per step: pair
+    verdict + both mates' accumulation) vs the per-read oracle."""
+    from hpgq.options import FilterCriteria, StatsOptions
+    from hpgq.oracle import spec
+    from hpgq.dist.run_dist import run_stats_sharded
+
+    m1 = corpus(n, "sp1", seed=51)
+    m2 = corpus(n, "sp2", seed=52)
+    kw = dict(min_read_quality=18, max_read_quality=40, max_N=2)
+    o = StatsOptions()
+    o.in_filename, o.in_filename2 = m1, m2
+    o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 65536
+    for k, v in kw.items():
+        setattr(o.criteria, k, v)
+    o.filter_on = True
+    c1, c2 = run_stats_sharded(o)
+    crit = FilterCriteria(**kw).substituted()
+    r1 = list(spec.iter_seq_qual(m1))
+    r2 = list(spec.iter_seq_qual(m2))
+    both = [spec.filter_verdict(s1, q1, crit, 33)
+            and spec.filter_verdict(s2, q2, crit, 33)
+            for (s1, q1), (s2, q2) in zip(r1, r2)]
+
+    def sel(recs):
+        return (r for r, b in zip(recs, both) if b)
+
+    o1 = spec.stats_of_file(sel(r1))
+    o2 = spec.stats_of_file(sel(r2))
+    skip = ("filter_on", "num_passed", "num_failed")
+    bad = counters_equal(c1, o1, skip) + counters_equal(c2, o2, skip)
+    assert not bad, "sharded-paired counters differ: %s" % bad
+    assert c1.num_passed == sum(both), (c1.num_passed, sum(both))
+    assert c2.num_passed == c1.num_passed
+    return ("sharded paired (fused 1-dispatch step): %d pairs, both mates "
+            "equal (passed %d)" % (n, sum(both)))
+
+
 def check_coalesced(n):
     from hpgq.options import FilterCriteria, StatsOptions
     from hpgq.oracle import spec
@@ -273,6 +315,7 @@ def main():
                   (check_filter_bytes, args.reads),
                   (check_cgr, args.cgr_reads),
                   (check_sharded, args.reads // 2),
+                  (check_sharded_paired, args.reads // 4),
                   (check_coalesced, args.reads // 2)):
         t0 = time.perf_counter()
         try:
