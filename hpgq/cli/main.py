@@ -119,14 +119,19 @@ def _add_common(p: argparse.ArgumentParser, with_windows=True, with_encoding=Fal
                    help=argparse.SUPPRESS)
     p.add_argument("--gpu-num-devices", type=int, default=None,
                    help=argparse.SUPPRESS)
-    # legacy QC mean-quality position window (old/main_hpg_fastq_old.c:
-    # 100-101,335-352; defaults 0/1024 = whole read).  The legacy kernel
-    # that consumed it is not vendored; non-default values are refused
-    # rather than silently misinterpreted.
-    p.add_argument("--start-quality-nt", type=int, default=0,
-                   help=argparse.SUPPRESS)
+    # legacy QC quality position window (old/main_hpg_fastq_old.c:
+    # 100-101,148-149; defaults 0/1024 = whole read; the usage banner
+    # spells it --begin-quality-nt, the getopt table --start-quality-nt —
+    # both accepted).  Reconstructed semantics [D8], see PARITY.md: the
+    # mean-quality and out-of-quality screens evaluate positions
+    # [begin, end) only.
+    p.add_argument("--start-quality-nt", "--begin-quality-nt", type=int,
+                   default=0,
+                   help="First nucleotide (0-based) of the quality screen "
+                        "window (legacy; default 0)")
     p.add_argument("--end-quality-nt", type=int, default=1024,
-                   help=argparse.SUPPRESS)
+                   help="One past the last nucleotide of the quality screen "
+                        "window (legacy; default 1024)")
     p.add_argument("--log-file", default=None, help="Log file path")
     p.add_argument("--conf", default=None,
                    help="key=value option file; file overrides command line")
@@ -208,6 +213,9 @@ def _apply_conf(ns: argparse.Namespace, conf: dict):
         "max-nts-mismatch": ("lg_max_nts_mismatch",),
         "lfilter-nts": ("lg_lfilter_nts",),
         "rfilter-nts": ("lg_rfilter_nts",),
+        "start-quality-nt": "start_quality_nt",
+        "begin-quality-nt": "start_quality_nt",
+        "end-quality-nt": "end_quality_nt",
     }
     for key, val in conf.items():
         attrs = mapping.get(key)
@@ -292,14 +300,15 @@ def _ns_to_opts(ns: argparse.Namespace, cls):
     opts.use_pallas = ns.use_pallas
     opts.sharded = getattr(ns, "sharded", False)
 
-    if (getattr(ns, "start_quality_nt", 0)
-            or getattr(ns, "end_quality_nt", 1024) != 1024):
-        # legacy kernel consuming this window is not vendored in the
-        # reference; refusing beats silently computing whole-read means
+    begin_nt = getattr(ns, "start_quality_nt", 0)
+    end_nt = getattr(ns, "end_quality_nt", 1024)
+    if begin_nt < 0 or end_nt < 0:
         raise OptionsError(
-            "\nError: --start-quality-nt/--end-quality-nt position windows "
-            "are not supported; quality statistics cover the whole read"
+            "\nError: --start-quality-nt/--end-quality-nt must not be "
+            "negative"
         )
+    opts.criteria.begin_quality_nt = begin_nt
+    opts.criteria.end_quality_nt = end_nt
 
     logging.basicConfig(
         filename=ns.log_file or "hpg-fastq.log",

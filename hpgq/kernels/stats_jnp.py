@@ -123,23 +123,36 @@ def verdicts(codes, quals, lens, crit: FilterCriteria, phred: int = PHRED33):
 
     ok = (lens32 >= crit.min_read_length) & (lens32 <= crit.max_read_length)
 
-    qn = qsum - phred * lens32
+    # [D8] legacy quality position window (--start/--end-quality-nt):
+    # the two quality screens evaluate positions [begin, end) ∩ [0, len);
+    # default 0/1024 keeps the whole-read fast path.
+    if crit.quality_window_on:
+        pos = _pos_iota(B, L)
+        qwmask = mask & (pos >= crit.begin_quality_nt) & (pos < crit.end_quality_nt)
+        wlen = qwmask.sum(axis=1, dtype=jnp.int32)
+        wqsum = jnp.where(qwmask, quals.astype(jnp.int32), 0).sum(axis=1)
+    else:
+        qwmask = mask
+        wlen = lens32
+        wqsum = qsum
+
+    qn = wqsum - phred * wlen
     # Overflow care: the substituted MAX sentinel (100000) times a long read
     # length wraps int32 (reads > ~21 kb), but the check is vacuous then
     # (qn <= 126*len < 100000*len always) — skip it.  The MIN sentinel (0)
     # is NOT vacuous (qn < 0 when quality bytes sit below the offset):
     # express it multiply-free.  Set thresholds (<~130) are safe to ~16 Mb.
     if crit.min_read_quality != MIN_VALUE:
-        ok &= crit.min_read_quality * lens32 <= qn
+        ok &= crit.min_read_quality * wlen <= qn
     else:
         ok &= qn >= 0
     if crit.max_read_quality != MAX_VALUE:
-        ok &= qn <= crit.max_read_quality * lens32
+        ok &= qn <= crit.max_read_quality * wlen
 
     if crit.max_out_of_quality != MAX_VALUE:
         nq = quals.astype(jnp.int32) - phred
         out_of = (
-            ((nq < crit.min_read_quality) | (nq > crit.max_read_quality)) & mask
+            ((nq < crit.min_read_quality) | (nq > crit.max_read_quality)) & qwmask
         ).sum(axis=1, dtype=jnp.int32)
         ok &= out_of <= crit.max_out_of_quality
 

@@ -89,12 +89,20 @@ def _stats_kernel(codes_ref, quals_ref, lens_ref, valid_ref,
     # ---- inline filter verdict (fastq_filter semantics, [D2][D3]) ----
     if crit is not None:
         ok = (lens >= crit.min_read_length) & (lens <= crit.max_read_length)
-        qn = qsum - phred * lens
-        ok &= (crit.min_read_quality * lens <= qn) & (qn <= crit.max_read_quality * lens)
+        if crit.quality_window_on:
+            # [D8] legacy quality position window: the two quality screens
+            # evaluate positions [begin, end) ∩ [0, len)
+            qwmask = mask & (pos >= crit.begin_quality_nt) & (pos < crit.end_quality_nt)
+            wlen = qwmask.sum(axis=1, keepdims=True, dtype=jnp.int32)
+            wqsum = jnp.where(qwmask, quals, 0).sum(axis=1, keepdims=True)
+        else:
+            qwmask, wlen, wqsum = mask, lens, qsum
+        qn = wqsum - phred * wlen
+        ok &= (crit.min_read_quality * wlen <= qn) & (qn <= crit.max_read_quality * wlen)
         if crit.max_out_of_quality != MAX_VALUE:
             nq = quals - phred
             out_of = (
-                ((nq < crit.min_read_quality) | (nq > crit.max_read_quality)) & mask
+                ((nq < crit.min_read_quality) | (nq > crit.max_read_quality)) & qwmask
             ).sum(axis=1, keepdims=True, dtype=jnp.int32)
             ok &= out_of <= crit.max_out_of_quality
         if crit.left_length > MIN_VALUE:
@@ -273,7 +281,7 @@ _HIST_CHUNK = 4096  # one-hot bin chunk for the wide length histogram
 def _stats_kernel_blockwise(codes_ref, quals_ref, lens_ref, valid_ref,
                             o_si, o_sf, o_lh, o_qh, o_gh, o_cov, o_qpn,
                             o_bpn, o_pass,
-                            s_qsum, s_nn, s_ngc, s_lq, s_rq, s_oo, s_v,
+                            s_qsum, s_nn, s_ngc, s_lq, s_rq, s_oo, s_v, s_wq,
                             *, LB: int, nL: int, sweeps: int, lcap: int,
                             phred: int, crit, lhp: int):
     """Blockwise-L body: grid (batch_tile i, L-block step jj).
@@ -307,7 +315,7 @@ def _stats_kernel_blockwise(codes_ref, quals_ref, lens_ref, valid_ref,
 
     @pl.when(jj == 0)
     def _init_tile_scratch():
-        for s in (s_qsum, s_nn, s_ngc, s_lq, s_rq, s_oo, s_v):
+        for s in (s_qsum, s_nn, s_ngc, s_lq, s_rq, s_oo, s_v, s_wq):
             s[:] = jnp.zeros_like(s)
 
     codes = codes_ref[:].astype(jnp.int32)          # [TB, LB]
@@ -329,11 +337,21 @@ def _stats_kernel_blockwise(codes_ref, quals_ref, lens_ref, valid_ref,
             axis=1, keepdims=True, dtype=jnp.int32
         )
         if crit is not None:
+            # [D8] legacy quality position window: quality screens see
+            # positions [begin, end) ∩ [0, len) only
+            if crit.quality_window_on:
+                qwmask = mask & (gpos >= crit.begin_quality_nt) \
+                    & (gpos < crit.end_quality_nt)
+                s_wq[:] += jnp.where(qwmask, quals, 0).sum(
+                    axis=1, keepdims=True
+                )
+            else:
+                qwmask = mask
             if crit.max_out_of_quality != MAX_VALUE:
                 nq = quals - phred
                 s_oo[:] += (
                     ((nq < crit.min_read_quality)
-                     | (nq > crit.max_read_quality)) & mask
+                     | (nq > crit.max_read_quality)) & qwmask
                 ).sum(axis=1, keepdims=True, dtype=jnp.int32)
             if crit.left_length > MIN_VALUE:
                 s_lq[:] += jnp.where(gpos < crit.left_length, qm, 0).sum(
@@ -349,15 +367,23 @@ def _stats_kernel_blockwise(codes_ref, quals_ref, lens_ref, valid_ref,
         ngc = s_ngc[:]
         if crit is not None:
             ok = (lens >= crit.min_read_length) & (lens <= crit.max_read_length)
-            qn = qsum - phred * lens
+            if crit.quality_window_on:
+                # [D8] window width is analytic: |[begin,end) ∩ [0,len)|
+                wlen = jnp.maximum(
+                    jnp.minimum(lens, crit.end_quality_nt)
+                    - crit.begin_quality_nt, 0)
+                qn = s_wq[:] - phred * wlen
+            else:
+                wlen = lens
+                qn = qsum - phred * lens
             # Overflow care (mirrors stats_jnp.verdicts:127-137): the MAX
             # sentinel (100000) times a long read length wraps int32 at
             # lens > ~21474 — exactly this kernel's range — but the check
             # is vacuous then (qn <= 126*len always), so skip it.  The MIN
             # sentinel is 0: `0*len <= qn` is exact and cannot wrap.
-            ok &= crit.min_read_quality * lens <= qn
+            ok &= crit.min_read_quality * wlen <= qn
             if crit.max_read_quality != MAX_VALUE:
-                ok &= qn <= crit.max_read_quality * lens
+                ok &= qn <= crit.max_read_quality * wlen
             if crit.max_out_of_quality != MAX_VALUE:
                 ok &= s_oo[:] <= crit.max_out_of_quality
             if crit.left_length > MIN_VALUE:
@@ -502,7 +528,7 @@ def batch_partials_pallas_long(codes, quals, lens, valid, lcap: int,
         pl.BlockSpec(s.shape, fixed, memory_space=pltpu.VMEM)
         for s in out_shapes[:-1]
     ) + (pl.BlockSpec((TB, 1), tile, memory_space=pltpu.VMEM),)
-    scratch = [pltpu.VMEM((TB, 1), jnp.int32) for _ in range(7)]
+    scratch = [pltpu.VMEM((TB, 1), jnp.int32) for _ in range(8)]
     si, sf, lh, qh, gh, cov, qpn, bpn, passed = pl.pallas_call(
         kernel,
         grid=grid,

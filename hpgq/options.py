@@ -124,6 +124,20 @@ class FilterCriteria:
     min_right_quality: int = NO_VALUE
     max_right_quality: int = NO_VALUE
     max_N: int = NO_VALUE
+    # Legacy QC quality position window [begin, end), 0-based nucleotide
+    # indices (``--start-quality-nt``/``--end-quality-nt``,
+    # ``old/main_hpg_fastq_old.c:100-101,148-149``; defaults 0/1024 = whole
+    # read).  Reconstructed contract [D8]: when non-default, the two
+    # quality screens (mean read quality + out-of-quality nt count)
+    # evaluate only positions in the window intersected with the read;
+    # an empty intersection passes those screens vacuously.  The legacy
+    # consuming kernel is not vendored in the reference — see PARITY.md.
+    begin_quality_nt: int = 0
+    end_quality_nt: int = 1024
+
+    @property
+    def quality_window_on(self) -> bool:
+        return self.begin_quality_nt != 0 or self.end_quality_nt != 1024
 
     def substituted(self) -> "FilterCriteria":
         """Default substitution, as in ``src/filter_fastq.c:195-206``."""
@@ -147,6 +161,8 @@ class FilterCriteria:
             min_right_quality=lo(self.min_right_quality),
             max_right_quality=hi(self.max_right_quality),
             max_N=hi(self.max_N),
+            begin_quality_nt=self.begin_quality_nt,
+            end_quality_nt=self.end_quality_nt,
         )
 
     def without_windows(self) -> "FilterCriteria":

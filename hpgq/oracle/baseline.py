@@ -128,13 +128,23 @@ def block_verdicts(
 
     ok = (lens64 >= crit.min_read_length) & (lens64 <= crit.max_read_length)
 
-    qn = qsum - phred * lens64
-    ok &= (crit.min_read_quality * lens64 <= qn) & (qn <= crit.max_read_quality * lens64)
+    # [D8] legacy quality position window [begin, end): quality screens
+    # evaluate only those positions (see oracle.spec.filter_verdict)
+    if crit.quality_window_on:
+        pos = np.arange(L, dtype=np.int64)[None, :]
+        qwmask = mask & (pos >= crit.begin_quality_nt) & (pos < crit.end_quality_nt)
+        wlen = qwmask.sum(axis=1, dtype=np.int64)
+        wqsum = np.where(qwmask, q, 0).sum(axis=1)
+    else:
+        qwmask, wlen, wqsum = mask, lens64, qsum
+
+    qn = wqsum - phred * wlen
+    ok &= (crit.min_read_quality * wlen <= qn) & (qn <= crit.max_read_quality * wlen)
 
     if crit.max_out_of_quality != MAX_VALUE:
         nq = q - phred
         out = (
-            ((nq < crit.min_read_quality) | (nq > crit.max_read_quality)) & mask
+            ((nq < crit.min_read_quality) | (nq > crit.max_read_quality)) & qwmask
         ).sum(axis=1, dtype=np.int64)
         ok &= out <= crit.max_out_of_quality
 

@@ -106,16 +106,26 @@ def filter_verdict(
     if not (crit.min_read_length <= n <= crit.max_read_length):
         return False
 
+    # [D8] legacy quality position window: restrict the two quality
+    # screens to positions [begin, end) ∩ [0, n).  Default 0/1024 is the
+    # whole read (the legacy kernel's own defaults,
+    # old/main_hpg_fastq_old.c:100-101); an empty window passes vacuously.
+    if crit.quality_window_on:
+        wq = qual[crit.begin_quality_nt:crit.end_quality_nt]
+    else:
+        wq = qual
+    wn = len(wq)
+
     # 2. mean read quality in range  [D2]
-    qn = st["qsum"] - phred * n
-    if not (crit.min_read_quality * n <= qn <= crit.max_read_quality * n):
+    qn = sum(wq) - phred * wn
+    if not (crit.min_read_quality * wn <= qn <= crit.max_read_quality * wn):
         return False
 
     # 3. nts out of the quality range
     if crit.max_out_of_quality != MAX_VALUE:
         out = sum(
             1
-            for q in qual
+            for q in wq
             if (q - phred) < crit.min_read_quality or (q - phred) > crit.max_read_quality
         )
         if out > crit.max_out_of_quality:

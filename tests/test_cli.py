@@ -718,8 +718,8 @@ def test_cli_legacy_qc_filter_combo(tmp_path, capsys):
 
 def test_legacy_misc_flags(tmp_path, capsys):
     """Remaining legacy getopt flags: --quality-control action alias,
-    --v/--verbose, accepted-but-inert GPU geometry knobs, and the
-    unsupported QC position window refusing cleanly
+    --v/--verbose, accepted-but-inert GPU geometry knobs, and negative
+    QC position windows refusing cleanly
     (old/main_hpg_fastq_old.c:100-101,131-192)."""
     from gen import make_fastq
     from hpgq.cli.main import main
@@ -736,8 +736,56 @@ def test_legacy_misc_flags(tmp_path, capsys):
     assert (out / "lg.fq.summary.txt").exists()
 
     with pytest.raises(SystemExit):
-        main(["stats", "-f", fq, "-o", str(out), "--start-quality-nt", "5"])
-    assert "position windows are not supported" in capsys.readouterr().err
+        main(["stats", "-f", fq, "-o", str(out), "--start-quality-nt", "-5"])
+    assert "must not be negative" in capsys.readouterr().err
+
+
+def test_legacy_quality_nt_window(tmp_path, capsys):
+    """[D8] --start-quality-nt/--end-quality-nt restrict the mean-quality
+    and out-of-quality screens to positions [begin, end)
+    (old/main_hpg_fastq_old.c:100-101,148-149; reconstructed — PARITY.md).
+    The filter pass/fail partition must match the per-read oracle with the
+    same window, and differ from the whole-read partition."""
+    from gen import make_fastq
+    from hpgq.cli.main import main
+    from hpgq.io import FastqReader
+    from hpgq.options import FilterCriteria
+    from hpgq.oracle import spec
+
+    fq = str(tmp_path / "w.fq")
+    make_fastq(fq, 400, min_len=30, max_len=100, seed=77)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(["filter", "-f", fq, "-o", str(out),
+               "--read-quality-range", "20,23",
+               "--start-quality-nt", "10", "--end-quality-nt", "40"])
+    assert rc in (0, None)
+    capsys.readouterr()
+
+    crit = FilterCriteria(min_read_quality=20, max_read_quality=23,
+                          begin_quality_nt=10, end_quality_nt=40).substituted()
+    whole = FilterCriteria(min_read_quality=20, max_read_quality=23).substituted()
+    with FastqReader(fq, batch_size=10**9) as rd:
+        (block,) = list(rd)
+    pairs = [(block.sequence(i), block.quality(i))
+             for i in range(block.num_reads)]
+    want = [spec.filter_verdict(s, q, crit) for s, q in pairs]
+    whole_want = [spec.filter_verdict(s, q, whole) for s, q in pairs]
+    assert want != whole_want  # the window must actually change the split
+    n_pass = (out / "passed.fq").read_bytes().count(b"@read_")
+    n_fail = (out / "failed.fq").read_bytes().count(b"@read_")
+    assert n_pass == sum(want)
+    assert n_fail == len(want) - sum(want)
+
+    # the legacy single-binary argv form with the banner's --begin spelling
+    out2 = tmp_path / "o2"
+    out2.mkdir()
+    rc = main(["--filter", "--fq", fq, "--outdir", str(out2),
+               "--min-quality", "20", "--max-quality", "23",
+               "--begin-quality-nt=10", "--end-quality-nt=40"])
+    assert rc in (0, None)
+    capsys.readouterr()
+    assert (out2 / "passed.fq").read_bytes().count(b"@read_") == sum(want)
 
 
 def test_legacy_conf_filter_keys(tmp_path):

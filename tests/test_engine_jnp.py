@@ -76,6 +76,31 @@ def test_verdicts_vs_baseline(tmp_path):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("begin,end", [(10, 40), (0, 25), (30, 1024),
+                                       (150, 1024), (20, 20)])
+def test_quality_window_verdicts(tmp_path, begin, end):
+    """[D8] legacy --start/--end-quality-nt window: jnp verdicts == numpy
+    baseline == per-read oracle, including empty/degenerate windows
+    (window beyond the read, zero width)."""
+    import dataclasses
+
+    pairs, (codes, quals, lens, valid) = _load(
+        tmp_path, min_len=8, max_len=90, n_prob=0.05, seed=35
+    )
+    crit = dataclasses.replace(CRIT, begin_quality_nt=begin,
+                               end_quality_nt=end)
+    ref = baseline.block_verdicts(codes, quals, lens, crit)
+    got = np.asarray(stats_jnp.verdicts(codes, quals, lens, crit))
+    np.testing.assert_array_equal(got, ref)
+    scrit = crit.substituted()
+    want = np.array([spec.filter_verdict(s, q, scrit) for s, q in pairs])
+    np.testing.assert_array_equal(got[: len(pairs)], want)
+    if begin == 10 and end == 40:
+        # the window must actually change some verdicts vs whole-read
+        whole = np.asarray(stats_jnp.verdicts(codes, quals, lens, CRIT))
+        assert (got[: len(pairs)] != whole[: len(pairs)]).any()
+
+
 def test_trims_vs_baseline(tmp_path):
     pairs, (codes, quals, lens, valid) = _load(
         tmp_path, min_len=5, max_len=60, seed=34

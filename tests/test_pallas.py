@@ -41,6 +41,9 @@ CRIT = FilterCriteria(
     right_length=8, min_right_quality=10, max_right_quality=60,
     max_out_of_quality=30, max_N=3,
 )
+# [D8] legacy quality position window active (screens see [12, 60) only)
+WCRIT = __import__("dataclasses").replace(
+    CRIT, begin_quality_nt=12, end_quality_nt=60)
 
 INT_KEYS = (
     "num_reads", "acc_length", "min_length", "max_length", "base_totals",
@@ -60,7 +63,8 @@ def _compare(p_jnp, p_pal, valid_count):
         )
 
 
-@pytest.mark.parametrize("crit", [None, CRIT], ids=["plain", "filtered"])
+@pytest.mark.parametrize("crit", [None, CRIT, WCRIT],
+                         ids=["plain", "filtered", "qwindow"])
 @pytest.mark.parametrize("B,L", [(TB, 128), (TB * 3, 128), (100, 256)])
 def test_partials_match_jnp(B, L, crit):
     lcap = max(L, 128)
@@ -114,7 +118,8 @@ def test_kmers_ride_along():
     )
 
 
-@pytest.mark.parametrize("crit", [None, CRIT], ids=["plain", "filtered"])
+@pytest.mark.parametrize("crit", [None, CRIT, WCRIT],
+                         ids=["plain", "filtered", "qwindow"])
 @pytest.mark.parametrize("B,L,lcap", [
     (TB, 4608, 4608),      # just past the single-block limit
     (100, 8192, 8192),     # padded batch rows + 512-lane blocks
