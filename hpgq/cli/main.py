@@ -484,23 +484,25 @@ def _legacy_main(argv, exec_name: str) -> int:
         # filter first, then stats over each output set
         import os as _os
 
-        rc = _dispatch("filter", _strip_flags(rest, ("--kmers",)), exec_name)
+        rc = _dispatch("filter", _strip_flags(rest, ("--kmers",)), exec_name,
+                       legacy=True)
         if rc != 0:
             return rc
         outdir = "."
         for i, a in enumerate(rest):
             if a in ("-o", "--outdir") and i + 1 < len(rest):
                 outdir = rest[i + 1]
-        paired = any(a in ("--fq1", "--fastq1") for a in rest)
+        names = _legacy_filter_names(_argv_inputs(rest))
         base = _strip_flags(
             rest, (),
             _CRITERIA_FLAGS | {"-f", "--fastq-file", "--fq", "--fastq",
                                "--fq1", "--fastq1", "--fq2", "--fastq2"},
         )
-        outs = ((("passed_1.fq", "passed_2.fq"), ("failed_1.fq", "failed_2.fq"))
-                if paired else (("passed.fq",), ("failed.fq",)))
-        for names in outs:
-            paths = [_os.path.join(outdir, n) for n in names]
+        # (valid set, invalid set): names order is (p1, p2, f1, f2) paired
+        # or (p, f) single
+        h = len(names) // 2
+        for group in (names[:h], names[h:]):
+            paths = [_os.path.join(outdir, n) for n in group]
             in_flags = (["-f", paths[0]] if len(paths) == 1
                         else ["--fq1", paths[0], "--fq2", paths[1]])
             rc = _dispatch("stats", base + in_flags, exec_name)
@@ -515,7 +517,36 @@ def _legacy_main(argv, exec_name: str) -> int:
         return -1
     if kinds[0] == "cgr":
         rest = _strip_flags(rest, ("--kmers",))
-    return _dispatch(kinds[0], rest, exec_name)
+    return _dispatch(kinds[0], rest, exec_name, legacy=True)
+
+
+def _argv_inputs(argv) -> tuple:
+    """(in1, in2) input paths scanned from a (normalized) legacy argv."""
+    in1 = in2 = None
+    for i, a in enumerate(argv):
+        if i + 1 >= len(argv):
+            break
+        if a in ("-f", "--fastq-file", "--fq", "--fastq", "--fq1", "--fastq1"):
+            in1 = argv[i + 1]
+        elif a in ("--fq2", "--fastq2"):
+            in2 = argv[i + 1]
+    return in1, in2
+
+
+def _legacy_filter_names(inputs) -> tuple:
+    """Legacy ``--filter`` output names — ``<input>.valid``/``.invalid``
+    per input file (old/README:126-131).  Returns (p, f) single-end or
+    (p1, p2, f1, f2) paired, matching ``FilterOptions.out_names``."""
+    import os as _os
+
+    in1, in2 = inputs
+    b1 = _os.path.basename(in1 or "in.fq")
+    if in2 is None:
+        return (b1 + ".valid", b1 + ".invalid")
+    b2 = _os.path.basename(in2)
+    if b1 == b2:  # same basename from different dirs
+        b1, b2 = b1 + "_1", b2 + "_2"
+    return (b1 + ".valid", b2 + ".valid", b1 + ".invalid", b2 + ".invalid")
 
 
 def _main(argv=None) -> int:
@@ -532,7 +563,7 @@ def _main(argv=None) -> int:
     return _dispatch(argv[0], argv[1:], exec_name)
 
 
-def _dispatch(command: str, rest, exec_name: str) -> int:
+def _dispatch(command: str, rest, exec_name: str, legacy: bool = False) -> int:
     parser = argparse.ArgumentParser(prog="%s %s" % (exec_name, command))
     if command == "stats":
         _add_common(parser, with_encoding=True)
@@ -574,6 +605,11 @@ def _dispatch(command: str, rest, exec_name: str) -> int:
         _add_legacy_filter_aliases(parser)
         ns = parser.parse_args(rest)
         opts = _ns_to_opts(ns, FilterOptions)
+        if legacy:
+            # legacy single-binary --filter wrote <input>.valid/.invalid
+            # per input file (old/README:126-131)
+            opts.out_names = _legacy_filter_names(
+                (opts.in_filename, opts.in_filename2))
         validate_common(opts)
         display(opts)
         timers = StageTimers()

@@ -242,6 +242,12 @@ class StatsOptions(CommandOptions):
 @dataclasses.dataclass
 class FilterOptions(CommandOptions):
     command_name: str = "filter"
+    # output filename override: (passed, failed) single-end,
+    # (passed_1, passed_2, failed_1, failed_2) paired.  None = the modern
+    # passed.fq/failed.fq names.  The legacy single-binary ``--filter``
+    # dispatch sets <input>.valid/<input>.invalid per input file
+    # (old/README:126-131).
+    out_names: Optional[tuple] = None
 
 
 @dataclasses.dataclass

@@ -720,8 +720,9 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
             return _run_output_parallel(
                 opts, timers, run_filter, ("num_passed", "num_failed")
             )
-        passed_path = os.path.join(opts.out_dirname, "passed.fq")
-        failed_path = os.path.join(opts.out_dirname, "failed.fq")
+        names = getattr(opts, "out_names", None) or ("passed.fq", "failed.fq")
+        passed_path = os.path.join(opts.out_dirname, names[0])
+        failed_path = os.path.join(opts.out_dirname, names[1])
         ck = _OutputCheckpointer(
             opts, "filter", crit, {"passed": passed_path, "failed": failed_path},
             out, ("num_passed", "num_failed"),
@@ -759,11 +760,13 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
         cache_key=("verdict-pair", _crit_key(crit), phred, br),
         qn_ok=True,
     )
+    names = getattr(opts, "out_names", None) or (
+        "passed_1.fq", "passed_2.fq", "failed_1.fq", "failed_2.fq")
     paths = {
-        "passed_1": os.path.join(opts.out_dirname, "passed_1.fq"),
-        "passed_2": os.path.join(opts.out_dirname, "passed_2.fq"),
-        "failed_1": os.path.join(opts.out_dirname, "failed_1.fq"),
-        "failed_2": os.path.join(opts.out_dirname, "failed_2.fq"),
+        "passed_1": os.path.join(opts.out_dirname, names[0]),
+        "passed_2": os.path.join(opts.out_dirname, names[1]),
+        "failed_1": os.path.join(opts.out_dirname, names[2]),
+        "failed_2": os.path.join(opts.out_dirname, names[3]),
     }
     ck = _OutputCheckpointer(
         opts, "filter-paired", crit, paths, out, ("num_passed", "num_failed")

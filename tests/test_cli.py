@@ -673,7 +673,8 @@ def test_cli_legacy_invocation_style(tmp_path, capsys):
     rc = main(["--filter", "--lfilter-nts", "10", "--outdir", str(b),
                "--fq", path, "--min-quality", "20", "--max-quality", "65"])
     assert rc == 0
-    assert (b / "passed.fq").exists() and (b / "failed.fq").exists()
+    # legacy naming: <input>.valid/.invalid (old/README:126-131)
+    assert (b / "in.fq.valid").exists() and (b / "in.fq.invalid").exists()
     capsys.readouterr()
     # qc + chaos-game combo (old/README:187-188): stats AND cgr outputs,
     # with legacy byte-valued --batch-size converted
@@ -704,16 +705,48 @@ def test_cli_legacy_qc_filter_combo(tmp_path, capsys):
                "--max-n-per-read", "2"])
     assert rc == 0
     capsys.readouterr()
-    assert (out / "passed.fq").exists() and (out / "failed.fq").exists()
+    assert (out / "in.fq.valid").exists() and (out / "in.fq.invalid").exists()
     # stats reports for BOTH output sets, not filtered again
-    sp = (out / "passed.fq.summary.txt").read_text()
-    sf = (out / "failed.fq.summary.txt").read_text()
+    sp = (out / "in.fq.valid.summary.txt").read_text()
+    sf = (out / "in.fq.invalid.summary.txt").read_text()
     assert "Filter         : Disabled" in sp
-    n_pass = (out / "passed.fq").read_bytes().count(b"@read_")
-    n_fail = (out / "failed.fq").read_bytes().count(b"@read_")
+    n_pass = (out / "in.fq.valid").read_bytes().count(b"@read_")
+    n_fail = (out / "in.fq.invalid").read_bytes().count(b"@read_")
     assert n_pass + n_fail == 200
     assert "Number of reads: %d" % n_pass in sp
     assert "Number of reads: %d" % n_fail in sf
+
+
+def test_legacy_filter_valid_invalid_names(tmp_path, capsys):
+    """Legacy --filter output naming (old/README:126-131): a legacy-style
+    invocation writes <input>.valid/<input>.invalid whose BYTES equal the
+    modern subcommand's passed.fq/failed.fq — single-end and paired."""
+    path = _fastq(tmp_path, n=300, min_len=40, max_len=80, n_prob=0.02,
+                  seed=94)
+    lg, md = tmp_path / "lg", tmp_path / "md"
+    lg.mkdir(), md.mkdir()
+    flags = ["--min-quality", "20", "--max-quality", "60",
+             "--max-n-per-read", "2"]
+    assert main(["--filter", "--fq", path, "--outdir", str(lg)] + flags) == 0
+    assert main(["filter", "-f", path, "-o", str(md)] + flags) == 0
+    capsys.readouterr()
+    assert (lg / "in.fq.valid").read_bytes() == (md / "passed.fq").read_bytes()
+    assert (lg / "in.fq.invalid").read_bytes() == (md / "failed.fq").read_bytes()
+    assert not (lg / "passed.fq").exists()
+
+    p1 = _fastq(tmp_path, name="p1.fq", n=200, min_len=40, max_len=70, seed=95)
+    p2 = _fastq(tmp_path, name="p2.fq", n=200, min_len=40, max_len=70, seed=96)
+    lgp, mdp = tmp_path / "lgp", tmp_path / "mdp"
+    lgp.mkdir(), mdp.mkdir()
+    assert main(["--filter", "--fq1", p1, "--fq2", p2,
+                 "--outdir", str(lgp)] + flags) == 0
+    assert main(["filter", "--fq1", p1, "--fq2", p2,
+                 "-o", str(mdp)] + flags) == 0
+    capsys.readouterr()
+    for a, b in (("p1.fq.valid", "passed_1.fq"), ("p2.fq.valid", "passed_2.fq"),
+                 ("p1.fq.invalid", "failed_1.fq"),
+                 ("p2.fq.invalid", "failed_2.fq")):
+        assert (lgp / a).read_bytes() == (mdp / b).read_bytes(), (a, b)
 
 
 def test_legacy_misc_flags(tmp_path, capsys):
@@ -785,7 +818,7 @@ def test_legacy_quality_nt_window(tmp_path, capsys):
                "--begin-quality-nt=10", "--end-quality-nt=40"])
     assert rc in (0, None)
     capsys.readouterr()
-    assert (out2 / "passed.fq").read_bytes().count(b"@read_") == sum(want)
+    assert (out2 / "w.fq.valid").read_bytes().count(b"@read_") == sum(want)
 
 
 def test_legacy_conf_filter_keys(tmp_path):
