@@ -135,6 +135,8 @@ def check_paired(n):
     bad = counters_equal(c1, o1, skip) + counters_equal(c2, o2, skip)
     assert not bad, "paired counters differ: %s" % bad
     assert c1.num_passed == sum(both)
+    assert c1.num_failed == len(both) - sum(both), (c1.num_failed, len(both))
+    assert (c2.num_passed, c2.num_failed) == (c1.num_passed, c1.num_failed)
     return "paired stats: %d pairs, both mates equal (passed %d)" % (
         n, sum(both))
 
@@ -263,7 +265,8 @@ def check_sharded_paired(n):
     bad = counters_equal(c1, o1, skip) + counters_equal(c2, o2, skip)
     assert not bad, "sharded-paired counters differ: %s" % bad
     assert c1.num_passed == sum(both), (c1.num_passed, sum(both))
-    assert c2.num_passed == c1.num_passed
+    assert c1.num_failed == len(both) - sum(both), (c1.num_failed, len(both))
+    assert (c2.num_passed, c2.num_failed) == (c1.num_passed, c1.num_failed)
     return ("sharded paired (fused 1-dispatch step): %d pairs, both mates "
             "equal (passed %d)" % (n, sum(both)))
 
