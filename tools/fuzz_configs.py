@@ -83,13 +83,19 @@ def one_round(rng, rnd: int) -> dict:
         # env-forced coalescing would merge the whole corpus into one
         # dispatch — nothing left to interrupt after block 1
         cfg["coalesce"] = 0
-    # sharded rounds: drive the real shard_map session on a 1-device mesh
-    # (filter/edit --sharded degenerate to the ordinary pipeline at one
-    # process, so only stats/cgr exercise new code); kept orthogonal to the
-    # checkpoint arm — its interrupt hook doesn't reach the lockstep loop
+    # sharded rounds: drive the real shard_map session over the full
+    # device mesh (8 virtual CPU devices standalone — see main(); whatever
+    # the host has under pytest).  filter/edit --sharded degenerate to the
+    # ordinary pipeline at one process, so only stats/cgr exercise new
+    # code.  Combines with the checkpoint arm: the interrupt hook wraps
+    # the lockstep iterator, so sharded(-paired) checkpoint interrupt +
+    # rotating-rank resume rounds are drawn too (VERDICT r2 #5).
     cfg["sharded"] = bool(cfg["cmd"] in ("stats", "cgr")
-                          and not cfg["checkpoint"]
-                          and rng.integers(0, 3) == 0)
+                          and rng.integers(0, 2) == 0)
+    if cfg["sharded"]:
+        import jax
+
+        cfg["ndev"] = len(jax.devices())
     cfg["max_len"] = cfg["min_len"] + int(rng.integers(0, 200))
     crit_draw = {
         "min_read_quality": int(rng.choice([-1, 18, 35])),
@@ -140,6 +146,7 @@ def _run_maybe_interrupted(cfg, run_fn, opts):
     if not cfg["checkpoint"]:
         return run_fn(opts)
 
+    from hpgq.dist import run_dist as dist_mod
     from hpgq.pipeline import cgr_run as cgr_mod
     from hpgq.pipeline import run as run_mod
 
@@ -157,11 +164,15 @@ def _run_maybe_interrupted(cfg, run_fn, opts):
         return limited
 
     saved = (run_mod._iter_packed, run_mod._iter_with, cgr_mod._iter_blocks,
-             run_mod._iter_blocks_paired)
+             run_mod._iter_blocks_paired, dist_mod.iter_lockstep)
     run_mod._iter_packed = wrap(saved[0])
     run_mod._iter_with = wrap(saved[1])
     cgr_mod._iter_blocks = wrap(saved[2])
     run_mod._iter_blocks_paired = wrap(saved[3])
+    # the sharded sessions pull lockstep (block, shape) steps — wrapping
+    # here lets checkpoint-interrupt rounds reach the rotating-rank
+    # checkpoints of the sharded(-paired) paths too
+    dist_mod.iter_lockstep = wrap(saved[4])
     interrupted = False
     try:
         try:
@@ -171,7 +182,7 @@ def _run_maybe_interrupted(cfg, run_fn, opts):
             res = None
     finally:
         (run_mod._iter_packed, run_mod._iter_with, cgr_mod._iter_blocks,
-         run_mod._iter_blocks_paired) = saved
+         run_mod._iter_blocks_paired, dist_mod.iter_lockstep) = saved
     if interrupted:
         res = run_fn(opts)  # resume from the checkpoint
     cfg["interrupted"] = interrupted
@@ -229,7 +240,8 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
             if cfg["sharded"]:
                 from hpgq.dist.run_dist import run_stats_sharded
 
-                got = run_stats_sharded(o, report=False)
+                got = _run_maybe_interrupted(
+                    cfg, lambda o: run_stats_sharded(o, report=False), o)
             else:
                 got = _run_maybe_interrupted(
                     cfg, lambda o: run_stats(o, report=False), o)
@@ -353,21 +365,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backend", choices=["cpu8", "native"], default="cpu8",
+                    help="cpu8 (default): force an 8-virtual-device CPU "
+                         "backend so sharded rounds run a real multi-device "
+                         "mesh; native: whatever the host provides (TPU)")
     args = ap.parse_args()
+
+    if args.backend == "cpu8":
+        # must happen BEFORE the first backend query (sitecustomize pins
+        # the platform; only an in-process config.update can override)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from hpgq.utils.compile_cache import enable
 
     enable()
     rng = np.random.default_rng(args.seed)
+    n_multidev = 0
     for r in range(args.rounds):
         try:
             cfg = one_round(rng, r)
+            n_multidev += int(cfg.get("ndev", 1) > 1)
             print("PASS", json.dumps(cfg, sort_keys=True), flush=True)
         except AssertionError as e:
             print("FAIL round=%d: %s\n  cfg=%s" % (r, e,
                   json.dumps(getattr(e, "cfg", None), sort_keys=True)),
                   flush=True)
             return 1
+    print("OK: %d rounds, %d on a multi-device mesh" % (args.rounds,
+                                                        n_multidev),
+          flush=True)
     return 0
 
 
