@@ -231,39 +231,35 @@ class RecordBlock:
         2 bytes)."""
         return ends_col + 1 + (self.arr[ends_col] == 0x0D).astype(np.int64)
 
-    def write_selected(self, out, select: np.ndarray) -> int:
-        """Append records where ``select`` is True, preserving input order.
-
-        Each record is one contiguous span [header_start, quality_newline]
-        of the original chunk, so output assembly is a vectorized span
-        gather — no per-record Python work."""
+    def selected_spans(self, select: np.ndarray):
+        """(starts, ends, count) span lists for the records where
+        ``select`` is True — each record is one contiguous span
+        [header_start, quality_newline] of the original chunk."""
         idx = np.flatnonzero(select)
-        if idx.size:
-            self._emit_spans(
-                out, self.starts[idx, 0], self._term_end(self.ends[idx, 3])
-            )
-        return int(idx.size)
+        if not idx.size:
+            return None, None, 0
+        return (self.starts[idx, 0], self._term_end(self.ends[idx, 3]),
+                int(idx.size))
 
-    def write_trimmed(
+    def trimmed_spans(
         self,
-        out,
         ltrim: np.ndarray,
         rtrim: np.ndarray,
         select: Optional[np.ndarray] = None,
-    ) -> int:
-        """Append records with per-read head/tail trims applied to the
-        sequence and quality lines (the ``edit.fq`` writer).
+    ):
+        """(starts, ends, count) span lists with per-read head/tail trims
+        applied to the sequence and quality lines (the ``edit.fq`` shape).
 
-        Emitted as 6 spans per record over the original buffer — the
-        newline pieces reuse the line-end newline bytes already in the
-        chunk: [hdr+\\n][seq[lt:len-rt]][\\n][sep+\\n][qual[lt:len-rt]][\\n]."""
+        6 spans per record over the original buffer — the newline pieces
+        reuse the line-end newline bytes already in the chunk:
+        [hdr+\\n][seq[lt:len-rt]][\\n][sep+\\n][qual[lt:len-rt]][\\n]."""
         if select is not None:
             idx = np.flatnonzero(select)
         else:
             idx = np.arange(self.num_reads)
         n = int(idx.size)
         if n == 0:
-            return 0
+            return None, None, 0
         s = self.starts[idx].astype(np.int64)
         e = self.ends[idx].astype(np.int64)
         lt = np.asarray(ltrim)[idx].astype(np.int64)
@@ -283,8 +279,128 @@ class RecordBlock:
              self._term_end(e[:, 2]), q_e, self._term_end(e[:, 3])],
             axis=1,
         ).reshape(-1)
-        self._emit_spans(out, starts, ends)
+        return starts, ends, n
+
+    def write_selected(self, out, select: np.ndarray, pump=None) -> int:
+        """Append records where ``select`` is True, preserving input order.
+
+        Output assembly is a vectorized span gather — no per-record Python
+        work.  With ``pump`` (:class:`AsyncSpanPump`), the concat + file
+        write run on the pump's thread instead (overlapping the next
+        batch's device round-trip)."""
+        starts, ends, n = self.selected_spans(select)
+        if n:
+            if pump is not None:
+                pump.submit(out, self, starts, ends)
+            else:
+                self._emit_spans(out, starts, ends)
         return n
+
+    def write_trimmed(
+        self,
+        out,
+        ltrim: np.ndarray,
+        rtrim: np.ndarray,
+        select: Optional[np.ndarray] = None,
+        pump=None,
+    ) -> int:
+        """Append records with per-read head/tail trims applied to the
+        sequence and quality lines (the ``edit.fq`` writer); span shape
+        documented on :meth:`trimmed_spans`.  ``pump``: see
+        :meth:`write_selected`."""
+        starts, ends, n = self.trimmed_spans(ltrim, rtrim, select)
+        if n:
+            if pump is not None:
+                pump.submit(out, self, starts, ends)
+            else:
+                self._emit_spans(out, starts, ends)
+        return n
+
+
+class AsyncSpanPump:
+    """Background output writer: span concat + file writes for a command's
+    output files run on ONE dedicated thread, overlapping the next batch's
+    pack/H2D/device round-trip — the TPU-shaped analog of the reference's
+    consumer writing results while workers compute
+    (``src/filter_fastq.c:161-170`` ∥ ``:134-149``).
+
+    A single thread serving ALL of a command's outputs preserves the exact
+    write order (and thus byte-identical files); the queue is bounded so
+    at most ``depth`` span batches (each pinning its source chunk buffer)
+    are in flight.  The span concat (native memcpy via ctypes) and the
+    ``file.write`` both release the GIL, so the overlap is real.  The first
+    writer-side exception re-raises on the submitting thread at the next
+    ``submit``/``drain``/``close``."""
+
+    def __init__(self, depth: int = 4, sync: "Optional[bool]" = None):
+        """``sync`` forces inline (threadless) writes; default reads
+        ``HPGQ_ASYNC_WRITES`` (0/off disables the thread — A/B + debug)."""
+        import queue
+        import threading
+
+        if sync is None:
+            sync = os.environ.get("HPGQ_ASYNC_WRITES", "1") in ("0", "off")
+        self.sync = sync
+        self._err = None
+        self._t = None
+        if not sync:
+            self._q = queue.Queue(maxsize=max(1, depth))
+            self._t = threading.Thread(target=self._run,
+                                       name="hpgq-span-pump", daemon=True)
+            self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                if self._err is None:
+                    out, block, starts, ends = item
+                    block._emit_spans(out, starts, ends)
+            except BaseException as e:  # noqa: BLE001 — relayed to caller
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def submit(self, out, block, starts, ends):
+        if self.sync:
+            block._emit_spans(out, starts, ends)
+            return
+        self._check()
+        self._q.put((out, block, starts, ends))
+
+    def drain(self):
+        """Block until every submitted write hit its file (checkpoint
+        barriers need the writers' byte sizes to be final)."""
+        if self.sync:
+            return
+        self._q.join()
+        self._check()
+
+    def close(self):
+        if self._t is not None and self._t.is_alive():
+            self._q.put(None)
+            self._t.join()
+        self._check()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if ev is None:
+            self.close()
+        else:  # already failing: drain best-effort, keep the original error
+            try:
+                self.close()
+            except BaseException:  # noqa: BLE001
+                pass
+        return False
 
 
 def concat_same_chunk(blocks: "list[RecordBlock]") -> RecordBlock:

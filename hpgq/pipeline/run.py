@@ -21,7 +21,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..io.fastq import FastqReader, FastqWriter
+from ..io.fastq import AsyncSpanPump, FastqReader, FastqWriter
 from ..kernels.stats_jnp import _crit_key
 from ..io.packer import bucket_rows, pack_block, pack_block_fused, round_up
 from ..kernels import stats_jnp
@@ -733,15 +733,20 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
                          start_offset=max(start, rng[0]),
                          end_offset=rng[1]) as rd, \
              FastqWriter(passed_path, append_at=sizes.get("passed")) as pw, \
-             FastqWriter(failed_path, append_at=sizes.get("failed")) as fw:
+             FastqWriter(failed_path, append_at=sizes.get("failed")) as fw, \
+             AsyncSpanPump() as pump:
             for block, ok in _iter_with(
                 _coalesced(opts, rd), vfn, timers,
                 depth=getattr(opts, "batch_list_size", 0),
             ):
                 with timers.stage("write"):
-                    out["num_passed"] += block.write_selected(pw, ok)
-                    out["num_failed"] += block.write_selected(fw, ~ok)
-                ck.step(block, {"passed": pw, "failed": fw}, timers)
+                    out["num_passed"] += block.write_selected(pw, ok,
+                                                              pump=pump)
+                    out["num_failed"] += block.write_selected(fw, ~ok,
+                                                              pump=pump)
+                ck.step(block, {"passed": pw, "failed": fw}, timers,
+                        pre_save=pump.drain)
+            pump.close()
         ck.complete()
         out["passed_filename"] = passed_path
         out["failed_filename"] = failed_path
@@ -783,18 +788,21 @@ def run_filter(opts: FilterOptions, timers: Optional[StageTimers] = None):
          FastqWriter(paths["passed_1"], append_at=sizes.get("passed_1")) as p1, \
          FastqWriter(paths["passed_2"], append_at=sizes.get("passed_2")) as p2, \
          FastqWriter(paths["failed_1"], append_at=sizes.get("failed_1")) as f1, \
-         FastqWriter(paths["failed_2"], append_at=sizes.get("failed_2")) as f2:
+         FastqWriter(paths["failed_2"], append_at=sizes.get("failed_2")) as f2, \
+         AsyncSpanPump() as pump:
         writers = {"passed_1": p1, "passed_2": p2, "failed_1": f1, "failed_2": f2}
         for b1, b2 in _iter_blocks_paired(_coalesced(opts, r1),
                                           _coalesced(opts, r2), timers):
             with timers.stage("compute"):
                 both = pvfn(b1, b2)  # pair-consistent discard, one dispatch
             with timers.stage("write"):
-                out["num_passed"] += b1.write_selected(p1, both)
-                b2.write_selected(p2, both)
-                out["num_failed"] += b1.write_selected(f1, ~both)
-                b2.write_selected(f2, ~both)
-            ck.step(b1, writers, timers, aux={"offset2": b2.end_offset})
+                out["num_passed"] += b1.write_selected(p1, both, pump=pump)
+                b2.write_selected(p2, both, pump=pump)
+                out["num_failed"] += b1.write_selected(f1, ~both, pump=pump)
+                b2.write_selected(f2, ~both, pump=pump)
+            ck.step(b1, writers, timers, aux={"offset2": b2.end_offset},
+                    pre_save=pump.drain)
+        pump.close()
     ck.complete()
     out.update(paths)
     return out
@@ -853,7 +861,8 @@ class _OutputCheckpointer:
             return offset, sizes, aux
         return offset, sizes
 
-    def step(self, block, writers: dict, timers, aux: dict = None):
+    def step(self, block, writers: dict, timers, aux: dict = None,
+             pre_save=None):
         if not self.path:
             return
         self.nb += 1
@@ -861,6 +870,10 @@ class _OutputCheckpointer:
             return
         from ..utils.checkpoint import save_counters_checkpoint
 
+        if pre_save is not None:
+            # async span pump: in-flight writes must land before the
+            # writers' byte sizes are checkpointed
+            pre_save()
         with timers.stage("checkpoint"):
             extra = {}
             for name, w in writers.items():
@@ -953,20 +966,17 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
     efn = _make_edit_fn(opts, br)
     out = {"num_edited": 0, "num_passed": 0, "num_failed": 0}
 
-    def emit(block, trims, ew, fw):
+    def emit(block, trims, ew, fw, pump=None):
         lt, rt, ok = trims
         with timers.stage("write"):
             out["num_edited"] += int(((lt > 0) | (rt > 0)).sum())
             if opts.filter_on:
-                out["num_passed"] += block.write_trimmed(ew, lt, rt, select=ok)
-                out["num_failed"] += block.write_trimmed(fw, lt, rt, select=~ok)
+                out["num_passed"] += block.write_trimmed(ew, lt, rt,
+                                                         select=ok, pump=pump)
+                out["num_failed"] += block.write_trimmed(fw, lt, rt,
+                                                         select=~ok, pump=pump)
             else:
-                block.write_trimmed(ew, lt, rt)
-
-    def process(block, ew, fw):
-        with timers.stage("compute"):
-            trims = efn(block)
-        emit(block, trims, ew, fw)
+                block.write_trimmed(ew, lt, rt, pump=pump)
 
     if not opts.paired_end:
         if _output_parallel_eligible(opts):
@@ -997,15 +1007,17 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
                 if opts.filter_on else None
             )
             try:
-                for block, trims in _iter_with(
-                    _coalesced(opts, rd), efn, timers,
-                    depth=getattr(opts, "batch_list_size", 0),
-                ):
-                    emit(block, trims, ew, fw)
-                    writers = {"edit": ew}
-                    if fw:
-                        writers["failed"] = fw
-                    ck.step(block, writers, timers)
+                with AsyncSpanPump() as pump:
+                    for block, trims in _iter_with(
+                        _coalesced(opts, rd), efn, timers,
+                        depth=getattr(opts, "batch_list_size", 0),
+                    ):
+                        emit(block, trims, ew, fw, pump=pump)
+                        writers = {"edit": ew}
+                        if fw:
+                            writers["failed"] = fw
+                        ck.step(block, writers, timers, pre_save=pump.drain)
+                    pump.close()
             finally:
                 if fw:
                     fw.close()
@@ -1047,27 +1059,39 @@ def run_edit(opts: EditOptions, timers: Optional[StageTimers] = None):
             for key, v in paths.items():
                 writers[key] = FastqWriter(v, append_at=sizes.get(key))
             pefn = _make_edit_pair_fn(opts, br)
-            for b1, b2 in _iter_blocks_paired(_coalesced(opts, r1),
-                                          _coalesced(opts, r2), timers):
-                with timers.stage("compute"):
-                    lt1, rt1, lt2, rt2, both = pefn(b1, b2)
-                with timers.stage("write"):
-                    out["num_edited"] += int(
-                        ((lt1 > 0) | (rt1 > 0)).sum() + ((lt2 > 0) | (rt2 > 0)).sum()
-                    )
-                    if opts.filter_on:
-                        out["num_passed"] += b1.write_trimmed(
-                            writers["edit_1"], lt1, rt1, select=both
+            with AsyncSpanPump() as pump:
+                for b1, b2 in _iter_blocks_paired(_coalesced(opts, r1),
+                                                  _coalesced(opts, r2),
+                                                  timers):
+                    with timers.stage("compute"):
+                        lt1, rt1, lt2, rt2, both = pefn(b1, b2)
+                    with timers.stage("write"):
+                        out["num_edited"] += int(
+                            ((lt1 > 0) | (rt1 > 0)).sum()
+                            + ((lt2 > 0) | (rt2 > 0)).sum()
                         )
-                        b2.write_trimmed(writers["edit_2"], lt2, rt2, select=both)
-                        out["num_failed"] += b1.write_trimmed(
-                            writers["failed_1"], lt1, rt1, select=~both
-                        )
-                        b2.write_trimmed(writers["failed_2"], lt2, rt2, select=~both)
-                    else:
-                        b1.write_trimmed(writers["edit_1"], lt1, rt1)
-                        b2.write_trimmed(writers["edit_2"], lt2, rt2)
-                ck.step(b1, writers, timers, aux={"offset2": b2.end_offset})
+                        if opts.filter_on:
+                            out["num_passed"] += b1.write_trimmed(
+                                writers["edit_1"], lt1, rt1, select=both,
+                                pump=pump,
+                            )
+                            b2.write_trimmed(writers["edit_2"], lt2, rt2,
+                                             select=both, pump=pump)
+                            out["num_failed"] += b1.write_trimmed(
+                                writers["failed_1"], lt1, rt1, select=~both,
+                                pump=pump,
+                            )
+                            b2.write_trimmed(writers["failed_2"], lt2, rt2,
+                                             select=~both, pump=pump)
+                        else:
+                            b1.write_trimmed(writers["edit_1"], lt1, rt1,
+                                             pump=pump)
+                            b2.write_trimmed(writers["edit_2"], lt2, rt2,
+                                             pump=pump)
+                    ck.step(b1, writers, timers,
+                            aux={"offset2": b2.end_offset},
+                            pre_save=pump.drain)
+                pump.close()
     finally:
         for w in writers.values():
             w.close()

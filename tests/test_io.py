@@ -354,3 +354,64 @@ def test_writer_resume_refuses_truncated_file(tmp_path):
     open(p, "wb").close()  # simulate operator truncation
     with pytest.raises(ValueError, match="truncated or replaced"):
         FastqWriter(p, append_at=size)
+
+
+def test_async_span_pump_equivalence(tmp_path):
+    """AsyncSpanPump (threaded) vs sync writes: byte-identical outputs for
+    both selected and trimmed span shapes, interleaved across two files in
+    one pump (cross-file write order is preserved by the single thread)."""
+    import numpy as np
+
+    from gen import make_fastq
+    from hpgq.io.fastq import AsyncSpanPump, FastqReader, FastqWriter
+
+    fq = str(tmp_path / "p.fq")
+    make_fastq(fq, 700, min_len=20, max_len=90, seed=21)
+    rng = np.random.default_rng(3)
+
+    def run(sync):
+        d = tmp_path / ("sync" if sync else "async")
+        d.mkdir()
+        a, b = str(d / "a.fq"), str(d / "b.fq")
+        with FastqReader(fq, batch_size=100) as rd, \
+             FastqWriter(a) as wa, FastqWriter(b) as wb, \
+             AsyncSpanPump(sync=sync) as pump:
+            for block in rd:
+                n = block.num_reads
+                sel = rng.random(n) < 0.6
+                lt = rng.integers(0, 5, n).astype(np.int32)
+                rt = rng.integers(0, 5, n).astype(np.int32)
+                block.write_selected(wa, sel, pump=pump)
+                block.write_selected(wb, ~sel, pump=pump)
+                block.write_trimmed(wa, lt, rt, select=~sel, pump=pump)
+                pump.drain()  # sizes must be final after a drain
+            pump.close()
+        return open(a, "rb").read(), open(b, "rb").read()
+
+    rng = np.random.default_rng(3)
+    got_sync = run(True)
+    rng = np.random.default_rng(3)
+    got_async = run(False)
+    assert got_sync == got_async
+    assert len(got_sync[0]) > 0 and len(got_sync[1]) > 0
+
+
+def test_async_span_pump_error_propagates(tmp_path):
+    """A writer-side failure (closed file) re-raises on the submitting
+    thread at the next submit/drain/close instead of being swallowed."""
+    import numpy as np
+
+    from gen import make_fastq
+    from hpgq.io.fastq import AsyncSpanPump, FastqReader, FastqWriter
+
+    fq = str(tmp_path / "e.fq")
+    make_fastq(fq, 50, min_len=30, max_len=30, seed=5)
+    with FastqReader(fq, batch_size=1000) as rd:
+        (block,) = list(rd)
+    w = FastqWriter(str(tmp_path / "out.fq"))
+    w.close()  # writes into it must fail
+    pump = AsyncSpanPump()
+    with pytest.raises(ValueError):
+        block.write_selected(w, np.ones(block.num_reads, bool), pump=pump)
+        pump.drain()
+    pump.close()

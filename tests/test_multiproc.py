@@ -778,12 +778,12 @@ if mode == "crash":
     real = fq_mod.RecordBlock.write_selected
     state = {"n": 0}
 
-    def limited(self, out, select):
+    def limited(self, out, select, *a, **k):
         if state["n"] >= 6:  # 2 writes/block -> >=3 blocks, >=2 checkpoints
             print("CRASHING", flush=True)
             os._exit(3)
         state["n"] += 1
-        return real(self, out, select)
+        return real(self, out, select, *a, **k)
 
     fq_mod.RecordBlock.write_selected = limited
 
