@@ -197,7 +197,7 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
 
 
 def run_headline_interleaved(path, opath, batch_size, batch_reads,
-                             read_len, budget_s, rounds=5, on_round=None):
+                             read_len, budget_s, rounds=8, on_round=None):
     """Headline measurement with oracle and engine passes ALTERNATING.
 
     The tunneled-TPU link and the shared host both fluctuate ~10x on
