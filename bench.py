@@ -210,6 +210,7 @@ def run_headline_interleaved(path, opath, batch_size, batch_reads,
     Returns (engine_best, matched_oracle, engine_reads, forensics).
     """
     one_pass = _engine_pass_factory(path, batch_size, batch_reads)
+    h2d_probe = _make_h2d_probe(path, batch_reads)
     t_start = time.perf_counter()
     # engine warmup on a small same-shape corpus: blocks pad to the same
     # [batch_reads, L] device shapes, so this warms the jit/persistent
@@ -238,11 +239,19 @@ def run_headline_interleaved(path, opath, batch_size, batch_reads,
             # best phase-matched pair: this round's engine AND oracle
             best_ratio, e_best, o_best = ratio, e_rps, o_rps
         last_round = t2 - t0
-        forensics.append({"round": i, "oracle_rps": round(o_rps, 1),
-                          "engine_rps": round(e_rps, 1),
-                          "ratio": round(ratio, 3),
-                          "oracle_s": round(t1 - t0, 3),
-                          "engine_s": round(t2 - t1, 3)})
+        fx = {"round": i, "oracle_rps": round(o_rps, 1),
+              "engine_rps": round(e_rps, 1),
+              "ratio": round(ratio, 3),
+              "oracle_s": round(t1 - t0, 3),
+              "engine_s": round(t2 - t1, 3)}
+        # same-phase serial-h2d probe (VERDICT r2 #2): the engine-vs-link
+        # ratio is only meaningful when both sides saw the same tunnel
+        # phase — one ~18 MB device_put right after the engine pass
+        h2d_rps = h2d_probe()
+        if h2d_rps:
+            fx["h2d_rps"] = round(h2d_rps, 1)
+            fx["engine_vs_h2d"] = round(e_rps / h2d_rps, 3)
+        forensics.append(fx)
         if on_round is not None:
             # keep the truncation guard's provisional headline current —
             # a tunnel slow phase can eat the rest of the budget at any
@@ -251,6 +260,44 @@ def run_headline_interleaved(path, opath, batch_size, batch_reads,
         if time.perf_counter() - t_start > budget_s:
             break
     return e_best, o_best, e_total, forensics
+
+
+def _make_h2d_probe(path: str, batch_reads: int):
+    """One-shot serial host→device transfer probe over the SAME wire
+    buffer shape the engine ships (first production-size block, trimmed
+    columns, bucketed rows).  Returns ``probe() -> reads/s or 0``."""
+    import jax
+
+    from hpgq.core.accumulator import resolve_wire
+    from hpgq.io.packer import (
+        bucket_rows,
+        pack_block_bitwire,
+        pack_block_fused,
+        wire_len,
+    )
+
+    try:
+        wire = resolve_wire()
+        pack = pack_block_bitwire if wire == "bitpack" else pack_block_fused
+        with FastqReader(path, batch_size=batch_reads) as rd:
+            first = next(iter(rd), None)
+        if first is None or wire not in ("bitpack", "fused4"):
+            return lambda: 0.0
+        n = first.num_reads
+        L = wire_len(first.max_len(), round_up(max(first.max_len(), 1), 128))
+        buf = pack(first, L, pad_reads_to=bucket_rows(n, batch_reads))
+    except Exception:
+        return lambda: 0.0
+
+    def probe() -> float:
+        try:
+            t0 = time.perf_counter()
+            jax.device_put(buf).block_until_ready()
+            return n / (time.perf_counter() - t0)
+        except Exception:
+            return 0.0
+
+    return probe
 
 
 EDIT_CRIT = FilterCriteria(
