@@ -112,6 +112,14 @@ def one_round(rng, rnd: int) -> dict:
         "max_right_quality": int(rng.choice([-1, 70])),
     }
     crit_kw = {k: v for k, v in crit_draw.items() if v != -1}
+    # [D8] legacy quality position window: non-default in ~1/4 of rounds,
+    # including degenerate shapes (beyond-read, zero-width)
+    if rng.integers(0, 4) == 0:
+        beg = int(rng.choice([0, 5, 30, 300]))
+        end = int(rng.choice([20, 60, 1024]))
+        if (beg, end) != (0, 1024):
+            crit_kw["begin_quality_nt"] = beg
+            crit_kw["end_quality_nt"] = end
     cfg["criteria"] = crit_kw
     filter_on = bool(crit_kw) and (cfg["cmd"] == "filter"
                                    or bool(rng.integers(0, 2)))

@@ -14,6 +14,8 @@ Checks (all exact unless noted):
      wire decode + voted trimmed shapes vs the same oracle as (1).
   6. sharded PAIRED session (fused 1-dispatch pair step) vs oracle.
   7. coalesced dispatch (explicit small batch + HPGQ_COALESCE) == (1).
+  8. [D8] quality position window: fused kernel (short reads) + blockwise-L
+     s_wq scratch (long reads) vs the per-read oracle.
 
 Exits non-zero on any mismatch; prints one PASS line per check.
 """
@@ -300,6 +302,45 @@ def check_coalesced(n):
     return "coalesced dispatch (10k blocks -> 131k): %d reads equal" % n
 
 
+def check_quality_window(n):
+    """[D8] legacy --start/--end-quality-nt window on device: the fused
+    Pallas kernel's windowed quality screens (short reads) AND the
+    blockwise-L kernel's s_wq scratch path (long reads) vs the per-read
+    oracle."""
+    from hpgq.options import FilterCriteria, StatsOptions
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_stats
+
+    msgs = []
+    for tag, ckw, gkw in (
+        ("short", dict(), dict(min_len=60, max_len=160, seed=41)),
+        ("long-blockwise", dict(begin_quality_nt=500, end_quality_nt=900),
+         dict(min_len=4200, max_len=4600, seed=42)),
+    ):
+        nn = n if tag == "short" else max(256, n // 40)
+        fq = corpus(nn, "qw_" + tag, **gkw)
+        kw = dict(min_read_quality=20, max_read_quality=23,
+                  begin_quality_nt=10, end_quality_nt=40)
+        kw.update(ckw)
+        o = StatsOptions()
+        o.in_filename = fq
+        o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 131072
+        for k, v in kw.items():
+            setattr(o.criteria, k, v)
+        o.filter_on = True
+        eng = run_stats(o)
+        orc = spec.stats_of_file(spec.iter_seq_qual(fq),
+                                 criteria=FilterCriteria(**kw), phred=33)
+        bad = counters_equal(eng, orc)
+        assert not bad, "%s windowed counters differ: %s" % (tag, bad)
+        assert 0 < eng.num_passed < nn, (tag, eng.num_passed)
+        msgs.append("%s %d (passed %d)" % (tag, nn, eng.num_passed))
+    return "[D8] quality window: " + ", ".join(msgs)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=100_000)
@@ -319,7 +360,8 @@ def main():
                   (check_cgr, args.cgr_reads),
                   (check_sharded, args.reads // 2),
                   (check_sharded_paired, args.reads // 4),
-                  (check_coalesced, args.reads // 2)):
+                  (check_coalesced, args.reads // 2),
+                  (check_quality_window, args.reads // 2)):
         t0 = time.perf_counter()
         try:
             msg = fn(n)
