@@ -786,87 +786,118 @@ def main():
             # per-mode slice of what's left of the overall budget
             return max(20.0, min(90.0, budget - (time.perf_counter() - t_all)))
 
-        def mode_line(tag, metric, engine_pass, oracle_pass, warmup=True):
+        def guarded_oracle(tag, oracle_pass):
+            """An oracle failure must not lose the already-measured engine
+            number (round-2 hardening, kept): fall back to the
+            headline-phase oracle and log the error."""
+            def safe():
+                try:
+                    return oracle_pass()
+                except Exception as e:
+                    _emit({"mode_error": tag + "-oracle",
+                           "error": repr(e)[:300]}, err=True)
+                    return max(oracle_rps, 1e-9)
+            return safe
+
+        def mode_line(tag, metric, setup, warmup=True):
             """One phase-matched interleaved mode line (VERDICT r2 #1/#7):
-            2-3 oracle/engine pairs; vs_baseline = best same-round ratio."""
+            2-3 oracle/engine pairs; vs_baseline = best same-round ratio.
+            ``setup() -> (engine_pass, oracle_pass)`` runs inside the
+            budget guard so corpus prep is skipped when the budget is
+            gone."""
             if time.perf_counter() - t_all >= budget:
                 return
             with _guard(tag):
+                engine_pass, oracle_pass = setup()
                 if warmup:
                     engine_pass()  # jit/persistent-cache warmup round
                 e_rps, o_rps, _, fx = run_mode_interleaved(
-                    engine_pass, oracle_pass, rounds=mode_rounds,
-                    budget_s=mode_budget())
+                    engine_pass, guarded_oracle(tag, oracle_pass),
+                    rounds=mode_rounds, budget_s=mode_budget())
                 mode_fx[tag] = fx
                 _emit({"metric": metric, "value": round(e_rps, 1),
                        "unit": "reads/s",
                        "vs_baseline": round(e_rps / max(o_rps, 1e-9), 3)})
 
-        ftmp = tempfile.mkdtemp(prefix="hpgq_bench_")
-        mode_line("filter", "filter_reads_per_sec",
-                  make_filter_pass(small, args.batch_size, ftmp),
-                  lambda: _oracle_filter_pass(small, args.batch_size, ftmp))
+        tmps = []
 
-        vpath = os.path.join(BENCH_DIR, "bench_var_%d.fq" % n_small)
-        if not os.path.exists(vpath):
-            sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "tests"))
-            from gen import make_fastq
+        def mktmp():
+            tmps.append(tempfile.mkdtemp(prefix="hpgq_bench_"))
+            return tmps[-1]
 
-            make_fastq(vpath, n_small, min_len=60, max_len=160,
-                       n_prob=0.005, seed=11)
-        etmp = tempfile.mkdtemp(prefix="hpgq_bench_")
-        mode_line("edit", "edit_reads_per_sec",
-                  make_edit_pass(vpath, args.batch_size, etmp),
-                  lambda: _oracle_edit_pass(vpath, args.batch_size, etmp))
+        def setup_filter():
+            ftmp = mktmp()
+            return (make_filter_pass(small, args.batch_size, ftmp),
+                    lambda: _oracle_filter_pass(small, args.batch_size, ftmp))
+
+        def setup_edit():
+            vpath = os.path.join(BENCH_DIR, "bench_var_%d.fq" % n_small)
+            if not os.path.exists(vpath):
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tests"))
+                from gen import make_fastq
+
+                make_fastq(vpath, n_small, min_len=60, max_len=160,
+                           n_prob=0.005, seed=11)
+            etmp = mktmp()
+            return (make_edit_pass(vpath, args.batch_size, etmp),
+                    lambda: _oracle_edit_pass(vpath, args.batch_size, etmp))
 
         # configs on compressed input: engine AND oracle read the same
         # gzip/BGZF file (config #5 is gzipped input — the single-CPU
-        # baseline pays the same inflate).  The decode-overhead ratio vs
-        # the plain-corpus engine goes to stderr forensics instead.
-        gzp = gz_corpus(small)
-        gz_engine = _engine_pass_factory(gzp, args.batch_size, br)
+        # baseline pays the same inflate).
+        def setup_gz():
+            gzp = gz_corpus(small)
+            eng = _engine_pass_factory(gzp, args.batch_size, br)
 
-        def gz_pass():
-            t0 = time.perf_counter()
-            n = gz_engine()
-            return n / (time.perf_counter() - t0), n
+            def gz_pass():
+                t0 = time.perf_counter()
+                n = eng()
+                return n / (time.perf_counter() - t0), n
 
-        mode_line("gz", "stats_gz_reads_per_sec", gz_pass,
-                  lambda: _oracle_pass(gzp, args.batch_size)[0])
+            return gz_pass, lambda: _oracle_pass(gzp, args.batch_size)[0]
 
-        bgp = bgzf_corpus(small)
-        bg_engine = _engine_pass_factory(bgp, args.batch_size, br)
+        def setup_bgzf():
+            bgp = bgzf_corpus(small)
+            eng = _engine_pass_factory(bgp, args.batch_size, br)
 
-        def bgzf_pass():
-            t0 = time.perf_counter()
-            n = bg_engine()
-            return n / (time.perf_counter() - t0), n
+            def bgzf_pass():
+                t0 = time.perf_counter()
+                n = eng()
+                return n / (time.perf_counter() - t0), n
 
-        mode_line("bgzf", "stats_bgzf_reads_per_sec", bgzf_pass,
-                  lambda: _oracle_pass(bgp, args.batch_size)[0])
+            return bgzf_pass, lambda: _oracle_pass(bgp, args.batch_size)[0]
 
-        mate2 = os.path.join(BENCH_DIR, "bench_mate2_%d.fq" % n_small)
-        if not os.path.exists(mate2):
-            sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "tests"))
-            from gen import make_fastq
+        def setup_paired():
+            mate2 = os.path.join(BENCH_DIR, "bench_mate2_%d.fq" % n_small)
+            if not os.path.exists(mate2):
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tests"))
+                from gen import make_fastq
 
-            make_fastq(mate2, n_small, min_len=args.read_len,
-                       max_len=args.read_len, n_prob=0.005, seed=13)
-        ptmp = tempfile.mkdtemp(prefix="hpgq_bench_")
+                make_fastq(mate2, n_small, min_len=args.read_len,
+                           max_len=args.read_len, n_prob=0.005, seed=13)
+            ptmp = mktmp()
+            return (make_paired_pass(small, mate2, args.batch_size, ptmp),
+                    lambda: _oracle_paired_pass(small, mate2,
+                                                args.batch_size))
+
+        def setup_cgr():
+            ocorpus = corpus(5_000, args.read_len)
+            return (make_cgr_pass(small, args.batch_size, n_small),
+                    lambda: run_cgr_oracle(ocorpus, 5_000)[0])
+
+        mode_line("filter", "filter_reads_per_sec", setup_filter)
+        mode_line("edit", "edit_reads_per_sec", setup_edit)
+        mode_line("gz", "stats_gz_reads_per_sec", setup_gz)
+        mode_line("bgzf", "stats_bgzf_reads_per_sec", setup_bgzf)
         mode_line("paired", "paired_stats_filter_reads_per_sec",
-                  make_paired_pass(small, mate2, args.batch_size, ptmp),
-                  lambda: _oracle_paired_pass(small, mate2, args.batch_size))
-
-        ocorpus = corpus(5_000, args.read_len)
-        mode_line("cgr", "cgr_reads_per_sec",
-                  make_cgr_pass(small, args.batch_size, n_small),
-                  lambda: run_cgr_oracle(ocorpus, 5_000)[0])
+                  setup_paired)
+        mode_line("cgr", "cgr_reads_per_sec", setup_cgr)
 
         import shutil
 
-        for d in (ftmp, etmp, ptmp):
+        for d in tmps:
             shutil.rmtree(d, ignore_errors=True)
         if mode_fx:
             _emit({"mode_rounds": mode_fx}, err=True)
@@ -911,9 +942,14 @@ def main():
         else:
             one = make_edit_pass(path, args.batch_size, tmp)
             oracle_fn = lambda: _oracle_edit_pass(path, args.batch_size, tmp)  # noqa: E731
-        one()  # warmup
-        engine_rps, oracle_rps, total, fx = run_mode_interleaved(
-            one, oracle_fn, rounds=3, budget_s=180.0)
+        import shutil
+
+        try:
+            one()  # warmup
+            engine_rps, oracle_rps, total, fx = run_mode_interleaved(
+                one, oracle_fn, rounds=3, budget_s=180.0)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         _emit({"mode_rounds": fx}, err=True)
         metric = "%s_reads_per_sec" % args.mode
 

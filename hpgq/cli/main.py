@@ -489,14 +489,28 @@ def _legacy_main(argv, exec_name: str) -> int:
         if rc != 0:
             return rc
         outdir = "."
+        conf_path = None
         for i, a in enumerate(rest):
             if a in ("-o", "--outdir") and i + 1 < len(rest):
                 outdir = rest[i + 1]
+            elif a == "--conf" and i + 1 < len(rest):
+                conf_path = rest[i + 1]
+        if conf_path:
+            try:
+                cf = _parse_conf(conf_path)
+            except OSError:
+                cf = {}
+            if isinstance(cf.get("outdir"), str):
+                outdir = cf["outdir"]  # file overrides CLI
         names = _legacy_filter_names(_argv_inputs(rest))
+        # the stats legs run over the filter outputs: strip the inputs,
+        # every criteria flag, AND the conf file — its input/criteria keys
+        # would override the legs' argv right back (file-overrides-CLI)
         base = _strip_flags(
             rest, (),
             _CRITERIA_FLAGS | {"-f", "--fastq-file", "--fq", "--fastq",
-                               "--fq1", "--fastq1", "--fq2", "--fastq2"},
+                               "--fq1", "--fastq1", "--fq2", "--fastq2",
+                               "--conf"},
         )
         # (valid set, invalid set): names order is (p1, p2, f1, f2) paired
         # or (p, f) single
@@ -521,8 +535,12 @@ def _legacy_main(argv, exec_name: str) -> int:
 
 
 def _argv_inputs(argv) -> tuple:
-    """(in1, in2) input paths scanned from a (normalized) legacy argv."""
+    """(in1, in2) input paths scanned from a (normalized) legacy argv,
+    honoring a ``--conf`` file's input keys (file overrides command line,
+    old/README:63-64) so the combined --qc --filter run derives the same
+    .valid/.invalid names the filter dispatch actually wrote."""
     in1 = in2 = None
+    conf_path = None
     for i, a in enumerate(argv):
         if i + 1 >= len(argv):
             break
@@ -530,6 +548,18 @@ def _argv_inputs(argv) -> tuple:
             in1 = argv[i + 1]
         elif a in ("--fq2", "--fastq2"):
             in2 = argv[i + 1]
+        elif a == "--conf":
+            conf_path = argv[i + 1]
+    if conf_path:
+        try:
+            conf = _parse_conf(conf_path)
+        except OSError:
+            conf = {}
+        for key in ("fastq-file", "fq", "fastq", "fq1"):
+            if isinstance(conf.get(key), str):
+                in1 = conf[key]
+        if isinstance(conf.get("fq2"), str):
+            in2 = conf["fq2"]
     return in1, in2
 
 

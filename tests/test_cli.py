@@ -749,6 +749,28 @@ def test_legacy_filter_valid_invalid_names(tmp_path, capsys):
         assert (lgp / a).read_bytes() == (mdp / b).read_bytes(), (a, b)
 
 
+def test_legacy_qc_filter_combo_conf_input(tmp_path, capsys):
+    """--qc --filter with the input file given via --conf (file overrides
+    command line): the combined run's stats legs must look for the SAME
+    <input>.valid/.invalid names the filter leg wrote."""
+    from gen import make_fastq
+    from hpgq.cli.main import main
+
+    fq = str(tmp_path / "cx.fq")
+    make_fastq(fq, 200, min_len=50, max_len=70, seed=97)
+    conf = tmp_path / "in.conf"
+    conf.write_text("fq = %s ;\nmin-quality = 20 ;\nmax-quality = 60 ;\n" % fq)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(["--qc", "--filter", "--conf", str(conf),
+               "--outdir", str(out)])
+    assert rc == 0
+    capsys.readouterr()
+    assert (out / "cx.fq.valid").exists() and (out / "cx.fq.invalid").exists()
+    assert (out / "cx.fq.valid.summary.txt").exists()
+    assert (out / "cx.fq.invalid.summary.txt").exists()
+
+
 def test_legacy_misc_flags(tmp_path, capsys):
     """Remaining legacy getopt flags: --quality-control action alias,
     --v/--verbose, accepted-but-inert GPU geometry knobs, and negative

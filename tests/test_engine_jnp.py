@@ -101,6 +101,18 @@ def test_quality_window_verdicts(tmp_path, begin, end):
         assert (got[: len(pairs)] != whole[: len(pairs)]).any()
 
 
+def test_quality_window_negative_begin_clamped():
+    """A negative begin (library API — the CLI refuses it) is clamped to 0
+    by substituted(): the oracle's python slice would otherwise read from
+    the END of the read while the mask kernels read position 0."""
+    import dataclasses
+
+    crit = dataclasses.replace(CRIT, begin_quality_nt=-5, end_quality_nt=40)
+    sub = crit.substituted()
+    assert (sub.begin_quality_nt, sub.end_quality_nt) == (0, 40)
+    assert sub.quality_window_on
+
+
 def test_trims_vs_baseline(tmp_path):
     pairs, (codes, quals, lens, valid) = _load(
         tmp_path, min_len=5, max_len=60, seed=34
