@@ -208,6 +208,36 @@ def _iter_with(reader, fn, timers, depth: int = 0):
         yield block, out
 
 
+def _iter_packed_paired(pairs, sess, timers, workers: int = 0):
+    """(b1, b2, in1, in2) with BOTH mates' pack + host→device transfer
+    fanned out over the transform pool — the fused pair step of batch n
+    overlaps the read, pack, and transfer of pairs n+1..n+depth (the
+    paired analog of ``_iter_packed``; the paired path previously packed
+    on the feeding thread, serializing pack+H2D with the dispatch)."""
+    import jax
+
+    from .prefetch import prefetched
+
+    def transform(pair):
+        b1, b2 = pair
+        in1, in2 = sess.pack_pair(b1, b2)
+        # device_put handles both the bare wire buffer and the
+        # (codes, quals, lens, valid) tuple (pytree)
+        return b1, b2, jax.device_put(in1), jax.device_put(in2)
+
+    workers = workers or _pack_workers()
+    it = prefetched(iter(pairs), depth=workers + 2, transform=transform,
+                    workers=workers)
+    # NOTE: no stage("read") here — the wrapped _iter_blocks_paired already
+    # accounts the real reads on the producer thread; tagging the queue
+    # wait too would double-count the stage in --t reports
+    while True:
+        item = next(it, None)
+        if item is None:
+            return
+        yield item
+
+
 def _iter_blocks_paired(r1, r2, timers):
     """Lockstep paired iteration, re-sliced to common record counts.
 
@@ -520,10 +550,13 @@ def run_stats(opts: StatsOptions, timers: Optional[StageTimers] = None,
          FastqReader(opts.in_filename2, batch_size=_reader_batch(opts),
                      start_offset=max(start2, rng2[0]),
                      end_offset=rng2[1]) as r2:
-        for b1, b2 in _iter_blocks_paired(_coalesced(opts, r1),
-                                          _coalesced(opts, r2), timers):
+        for b1, b2, in1, in2 in _iter_packed_paired(
+            _iter_blocks_paired(_coalesced(opts, r1),
+                                _coalesced(opts, r2), timers),
+            sess, timers,
+        ):
             with timers.stage("compute"):
-                sess.feed_pair(b1, b2)
+                sess.feed_pair_packed(in1, in2)
             nb += 1
             if ck_path and nb % ck_every == 0:
                 with timers.stage("checkpoint"):

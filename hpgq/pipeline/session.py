@@ -165,6 +165,61 @@ class PairedStatsSession:
     def num_failed(self) -> int:
         return self.counters1.num_failed
 
+    def pack_pair(self, b1, b2):
+        """Host-pack a lockstep mate-block pair → ``(in1, in2)`` input
+        tuples for :meth:`feed_pair_packed`.  Reads ``self.lcap`` once and
+        packs at ``L = max(lmax, lcap)``, so it is safe to run on a
+        transform-pool thread while the main thread feeds (mirrors the
+        single-end ``_iter_packed`` contract: a concurrent growth just
+        means this pair arrives narrower than the new lcap — the step
+        pads trimmed widths on device)."""
+        lmax = round_up(max(b1.max_len(), b2.max_len(), 1), 128)
+        L = max(lmax, self.lcap)
+        rows = bucket_rows(max(b1.num_reads, b2.num_reads), self.batch_reads)
+        if not self._warned_big:
+            self._warned_big = warn_device_batch(rows, L, mates=2)
+        if self.wire in ("bitpack", "fused4"):
+            from ..io.packer import pack_block_wire
+
+            wl = wire_len(max(b1.max_len(), b2.max_len()), L)
+            in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows)
+            in2 = pack_block_wire(b2, self.wire, wl, pad_reads_to=rows)
+        else:
+            in1 = pack_block(b1, max_len=L, pad_reads_to=rows)
+            in2 = pack_block(b2, max_len=L, pad_reads_to=rows)
+            if self.wire == "pack4":
+                from ..kernels.stats_jnp import wire_pack4
+
+                in1 = (wire_pack4(np.asarray(in1[0])),) + tuple(in1[1:])
+                in2 = (wire_pack4(np.asarray(in2[0])),) + tuple(in2[1:])
+        return in1, in2
+
+    def _packed_len(self, in1) -> int:
+        # wire mode packs each mate to ONE uint8 buffer (the step's unf
+        # expects the bare array); the plain/pack4 modes pass the
+        # (codes, quals, lens, valid) tuple
+        if self.wire in ("bitpack", "fused4"):
+            from ..kernels.stats_jnp import (
+                bitwire_logical_len,
+                fused_logical_len,
+            )
+
+            return (bitwire_logical_len if self.wire == "bitpack"
+                    else fused_logical_len)(in1.shape[1])
+        return in1[1].shape[1]
+
+    def feed_pair_packed(self, in1, in2) -> None:
+        """One fused step over a prepacked pair (``pack_pair`` output,
+        possibly already device_put by a transform pool).  Never syncs on
+        the device — tallies stay in the device accumulators."""
+        L = self._packed_len(in1)
+        if L > self.lcap:
+            self._grow(round_up(L, 128))
+        self._acc1, self._acc2 = self._step(self._acc1, self._acc2, in1, in2)
+        self._since_flush += 1
+        if self._since_flush >= self.flush_every:
+            self.flush()
+
     def feed_pair(self, b1, b2) -> None:
         """One fused step over a lockstep mate-block pair (equal record
         counts; see ``_iter_blocks_paired``).  Never syncs on the device —
@@ -173,29 +228,8 @@ class PairedStatsSession:
         lmax = round_up(max(b1.max_len(), b2.max_len(), 1), 128)
         if lmax > self.lcap:
             self._grow(lmax)
-        rows = bucket_rows(max(b1.num_reads, b2.num_reads), self.batch_reads)
-        if not self._warned_big:
-            self._warned_big = warn_device_batch(rows, self.lcap, mates=2)
-        if self.wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_wire
-
-            wl = wire_len(max(b1.max_len(), b2.max_len()), self.lcap)
-            in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows)
-            in2 = pack_block_wire(b2, self.wire, wl, pad_reads_to=rows)
-        else:
-            in1 = pack_block(b1, max_len=self.lcap,
-                             pad_reads_to=rows)
-            in2 = pack_block(b2, max_len=self.lcap,
-                             pad_reads_to=rows)
-            if self.wire == "pack4":
-                from ..kernels.stats_jnp import wire_pack4
-
-                in1 = (wire_pack4(np.asarray(in1[0])),) + tuple(in1[1:])
-                in2 = (wire_pack4(np.asarray(in2[0])),) + tuple(in2[1:])
-        self._acc1, self._acc2 = self._step(self._acc1, self._acc2, in1, in2)
-        self._since_flush += 1
-        if self._since_flush >= self.flush_every:
-            self.flush()
+        in1, in2 = self.pack_pair(b1, b2)
+        self.feed_pair_packed(in1, in2)
 
     def flush(self) -> None:
         if self._since_flush == 0:
