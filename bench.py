@@ -845,28 +845,27 @@ def main():
 
         # configs on compressed input: engine AND oracle read the same
         # gzip/BGZF file (config #5 is gzipped input — the single-CPU
-        # baseline pays the same inflate).
-        def setup_gz():
-            gzp = gz_corpus(small)
-            eng = _engine_pass_factory(gzp, args.batch_size, br)
+        # baseline pays the same inflate).  Full-size corpus: the engine's
+        # per-pass fixed costs (session + dispatch) dominate at 200k reads
+        # and made this line a coin flip; the oracle side is per-read flat.
+        # The oracle pass is clipped to the small corpus when the full one
+        # is large (throughput extrapolates linearly, same as the headline
+        # oracle protocol).
+        def _compressed_setup(cpath, opath_c):
+            eng = _engine_pass_factory(cpath, args.batch_size, br)
 
-            def gz_pass():
+            def eng_pass():
                 t0 = time.perf_counter()
                 n = eng()
                 return n / (time.perf_counter() - t0), n
 
-            return gz_pass, lambda: _oracle_pass(gzp, args.batch_size)[0]
+            return eng_pass, lambda: _oracle_pass(opath_c, args.batch_size)[0]
+
+        def setup_gz():
+            return _compressed_setup(gz_corpus(path), gz_corpus(small))
 
         def setup_bgzf():
-            bgp = bgzf_corpus(small)
-            eng = _engine_pass_factory(bgp, args.batch_size, br)
-
-            def bgzf_pass():
-                t0 = time.perf_counter()
-                n = eng()
-                return n / (time.perf_counter() - t0), n
-
-            return bgzf_pass, lambda: _oracle_pass(bgp, args.batch_size)[0]
+            return _compressed_setup(bgzf_corpus(path), bgzf_corpus(small))
 
         def setup_paired():
             mate2 = os.path.join(BENCH_DIR, "bench_mate2_%d.fq" % n_small)

@@ -106,7 +106,7 @@ def get_lib():
         return _lib
 
 
-_ABI = 4  # must match hpgq_abi_version() in packer.cpp
+_ABI = 5  # must match hpgq_abi_version() in packer.cpp
 
 
 def _bind(lib):
@@ -152,6 +152,12 @@ def _bind(lib):
         u8p, i64p, i64p, i32p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i8p, u8p,
         ctypes.c_int,
+    ]
+    lib.hpgq_pack_bitwire6.restype = ctypes.c_int32
+    lib.hpgq_pack_bitwire6.argtypes = [
+        u8p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i8p, u8p, ctypes.c_int,
     ]
 
 
@@ -281,6 +287,44 @@ def pack_bitwire(buf, seq_starts, q_starts, lens, L: int, nrows: int,
         n, L, nrows, BASE_LUT, out.reshape(-1), num_threads,
     )
     return out
+
+
+def bitwire6_width(L: int) -> int:
+    """Row width of the bitpack6 layout: 9L/8 + 8, bumped by one pad byte
+    when that collides with a valid 7-bit bitpack width (the decoder
+    distinguishes the layouts by width alone; valid 7-bit widths are 10
+    apart, so at most one bump)."""
+    W = 9 * L // 8 + 8
+    body = (W - 8) * 8
+    if body % 10 == 0 and (body // 10) % 8 == 0:
+        W += 1
+    return W
+
+
+def pack_bitwire6(buf, seq_starts, q_starts, lens, L: int, nrows: int,
+                  num_threads: int = 0):
+    """Bitpack6 wire buffer uint8 [nrows, bitwire6_width(L)] (3-bit codes
+    + 6-bit re-based quals + per-row qbase) — or None when some row's
+    qual range spans >= 64 values (caller falls back to 7-bit bitpack).
+    See hpgq_pack_bitwire6 / stats_jnp.wire_unbits."""
+    lib = get_lib()
+    assert L % 8 == 0, L
+    n = len(lens)
+    W = bitwire6_width(L)
+    out = np.empty((nrows, W), dtype=np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    from ..packer import BASE_LUT
+
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    ok = lib.hpgq_pack_bitwire6(
+        arr,
+        np.ascontiguousarray(seq_starts, dtype=np.int64),
+        np.ascontiguousarray(q_starts, dtype=np.int64),
+        np.ascontiguousarray(lens, dtype=np.int32),
+        n, L, nrows, W, BASE_LUT, out.reshape(-1), num_threads,
+    )
+    return out if ok else None
 
 
 def pack_qnwire(buf, seq_starts, q_starts, lens, L: int, nrows: int,

@@ -452,10 +452,22 @@ def wire_unfuse(buf):
     return codes, quals, lens, valid
 
 
+def bitwire_kind(row_width: int):
+    """(qual_bits, L) for a bitpack-family wire row width.
+
+    7-bit rows have W = 10L/8 + 8 exactly; anything else is the adaptive
+    6-bit layout (W = 9L/8 + 8, bumped by one pad byte when that would
+    collide with a valid 7-bit width — valid 7-bit widths are 10 apart,
+    so the bump is at most one and L recovery by floor stays exact)."""
+    body = (row_width - 8) * 8
+    if body % 10 == 0 and (body // 10) % 8 == 0:
+        return 7, body // 10
+    return 6, (body // 9) // 8 * 8
+
+
 def bitwire_logical_len(row_width: int) -> int:
-    """Logical read length L encoded by a bitpack wire row
-    (W = 3L/8 + 7L/8 + 8)."""
-    return (row_width - 8) * 8 // 10
+    """Logical read length L encoded by a bitpack-family wire row."""
+    return bitwire_kind(row_width)[1]
 
 
 def pad_wire_cols(codes, quals, lcap: int):
@@ -508,36 +520,68 @@ def wire_unbits(buf):
     The decode is reshape + static shifts only (no gathers): every 3 code
     bytes hold 8 values in a 24-bit word; every 7 qual bytes hold 8 values
     in a 56-bit word carried as two uint32 limbs — XLA fuses the whole
-    decode into the consuming kernel's first HBM read."""
+    decode into the consuming kernel's first HBM read.
+
+    The adaptive 6-bit layout (``pack_block_bitwire_adaptive``) is
+    detected from the row width alone (:func:`bitwire_kind`): quals are
+    6-bit values re-based on a per-row ``qbase`` byte (tail slot 5), so
+    the decode adds it back and re-zeroes the beyond-length positions to
+    keep the exact (codes, quals, lens, valid) contract of the 7-bit
+    path."""
     B, W = buf.shape
-    L = bitwire_logical_len(W)
+    qbits, L = bitwire_kind(W)
+    if qbits == 6:
+        return _unbits6(buf, L)
     c3 = 3 * L // 8
     q7 = 7 * L // 8
-
-    def fields(bytes3d, nbits: int, mask: int):
-        """[B, L/8, nbytes] uint8 bitstream groups -> 8 decoded fields.
-
-        All-uint8 arithmetic: field k of a group spans at most two bytes
-        (nbits + 7 <= 15), so each field is one shift-or-shift per byte —
-        intermediates stay uint8 (8x smaller than a widened-word decode;
-        this path is HBM-bound)."""
-        out = []
-        for k in range(8):
-            s = nbits * k
-            i0, r = s >> 3, s & 7
-            v = bytes3d[..., i0] >> r
-            if r + nbits > 8:
-                v = v | (bytes3d[..., i0 + 1] << (8 - r))
-            out.append(v & mask)
-        return jnp.stack(out, axis=-1)
-
     cb = buf[:, :c3].reshape(B, L // 8, 3)
-    codes = fields(cb, 3, 7).astype(jnp.int8).reshape(B, L)
+    codes = _bit_fields(cb, 3, 7).astype(jnp.int8).reshape(B, L)
     qb = buf[:, c3 : c3 + q7].reshape(B, L // 8, 7)
-    quals = fields(qb, 7, 0x7F).reshape(B, L)
-    lb = buf[:, c3 + q7 : c3 + q7 + 4].astype(jnp.int32)
+    quals = _bit_fields(qb, 7, 0x7F).reshape(B, L)
+    lens, valid = _wire_tail(buf, c3 + q7)
+    return codes, quals, lens, valid
+
+
+def _bit_fields(bytes3d, nbits: int, mask: int):
+    """[B, L/8, nbytes] uint8 bitstream groups -> 8 decoded fields.
+
+    All-uint8 arithmetic: field k of a group spans at most two bytes
+    (nbits + 7 <= 15), so each field is one shift-or-shift per byte —
+    intermediates stay uint8 (8x smaller than a widened-word decode;
+    this path is HBM-bound)."""
+    out = []
+    for k in range(8):
+        s = nbits * k
+        i0, r = s >> 3, s & 7
+        v = bytes3d[..., i0] >> r
+        if r + nbits > 8:
+            v = v | (bytes3d[..., i0 + 1] << (8 - r))
+        out.append(v & mask)
+    return jnp.stack(out, axis=-1)
+
+
+def _wire_tail(buf, off: int):
+    """(lens int32, valid bool) from a wire row tail [len_le32 | valid]."""
+    lb = buf[:, off : off + 4].astype(jnp.int32)
     lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
-    valid = buf[:, c3 + q7 + 4] != 0
+    return lens, buf[:, off + 4] != 0
+
+
+def _unbits6(buf, L: int):
+    """bitpack6 decode: 3-bit codes + 6-bit quals + per-row qbase
+    (tail slot 5); beyond-length quals re-zeroed so the output contract
+    matches the 7-bit path byte-for-byte."""
+    B = buf.shape[0]
+    c3 = 3 * L // 8
+    q6 = 6 * L // 8
+    cb = buf[:, :c3].reshape(B, L // 8, 3)
+    codes = _bit_fields(cb, 3, 7).astype(jnp.int8).reshape(B, L)
+    qb = buf[:, c3 : c3 + q6].reshape(B, L // 8, 6)
+    q = _bit_fields(qb, 6, 0x3F).reshape(B, L)
+    lens, valid = _wire_tail(buf, c3 + q6)
+    qbase = buf[:, c3 + q6 + 5]
+    mask = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < lens[:, None]
+    quals = jnp.where(mask, q + qbase[:, None], jnp.uint8(0))
     return codes, quals, lens, valid
 
 

@@ -73,7 +73,8 @@ class CgrSession:
             buf = pack_block_wire(block, self.wire,
                                   wire_len(max(block.max_len(), self.k),
                                            lmax),
-                                  pad_reads_to=rows)
+                                  pad_reads_to=rows,
+                                  allow6=(self.wire == "bitpack"))
             acc = self._step(zero_cgr_acc(self.k), buf)
         else:
             codes, quals, lens, valid = pack_block(

@@ -86,7 +86,7 @@ class StatsSession:
 
             self.acc.update(pack_block_wire(
                 block, wire, wire_len(block.max_len(), self.lcap),
-                pad_reads_to=rows))
+                pad_reads_to=rows, allow6=True))
             return
         self.feed_packed(*pack_block(
             block, max_len=self.lcap, pad_reads_to=rows
@@ -182,8 +182,10 @@ class PairedStatsSession:
             from ..io.packer import pack_block_wire
 
             wl = wire_len(max(b1.max_len(), b2.max_len()), L)
-            in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows)
-            in2 = pack_block_wire(b2, self.wire, wl, pad_reads_to=rows)
+            in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows,
+                                  allow6=True)
+            in2 = pack_block_wire(b2, self.wire, wl, pad_reads_to=rows,
+                                  allow6=True)
         else:
             in1 = pack_block(b1, max_len=L, pad_reads_to=rows)
             in2 = pack_block(b2, max_len=L, pad_reads_to=rows)
@@ -328,7 +330,8 @@ class ShapeCachedFn:
             # carry exactly wire_len columns, no on-device re-pad needed
             buf = pack_block_wire(block, wire,
                                   wire_len(block.max_len(), lmax),
-                                  pad_reads_to=bucket_rows(n, self.batch_reads))
+                                  pad_reads_to=bucket_rows(n, self.batch_reads),
+                                  allow6=(wire == "bitpack"))
             wrap = lambda inner: (lambda b: inner(*unf(b)))  # noqa: E731
             out = self._fn_for(buf.shape, wire, wrap)(buf)
         else:
@@ -362,8 +365,9 @@ class ShapeCachedPairFn(ShapeCachedFn):
             from ..io.packer import pack_block_wire
 
             wl = wire_len(max(b1.max_len(), b2.max_len()), lmax)
-            in1 = pack_block_wire(b1, wire, wl, pad_reads_to=rows)
-            in2 = pack_block_wire(b2, wire, wl, pad_reads_to=rows)
+            a6 = wire == "bitpack"
+            in1 = pack_block_wire(b1, wire, wl, pad_reads_to=rows, allow6=a6)
+            in2 = pack_block_wire(b2, wire, wl, pad_reads_to=rows, allow6=a6)
             wrap = lambda inner: (  # noqa: E731
                 lambda a, b: inner(*unf(a), *unf(b)))
             out = self._fn_for(in1.shape, wire, wrap)(in1, in2)

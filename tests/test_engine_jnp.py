@@ -388,3 +388,114 @@ def test_pallas_interpret_long_read_fallback():
     assert int(acc["num_reads"]) == 2
     make_paired_stats_step(lcap, 33, False, None, engine="pallas_interpret",
                            wire=None)  # builds without the blockwise assert
+
+
+def test_bitwire_kind_inversions():
+    """bitwire_kind recovers (bits, L) for every 7-bit and 6-bit width up
+    to L=1024 — including collision-padded 6-bit widths (W6 == some W7)."""
+    from hpgq.io.native import bitwire6_width
+    from hpgq.kernels.stats_jnp import bitwire_kind
+
+    padded = 0
+    for L in range(8, 1025, 8):
+        assert bitwire_kind(10 * L // 8 + 8) == (7, L)
+        w6 = bitwire6_width(L)
+        assert bitwire_kind(w6) == (6, L), (L, w6)
+        padded += int(w6 != 9 * L // 8 + 8)
+    assert padded > 0  # the collision case is actually exercised
+
+
+def test_wire_bitpack6_roundtrip_and_step():
+    """[bitpack6] numpy pack -> device decode roundtrip + accumulator
+    equivalence across off/7-bit/6-bit wires, incl. a collision-padded
+    width (L=80) and the misfit fallback."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hpgq.core.accumulator import DeviceAccumulator
+    from hpgq.io.packer import wire_bitpack6_np
+    from hpgq.kernels import stats_jnp
+
+    for L in (128, 80):  # 80: 9L/8+8=98 collides with the 7-bit width of 72
+        rng = np.random.default_rng(11 + L)
+        B = 64
+        lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+        pos = np.arange(L)[None, :]
+        codes = np.where(pos < lens[:, None],
+                         rng.integers(0, 6, size=(B, L)), 5).astype(np.int8)
+        quals = np.where(pos < lens[:, None],
+                         rng.integers(35, 35 + 63, size=(B, L)),
+                         0).astype(np.uint8)
+        valid = rng.random(B) < 0.9
+
+        buf = wire_bitpack6_np(codes, quals, lens, valid)
+        assert buf is not None
+        from hpgq.io.native import bitwire6_width
+
+        assert buf.shape == (B, bitwire6_width(L))
+        c2, q2, l2, v2 = (np.asarray(x) for x in
+                          stats_jnp.wire_unbits(jnp.asarray(buf)))
+        np.testing.assert_array_equal(c2, np.where(valid[:, None], codes, 0))
+        np.testing.assert_array_equal(q2, np.where(valid[:, None], quals, 0))
+        np.testing.assert_array_equal(l2, np.where(valid, lens, 0))
+        np.testing.assert_array_equal(v2, valid)
+
+        if L == 128:
+            plain = DeviceAccumulator(L, 33, wire="off")
+            plain.update(codes, quals, lens, valid)
+            b6 = DeviceAccumulator(L, 33, wire="bitpack")
+            b6.update(jnp.asarray(buf))  # pre-packed 6-bit buffer
+            assert b6.finish().equals(plain.finish())
+
+    # misfit: a row spanning >= 64 qual values refuses (caller falls back)
+    quals[0, : min(4, L)] = [33, 120, 40, 50][: min(4, L)]
+    lens[0] = max(lens[0], 4)
+    valid[0] = True
+    assert wire_bitpack6_np(codes, quals, lens, valid) is None
+
+
+def test_pack_block_bitwire_adaptive(tmp_path):
+    """Adaptive packer: normal corpora take the 6-bit layout (native ==
+    numpy reference byte-exact); a corpus with a >=64-span qual row falls
+    back to the plain 7-bit bitpack; HPGQ_WIRE6=0 forces 7-bit."""
+    import os
+
+    from gen import make_fastq, make_records, write_fastq
+    from hpgq.io import FastqReader
+    from hpgq.io.native import bitwire6_width
+    from hpgq.io.packer import (
+        pack_block,
+        pack_block_bitwire_adaptive,
+        wire_bitpack6_np,
+    )
+
+    fq = str(tmp_path / "a6.fq")
+    make_fastq(fq, 2000, min_len=40, max_len=120, n_prob=0.02,
+               lowercase_prob=0.1, seed=61)
+    with FastqReader(fq, batch_size=1024) as rd:
+        for block in rd:
+            got = pack_block_bitwire_adaptive(block, 128, pad_reads_to=2048)
+            assert got.shape[1] == bitwire6_width(128)
+            want = wire_bitpack6_np(
+                *pack_block(block, max_len=128, pad_reads_to=2048))
+            np.testing.assert_array_equal(got, want)
+
+    # one read mixing '!' (33) and '~' (126) quals -> whole block 7-bit
+    recs = make_records(50, min_len=60, max_len=60, seed=62)
+    name, seq, qual = recs[0]
+    recs[0] = (name, seq, b"!" + b"~" * 58 + b"!")
+    fq2 = str(tmp_path / "a7.fq")
+    write_fastq(fq2, recs)
+    with FastqReader(fq2, batch_size=1024) as rd:
+        (block,) = list(rd)
+    got = pack_block_bitwire_adaptive(block, 64, pad_reads_to=64)
+    assert got.shape[1] == 10 * 64 // 8 + 8  # fell back to 7-bit
+
+    os.environ["HPGQ_WIRE6"] = "0"
+    try:
+        with FastqReader(fq, batch_size=1024) as rd:
+            block = next(iter(rd))
+        got = pack_block_bitwire_adaptive(block, 128)
+        assert got.shape[1] == 10 * 128 // 8 + 8
+    finally:
+        del os.environ["HPGQ_WIRE6"]

@@ -50,6 +50,9 @@ void hpgq_pack_fused(const uint8_t*, const int64_t*, const int64_t*,
 void hpgq_pack_qnwire(const uint8_t*, const int64_t*, const int64_t*,
                       const int32_t*, int64_t, int64_t, int64_t,
                       const int8_t*, uint8_t*, int);
+int32_t hpgq_pack_bitwire6(const uint8_t*, const int64_t*, const int64_t*,
+                           const int32_t*, int64_t, int64_t, int64_t,
+                           int64_t, const int8_t*, uint8_t*, int);
 }
 
 int main() {
@@ -121,6 +124,20 @@ int main() {
         std::vector<uint8_t> wq(rows * (L + 8));
         hpgq_pack_qnwire(buf.data(), seq_starts.data(), q_starts.data(),
                          lens.data(), n, L, rows, lut, wq.data(), 4);
+        // bitpack6 incl. the collision-padded width (L=64: 9*64/8+8 = 80,
+        // which IS a valid 7-bit width for L=57.6 -> not valid; keep both
+        // widths exercised either way)
+        int64_t W6 = 9 * L / 8 + 8;
+        {   // replicate native.bitwire6_width's collision bump
+            int64_t body = (W6 - 8) * 8;
+            if (body % 10 == 0 && (body / 10) % 8 == 0) W6 += 1;
+        }
+        std::vector<uint8_t> w6(rows * W6);
+        int32_t ok6 = hpgq_pack_bitwire6(
+            buf.data(), seq_starts.data(), q_starts.data(), lens.data(),
+            n, L, rows, W6, lut, w6.data(), 4);
+        if (!ok6) { fprintf(stderr, "bitwire6 misfit on 60-span quals\n");
+                    return 1; }
     }
 
     std::vector<int64_t> ss, ee;
