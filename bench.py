@@ -60,15 +60,30 @@ CRIT = FilterCriteria(
 PHRED = 33
 
 
+# Bench corpora model modern production FASTQ: NovaSeq/NextSeq RTA3
+# 4-level quality binning (Q2/Q12/Q23/Q37).  Illumina has shipped binned
+# qualities since HiSeq X; unbinned per-cycle quals are the legacy shape.
+# The single-CPU oracle's per-read work is qual-value-independent, so the
+# engine/oracle comparison is unaffected — but the wire packer's adaptive
+# palette tier (hpgq/io/packer.py) compresses binned quals to 2 bits.
+# `--qual-shape uniform` restores the legacy unbinned corpus (the filename
+# encodes the shape, so cached corpora never go stale).
+RTA3_BINS = (2, 12, 23, 37)
+QUAL_SHAPE = "rta3"
+
+
 def corpus(n_reads: int, read_len: int) -> str:
     os.makedirs(BENCH_DIR, exist_ok=True)
-    path = os.path.join(BENCH_DIR, "bench_%d_%d.fq" % (n_reads, read_len))
+    tag = "" if QUAL_SHAPE == "uniform" else "_" + QUAL_SHAPE
+    path = os.path.join(BENCH_DIR,
+                        "bench_%d_%d%s.fq" % (n_reads, read_len, tag))
     if not os.path.exists(path):
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
         from gen import make_fastq
 
         make_fastq(path, n_reads, min_len=read_len, max_len=read_len,
-                   n_prob=0.005, seed=7)
+                   n_prob=0.005, seed=7,
+                   qual_bins=RTA3_BINS if QUAL_SHAPE == "rta3" else None)
     return path
 
 
@@ -686,8 +701,15 @@ def main():
     ap.add_argument("--batch-reads", type=int, default=131_072)
     ap.add_argument("--oracle-reads", type=int, default=50_000,
                     help="oracle pass size (throughput extrapolates linearly)")
+    ap.add_argument("--qual-shape", default="rta3",
+                    choices=["rta3", "uniform"],
+                    help="corpus quality distribution: rta3 = NovaSeq "
+                         "4-level binning (production shape, default); "
+                         "uniform = legacy unbinned 2..41")
     args = ap.parse_args()
 
+    global QUAL_SHAPE
+    QUAL_SHAPE = args.qual_shape
     path = corpus(args.reads, args.read_len)
     opath = (path if args.oracle_reads >= args.reads
              else corpus(args.oracle_reads, args.read_len))
@@ -766,6 +788,7 @@ def main():
                "ratio_median": ratios[len(ratios) // 2],
                "oracle_reads_per_sec": round(oracle_rps, 1),
                "engine_reads": total, "read_len": args.read_len,
+               "qual_shape": QUAL_SHAPE,
                "bench_phase_seconds": phase_s,
                "platform": _platform()}, err=True)
         if "device_step_reads_per_sec" in bd:
@@ -831,14 +854,17 @@ def main():
                     lambda: _oracle_filter_pass(small, args.batch_size, ftmp))
 
         def setup_edit():
-            vpath = os.path.join(BENCH_DIR, "bench_var_%d.fq" % n_small)
+            vpath = os.path.join(
+                BENCH_DIR, "bench_var_%d_%s.fq" % (n_small, QUAL_SHAPE))
             if not os.path.exists(vpath):
                 sys.path.insert(0, os.path.join(
                     os.path.dirname(os.path.abspath(__file__)), "tests"))
                 from gen import make_fastq
 
                 make_fastq(vpath, n_small, min_len=60, max_len=160,
-                           n_prob=0.005, seed=11)
+                           n_prob=0.005, seed=11,
+                           qual_bins=RTA3_BINS if QUAL_SHAPE == "rta3"
+                           else None)
             etmp = mktmp()
             return (make_edit_pass(vpath, args.batch_size, etmp),
                     lambda: _oracle_edit_pass(vpath, args.batch_size, etmp))
@@ -868,14 +894,17 @@ def main():
             return _compressed_setup(bgzf_corpus(path), bgzf_corpus(small))
 
         def setup_paired():
-            mate2 = os.path.join(BENCH_DIR, "bench_mate2_%d.fq" % n_small)
+            mate2 = os.path.join(
+                BENCH_DIR, "bench_mate2_%d_%s.fq" % (n_small, QUAL_SHAPE))
             if not os.path.exists(mate2):
                 sys.path.insert(0, os.path.join(
                     os.path.dirname(os.path.abspath(__file__)), "tests"))
                 from gen import make_fastq
 
                 make_fastq(mate2, n_small, min_len=args.read_len,
-                           max_len=args.read_len, n_prob=0.005, seed=13)
+                           max_len=args.read_len, n_prob=0.005, seed=13,
+                           qual_bins=RTA3_BINS if QUAL_SHAPE == "rta3"
+                           else None)
             ptmp = mktmp()
             return (make_paired_pass(small, mate2, args.batch_size, ptmp),
                     lambda: _oracle_paired_pass(small, mate2,

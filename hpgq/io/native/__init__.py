@@ -106,7 +106,7 @@ def get_lib():
         return _lib
 
 
-_ABI = 5  # must match hpgq_abi_version() in packer.cpp
+_ABI = 6  # must match hpgq_abi_version() in packer.cpp
 
 
 def _bind(lib):
@@ -155,6 +155,12 @@ def _bind(lib):
     ]
     lib.hpgq_pack_bitwire6.restype = ctypes.c_int32
     lib.hpgq_pack_bitwire6.argtypes = [
+        u8p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i8p, u8p, ctypes.c_int,
+    ]
+    lib.hpgq_pack_bitwire2q.restype = ctypes.c_int32
+    lib.hpgq_pack_bitwire2q.argtypes = [
         u8p, i64p, i64p, i32p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i8p, u8p, ctypes.c_int,
@@ -318,6 +324,56 @@ def pack_bitwire6(buf, seq_starts, q_starts, lens, L: int, nrows: int,
 
     arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     ok = lib.hpgq_pack_bitwire6(
+        arr,
+        np.ascontiguousarray(seq_starts, dtype=np.int64),
+        np.ascontiguousarray(q_starts, dtype=np.int64),
+        np.ascontiguousarray(lens, dtype=np.int32),
+        n, L, nrows, W, BASE_LUT, out.reshape(-1), num_threads,
+    )
+    return out if ok else None
+
+
+def bitwire2q_width(L: int) -> int:
+    """Row width of the bitpack2q layout: 5L/8 + 12 (3-bit codes + 2-bit
+    palette indices + len/valid/palette tail), bumped by pad bytes while
+    it collides with a valid 7-bit OR a valid 6-bit width (the decoder
+    distinguishes the three layouts by width alone; within any 5-byte
+    window there is at most one width of each other family, so at most
+    two bumps — consecutive 2q widths are 5 apart and stay disjoint)."""
+    W = 5 * L // 8 + 12
+
+    def _is7(w: int) -> bool:
+        body = (w - 8) * 8
+        return body % 10 == 0 and (body // 10) % 8 == 0
+
+    def _is6(w: int) -> bool:
+        L6 = ((w - 8) * 8 // 9) // 8 * 8
+        return L6 > 0 and bitwire6_width(L6) == w
+
+    while _is7(W) or _is6(W):
+        W += 1
+    return W
+
+
+def pack_bitwire2q(buf, seq_starts, q_starts, lens, L: int, nrows: int,
+                   num_threads: int = 0):
+    """Bitpack2q wire buffer uint8 [nrows, bitwire2q_width(L)] (3-bit
+    codes + 2-bit indices into a per-row 4-entry qual palette) — or None
+    when some row holds > 4 distinct qual values (caller falls down the
+    6-bit → 7-bit ladder).  Production Illumina corpora (NovaSeq/NextSeq
+    RTA3 binning) emit exactly 4 distinct levels, fitting 5 bits/base.
+    See hpgq_pack_bitwire2q / stats_jnp.wire_unbits."""
+    lib = get_lib()
+    assert L % 8 == 0, L
+    n = len(lens)
+    W = bitwire2q_width(L)
+    out = np.empty((nrows, W), dtype=np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    from ..packer import BASE_LUT
+
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    ok = lib.hpgq_pack_bitwire2q(
         arr,
         np.ascontiguousarray(seq_starts, dtype=np.int64),
         np.ascontiguousarray(q_starts, dtype=np.int64),

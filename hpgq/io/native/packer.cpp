@@ -331,6 +331,105 @@ int32_t hpgq_pack_bitwire6(const uint8_t* buf, const int64_t* seq_starts,
     return misfit ? 0 : 1;
 }
 
+// bitpack2q wire: 3-bit codes + 2-bit indices into a per-row 4-entry
+// QUALITY PALETTE (tail carries the palette ascending), then
+// len_le32|valid|p0 p1 p2 p3|pad3 (+ pad columns: the caller bumps W
+// past any valid 7-/6-bit width — the decoder distinguishes the three
+// layouts by width alone).  A row fits iff it holds <= 4 distinct qual
+// values — production Illumina corpora (NovaSeq/NextSeq RTA3 binning)
+// emit exactly 4 levels, so this tier ships 5 bits/base (vs 9 for
+// bitpack6, 10 for bitpack).  Returns 1 when every row fits, 0 on the
+// first misfit (output is then partial garbage — the caller falls down
+// the 6-bit -> 7-bit ladder).
+int32_t hpgq_pack_bitwire2q(const uint8_t* buf, const int64_t* seq_starts,
+                            const int64_t* q_starts, const int32_t* lens,
+                            int64_t n, int64_t L, int64_t nrows, int64_t W,
+                            const int8_t* lut, uint8_t* out,
+                            int num_threads) {
+    const int64_t c3 = 3 * L / 8;
+    const int64_t q2 = L / 4;
+    volatile int misfit = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(num_threads)
+#endif
+    for (int64_t i = 0; i < nrows; ++i) {
+        if (misfit) continue;
+        uint8_t* row = out + i * W;
+        if (i >= n) {
+            memset(row, 0, W);
+            continue;
+        }
+        const int64_t len_orig = lens[i];
+        int64_t len = len_orig;
+        if (len > L) len = L;
+        const uint8_t* seq = buf + seq_starts[i];
+        const uint8_t* q = buf + q_starts[i];
+        // build the sorted distinct-value palette (insertion into a
+        // 5-slot scratch; the 5th slot only flags overflow)
+        uint8_t pal[5];
+        int np = 0;
+        for (int64_t j = 0; j < len; ++j) {
+            uint8_t v = q[j] & 0x7F;
+            int k = 0;
+            while (k < np && pal[k] < v) ++k;
+            if (k < np && pal[k] == v) continue;
+            if (np == 4) { np = 5; break; }
+            for (int m = np; m > k; --m) pal[m] = pal[m - 1];
+            pal[k] = v;
+            ++np;
+        }
+        if (np == 5) {
+            misfit = 1;
+            continue;
+        }
+        for (int k = np; k < 4; ++k) pal[k] = np ? pal[np - 1] : 0;
+        uint32_t reg = 0;
+        int bits = 0;
+        uint8_t* p = row;
+        for (int64_t j = 0; j < L; ++j) {
+            uint32_t v = j < len ? (uint32_t)(lut[seq[j]] & 7) : 5u;
+            reg |= v << bits;
+            bits += 3;
+            if (bits >= 8) {
+                *p++ = (uint8_t)(reg & 0xFF);
+                reg >>= 8;
+                bits -= 8;
+            }
+        }
+        reg = 0;
+        bits = 0;
+        p = row + c3;
+        for (int64_t j = 0; j < L; ++j) {
+            uint32_t v = 0;
+            if (j < len) {
+                uint8_t x = q[j] & 0x7F;
+                v = (uint32_t)((x > pal[0]) + (x > pal[1]) + (x > pal[2]));
+            }
+            reg |= v << bits;
+            bits += 2;
+            if (bits >= 8) {
+                *p++ = (uint8_t)(reg & 0xFF);
+                reg >>= 8;
+                bits -= 8;
+            }
+        }
+        uint8_t* tail = row + c3 + q2;
+        uint32_t l32 = (uint32_t)len_orig;
+        tail[0] = (uint8_t)(l32 & 0xFF);
+        tail[1] = (uint8_t)((l32 >> 8) & 0xFF);
+        tail[2] = (uint8_t)((l32 >> 16) & 0xFF);
+        tail[3] = (uint8_t)((l32 >> 24) & 0xFF);
+        tail[4] = 1;
+        tail[5] = pal[0];
+        tail[6] = pal[1];
+        tail[7] = pal[2];
+        tail[8] = pal[3];
+        tail[9] = tail[10] = tail[11] = 0;
+        for (int64_t b = c3 + q2 + 12; b < W; ++b) row[b] = 0;  // pads
+    }
+    return misfit ? 0 : 1;
+}
+
 // qn8 wire: one byte per base = (qual & 0x7F) | (is_N << 7), then
 // len_le32|valid|pad3 (W = L + 8).  ASCII quality is always <= 126 so
 // bit 7 is free to carry the N flag — the only thing the filter/edit
@@ -388,6 +487,6 @@ int64_t hpgq_concat_spans(const uint8_t* buf, const int64_t* starts,
     return total;
 }
 
-int hpgq_abi_version(void) { return 5; }
+int hpgq_abi_version(void) { return 6; }
 
 }  // extern "C"

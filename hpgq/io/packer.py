@@ -187,17 +187,72 @@ def wire_bitpack6_np(codes, quals, lens, valid):
     return row
 
 
-def pack_block_bitwire_adaptive(block, max_len: int,
-                                pad_reads_to: int = 0) -> np.ndarray:
-    """bitpack6 when every row's qual range fits 6 bits (real sequencer
-    corpora virtually always do), else the plain 7-bit bitpack — ~9% fewer
-    wire bytes at 100 bp.  SINGLE-HOST paths only: the multihost shard_map
-    sessions need data-independent dispatch shapes, so they keep calling
-    the plain packers.  ``HPGQ_WIRE6=0`` disables the 6-bit attempt."""
+def wire_bitpack2q_np(codes, quals, lens, valid):
+    """Numpy reference of the bitpack2q wire: rows
+    [codes3 | qidx2 | len_le32 | valid | palette4 (ascending) | pad3
+    (+ pad columns from ``native.bitwire2q_width``'s collision bumps)].
+    Quality values are 2-bit indices into a per-row 4-entry palette —
+    production Illumina corpora (NovaSeq/NextSeq RTA3) emit exactly 4
+    distinct quality levels, so this tier fits them with 5 bits/base
+    total.  Returns None when some row holds > 4 distinct qual values
+    (the caller falls down the 6-bit → 7-bit ladder).  Differential
+    oracle for ``hpgq_pack_bitwire2q``."""
+    from .native import bitwire2q_width
+
+    B, L = np.asarray(quals).shape
+    assert L % 8 == 0, L
+    v = np.asarray(valid, dtype=bool)
+    c = np.where(v[:, None], np.asarray(codes, dtype=np.uint8), np.uint8(0))
+    q = np.where(v[:, None], np.asarray(quals, dtype=np.uint8) & 0x7F,
+                 np.uint8(0))
+    lens64 = np.where(v, np.asarray(lens), 0).astype(np.int64)
+    mask = np.arange(L)[None, :] < np.minimum(lens64, L)[:, None]
+    # distinct count per row: sort the in-length quals (out-of-length
+    # pinned to the row min so they add no distinct value)
+    qm = np.where(mask, q, np.uint8(255))
+    qmin = qm.min(axis=1, initial=255)
+    qmin = np.where(mask.any(axis=1), qmin, 0).astype(np.uint8)
+    qs = np.sort(np.where(mask, q, qmin[:, None]), axis=1)
+    d = np.concatenate([np.ones((B, 1), bool),
+                        np.diff(qs.astype(np.int16), axis=1) != 0], axis=1)
+    if B and int(d.sum(axis=1).max(initial=1)) > 4:
+        return None
+    # palette: the up-to-4 distinct values ascending (scatter by distinct
+    # rank), unused upper slots repeating the row max so index-by-rank
+    # (count of strictly-smaller palette entries) maps every value back
+    rank = d.cumsum(axis=1) - 1
+    pal = np.zeros((B, 4), dtype=np.uint8)
+    pal[np.repeat(np.arange(B), L), np.minimum(rank, 3).ravel()] = qs.ravel()
+    for k in (1, 2, 3):
+        np.maximum(pal[:, k], pal[:, k - 1], out=pal[:, k])
+    qidx = ((q[:, :, None] > pal[:, None, :3]).sum(axis=2)).astype(np.uint8)
+    qidx = np.where(mask, qidx, np.uint8(0))
+    lens_b = lens64.astype("<i4").view(np.uint8).reshape(B, 4)
+    parts = [
+        _bitpack_np(c & 7, 3), _bitpack_np(qidx & 3, 2), lens_b,
+        v.astype(np.uint8).reshape(B, 1), pal,
+        np.zeros((B, 3), dtype=np.uint8),
+    ]
+    W = bitwire2q_width(L)
+    row = np.concatenate(parts, axis=1)
+    if row.shape[1] < W:  # collision pad column(s)
+        row = np.concatenate(
+            [row, np.zeros((B, W - row.shape[1]), dtype=np.uint8)], axis=1)
+    return row
+
+
+def try_pack_block_palette(block, max_len: int, pad_reads_to: int = 0):
+    """The 2q palette pack alone (no fallback ladder): the wire buffer,
+    or None when any row exceeds 4 distinct qual values or the adaptive
+    tiers are disabled.  Used by the verdict/trim dispatchers to prefer
+    the palette (5 bits/base) over their qn8 upgrade (8 bits/base) when
+    the block fits — the palette carries full base identity AND quals,
+    a strict superset of what those kernels read."""
     import os
 
-    if os.environ.get("HPGQ_WIRE6", "1") in ("0", "off"):
-        return pack_block_bitwire(block, max_len, pad_reads_to=pad_reads_to)
+    if (os.environ.get("HPGQ_WIRE6", "1") in ("0", "off")
+            or os.environ.get("HPGQ_QPAL", "1") in ("0", "off")):
+        return None
     n = block.num_reads
     L = int(max_len)
     assert L % 8 == 0, L
@@ -206,18 +261,52 @@ def pack_block_bitwire_adaptive(block, max_len: int,
     from . import native
 
     if n and native.available():
-        out = native.pack_bitwire6(
+        return native.pack_bitwire2q(
             block.arr, block.starts[:, 1], block.starts[:, 3],
             block.seq_lens, L, nrows, num_threads=_NUM_THREADS,
         )
+    return wire_bitpack2q_np(*pack_block(block, max_len=L,
+                                         pad_reads_to=nrows))
+
+
+def pack_block_bitwire_adaptive(block, max_len: int,
+                                pad_reads_to: int = 0) -> np.ndarray:
+    """Adaptive bitpack ladder, narrowest layout the block fits:
+    bitpack2q (5 bits/base) when every row has <= 4 distinct qual values
+    (binned production corpora — NovaSeq/NextSeq RTA3), else bitpack6
+    (9 bits/base) when every row's qual range fits 6 bits (unbinned
+    corpora virtually always do), else the plain 7-bit bitpack.  SINGLE-
+    HOST paths only: the multihost shard_map sessions need
+    data-independent dispatch shapes, so they keep calling the plain
+    packers.  ``HPGQ_WIRE6=0`` disables the whole ladder;
+    ``HPGQ_QPAL=0`` disables just the palette tier."""
+    import os
+
+    if os.environ.get("HPGQ_WIRE6", "1") in ("0", "off"):
+        return pack_block_bitwire(block, max_len, pad_reads_to=pad_reads_to)
+    qpal = os.environ.get("HPGQ_QPAL", "1") not in ("0", "off")
+    n = block.num_reads
+    L = int(max_len)
+    assert L % 8 == 0, L
+    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    from . import native
+
+    if n and native.available():
+        args = (block.arr, block.starts[:, 1], block.starts[:, 3],
+                block.seq_lens, L, nrows)
+        if qpal:
+            out = native.pack_bitwire2q(*args, num_threads=_NUM_THREADS)
+            if out is not None:
+                return out
+        out = native.pack_bitwire6(*args, num_threads=_NUM_THREADS)
         if out is not None:
             return out
-        return native.pack_bitwire(
-            block.arr, block.starts[:, 1], block.starts[:, 3],
-            block.seq_lens, L, nrows, num_threads=_NUM_THREADS,
-        )
+        return native.pack_bitwire(*args, num_threads=_NUM_THREADS)
     packed = pack_block(block, max_len=L, pad_reads_to=nrows)
-    out = wire_bitpack6_np(*packed)
+    out = wire_bitpack2q_np(*packed) if qpal else None
+    if out is None:
+        out = wire_bitpack6_np(*packed)
     return out if out is not None else wire_bitpack_np(*packed)
 
 

@@ -455,14 +455,28 @@ def wire_unfuse(buf):
 def bitwire_kind(row_width: int):
     """(qual_bits, L) for a bitpack-family wire row width.
 
-    7-bit rows have W = 10L/8 + 8 exactly; anything else is the adaptive
-    6-bit layout (W = 9L/8 + 8, bumped by one pad byte when that would
-    collide with a valid 7-bit width — valid 7-bit widths are 10 apart,
-    so the bump is at most one and L recovery by floor stays exact)."""
+    Three layouts, distinguished by width alone (each adaptive family's
+    width function bumps past the others' valid widths, so membership
+    tests are exact — see ``hpgq.io.native.bitwire6_width`` /
+    ``bitwire2q_width``):
+
+    * 7-bit quals: W = 10L/8 + 8 exactly.
+    * 6-bit re-based quals: W = 9L/8 + 8 (+1 pad on 7-bit collision).
+    * 2-bit palette indices (qual_bits returned as 2): W = 5L/8 + 12
+      (+pads past any 7-/6-bit collision)."""
+    from ..io.native import bitwire2q_width, bitwire6_width
+
     body = (row_width - 8) * 8
     if body % 10 == 0 and (body // 10) % 8 == 0:
         return 7, body // 10
-    return 6, (body // 9) // 8 * 8
+    L6 = (body // 9) // 8 * 8
+    if L6 > 0 and bitwire6_width(L6) == row_width:
+        return 6, L6
+    m = (row_width - 12) // 5
+    for mm in (m, m - 1):
+        if mm >= 1 and bitwire2q_width(8 * mm) == row_width:
+            return 2, 8 * mm
+    raise ValueError("not a bitpack-family row width: %d" % row_width)
 
 
 def bitwire_logical_len(row_width: int) -> int:
@@ -532,6 +546,8 @@ def wire_unbits(buf):
     qbits, L = bitwire_kind(W)
     if qbits == 6:
         return _unbits6(buf, L)
+    if qbits == 2:
+        return _unbits2q(buf, L)
     c3 = 3 * L // 8
     q7 = 7 * L // 8
     cb = buf[:, :c3].reshape(B, L // 8, 3)
@@ -582,6 +598,30 @@ def _unbits6(buf, L: int):
     qbase = buf[:, c3 + q6 + 5]
     mask = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < lens[:, None]
     quals = jnp.where(mask, q + qbase[:, None], jnp.uint8(0))
+    return codes, quals, lens, valid
+
+
+def _unbits2q(buf, L: int):
+    """bitpack2q decode: 3-bit codes + 2-bit indices into the per-row
+    4-entry qual palette (tail slots 5..8, ascending); beyond-length quals
+    re-zeroed so the output contract matches the other bitpack layouts.
+    The palette lookup is three uint8 selects (no gather) — XLA fuses it
+    into the consuming kernel's first HBM read like the rest of the
+    decode."""
+    B = buf.shape[0]
+    c3 = 3 * L // 8
+    q2 = L // 4
+    cb = buf[:, :c3].reshape(B, L // 8, 3)
+    codes = _bit_fields(cb, 3, 7).astype(jnp.int8).reshape(B, L)
+    qb = buf[:, c3 : c3 + q2].reshape(B, L // 8, 2)
+    idx = _bit_fields(qb, 2, 3).reshape(B, L)
+    lens, valid = _wire_tail(buf, c3 + q2)
+    pal = buf[:, c3 + q2 + 5 : c3 + q2 + 9]  # [B, 4] ascending
+    lo = jnp.where(idx == 0, pal[:, 0:1], pal[:, 1:2])
+    hi = jnp.where(idx == 2, pal[:, 2:3], pal[:, 3:4])
+    q = jnp.where(idx < 2, lo, hi)
+    mask = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < lens[:, None]
+    quals = jnp.where(mask, q, jnp.uint8(0))
     return codes, quals, lens, valid
 
 

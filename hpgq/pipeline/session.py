@@ -267,9 +267,11 @@ class ShapeCachedFn:
     tunneled/remote links — see bench.py's breakdown).
 
     ``qn_ok=True`` (filter/edit verdict+trim fns) upgrades an active wire
-    to the even smaller qn8 layout (1 byte/base vs bitpack's 10 bits/base):
-    those kernels read only quality, length, and the per-base is-N flag —
-    never the base identity (``stats_jnp.wire_unqn8``)."""
+    to a smaller layout: the 2q qual-palette bitpack (5 bits/base) when
+    every row has <= 4 distinct qual values (binned production corpora),
+    else qn8 (1 byte/base vs bitpack's 10 bits/base — those kernels read
+    only quality, length, and the per-base is-N flag,
+    ``stats_jnp.wire_unqn8``)."""
 
     def __init__(self, build_fn, batch_reads: int, cache_key=None,
                  qn_ok: bool = False):
@@ -322,16 +324,27 @@ class ShapeCachedFn:
                 wire_unqn8,
             )
 
-            if self._qn and os.environ.get("HPGQ_QN_WIRE", "1") != "0":
-                wire, unf = "qn8", wire_unqn8
-            else:
-                unf = wire_unbits if wire == "bitpack" else wire_unfuse
             # verdict/trim fns have no lane-width requirement: the wire can
             # carry exactly wire_len columns, no on-device re-pad needed
-            buf = pack_block_wire(block, wire,
-                                  wire_len(block.max_len(), lmax),
-                                  pad_reads_to=bucket_rows(n, self.batch_reads),
-                                  allow6=(wire == "bitpack"))
+            wl = wire_len(block.max_len(), lmax)
+            rows = bucket_rows(n, self.batch_reads)
+            buf = None
+            if self._qn and os.environ.get("HPGQ_QN_WIRE", "1") != "0":
+                # prefer the 2q palette (5 bits/base) over the qn8 upgrade
+                # (8 bits/base) when the block fits — it carries a strict
+                # superset of what the verdict/trim kernels read
+                from ..io.packer import try_pack_block_palette
+
+                buf = try_pack_block_palette(block, wl, pad_reads_to=rows)
+                if buf is not None:
+                    wire, unf = "bitpack", wire_unbits
+                else:
+                    wire, unf = "qn8", wire_unqn8
+            else:
+                unf = wire_unbits if wire == "bitpack" else wire_unfuse
+            if buf is None:
+                buf = pack_block_wire(block, wire, wl, pad_reads_to=rows,
+                                      allow6=(wire == "bitpack"))
             wrap = lambda inner: (lambda b: inner(*unf(b)))  # noqa: E731
             out = self._fn_for(buf.shape, wire, wrap)(buf)
         else:
@@ -365,9 +378,27 @@ class ShapeCachedPairFn(ShapeCachedFn):
             from ..io.packer import pack_block_wire
 
             wl = wire_len(max(b1.max_len(), b2.max_len()), lmax)
-            a6 = wire == "bitpack"
-            in1 = pack_block_wire(b1, wire, wl, pad_reads_to=rows, allow6=a6)
-            in2 = pack_block_wire(b2, wire, wl, pad_reads_to=rows, allow6=a6)
+            in1 = in2 = None
+            if wire == "qn8":
+                # palette preference (see ShapeCachedFn.__call__) — both
+                # mates must fit: they share one (rows, width) shape
+                from ..io.packer import try_pack_block_palette
+
+                in1 = try_pack_block_palette(b1, wl, pad_reads_to=rows)
+                in2 = (try_pack_block_palette(b2, wl, pad_reads_to=rows)
+                       if in1 is not None else None)
+                if in2 is not None:
+                    from ..kernels.stats_jnp import wire_unbits
+
+                    wire, unf = "bitpack", wire_unbits
+                else:
+                    in1 = in2 = None
+            if in1 is None:
+                a6 = wire == "bitpack"
+                in1 = pack_block_wire(b1, wire, wl, pad_reads_to=rows,
+                                      allow6=a6)
+                in2 = pack_block_wire(b2, wire, wl, pad_reads_to=rows,
+                                      allow6=a6)
             wrap = lambda inner: (  # noqa: E731
                 lambda a, b: inner(*unf(a), *unf(b)))
             out = self._fn_for(in1.shape, wire, wrap)(in1, in2)

@@ -15,8 +15,14 @@ def make_records(
     min_q: int = 2,
     max_q: int = 41,
     lowercase_prob: float = 0.0,
+    qual_bins=None,
 ):
-    """Generate n (name, seq, qual) tuples with reproducible randomness."""
+    """Generate n (name, seq, qual) tuples with reproducible randomness.
+
+    ``qual_bins``: draw qualities from this value set instead of the
+    uniform [min_q, max_q] range — e.g. ``(2, 12, 23, 37)`` reproduces
+    NovaSeq/NextSeq RTA3 4-level quality binning, the dominant shape of
+    modern production FASTQ."""
     rng = np.random.default_rng(seed)
     lens = rng.integers(min_len, max_len + 1, size=n)
     out = []
@@ -29,7 +35,11 @@ def make_records(
         if lowercase_prob > 0:
             lower = rng.random(ln) < lowercase_prob
             seq[lower] = seq[lower] + 32
-        q = rng.integers(min_q, max_q + 1, size=ln) + phred
+        if qual_bins is not None:
+            bins = np.asarray(qual_bins, dtype=np.int64)
+            q = bins[rng.integers(0, len(bins), size=ln)] + phred
+        else:
+            q = rng.integers(min_q, max_q + 1, size=ln) + phred
         out.append(
             (b"@read_%d some description" % i, seq.tobytes(), q.astype(np.uint8).tobytes())
         )

@@ -433,6 +433,73 @@ def test_filter_edit_through_wire(tmp_path, monkeypatch):
     assert outs["bitpack+noqn"] == outs["off"]
 
 
+def test_filter_edit_palette_wire(tmp_path, monkeypatch):
+    """On an RTA3-binned corpus the verdict/trim dispatch prefers the 2q
+    palette wire (5 bits/base) over its qn8 upgrade — outputs byte-equal
+    to the palette-disabled run, and the palette path actually engages
+    (spied)."""
+    import hpgq.io.packer as packer_mod
+    from gen import make_fastq
+    from hpgq.options import EditOptions, FilterOptions
+    from hpgq.pipeline.run import run_edit, run_filter
+
+    fq = str(tmp_path / "wp.fq")
+    make_fastq(fq, 1500, min_len=40, max_len=100, n_prob=0.02, seed=19,
+               qual_bins=(2, 12, 23, 37))
+
+    def fopts(out):
+        o = FilterOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 400
+        o.criteria.min_read_quality = 18
+        o.criteria.max_read_quality = 40
+        o.criteria.max_N = 1
+        o.filter_on = True
+        return o
+
+    def eopts(out):
+        o = EditOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 400
+        o.criteria.left_length = 8
+        o.criteria.min_left_quality = 25
+        o.criteria.max_left_quality = 60
+        return o
+
+    hits = {"fit": 0}
+    orig = packer_mod.try_pack_block_palette
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        hits["fit"] += int(out is not None)
+        return out
+
+    monkeypatch.setattr(packer_mod, "try_pack_block_palette", spy)
+    monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+    outs = {}
+    for tag, qpal in (("pal", "1"), ("nopal", "0")):
+        monkeypatch.setenv("HPGQ_QPAL", qpal)
+        d = tmp_path / ("fp_" + tag)
+        d.mkdir()
+        rf = run_filter(fopts(d))
+        e = tmp_path / ("ep_" + tag)
+        e.mkdir()
+        re_ = run_edit(eopts(e))
+        outs[tag] = (
+            (d / "passed.fq").read_bytes(), (d / "failed.fq").read_bytes(),
+            (e / "edit.fq").read_bytes(),
+            rf["num_passed"], rf["num_failed"], re_["num_edited"],
+        )
+    assert outs["pal"] == outs["nopal"]
+    assert hits["fit"] > 0  # the palette tier actually carried batches
+
+
 def test_phred64_encoding_and_aliases(tmp_path):
     """phred64 quality encoding: stats summary normalizes with offset 64;
     filter thresholds apply in normalized space; legacy aliases accepted."""

@@ -391,18 +391,22 @@ def test_pallas_interpret_long_read_fallback():
 
 
 def test_bitwire_kind_inversions():
-    """bitwire_kind recovers (bits, L) for every 7-bit and 6-bit width up
-    to L=1024 — including collision-padded 6-bit widths (W6 == some W7)."""
-    from hpgq.io.native import bitwire6_width
+    """bitwire_kind recovers (bits, L) for every 7-bit, 6-bit, and
+    2q-palette width up to L=65536 — including collision-padded widths —
+    and no width is claimed by two (family, L) pairs."""
+    from hpgq.io.native import bitwire2q_width, bitwire6_width
     from hpgq.kernels.stats_jnp import bitwire_kind
 
-    padded = 0
-    for L in range(8, 1025, 8):
-        assert bitwire_kind(10 * L // 8 + 8) == (7, L)
-        w6 = bitwire6_width(L)
-        assert bitwire_kind(w6) == (6, L), (L, w6)
-        padded += int(w6 != 9 * L // 8 + 8)
-    assert padded > 0  # the collision case is actually exercised
+    padded6 = padded2 = 0
+    seen = {}
+    for L in range(8, 65537, 8):
+        for w, kind in ((10 * L // 8 + 8, 7), (bitwire6_width(L), 6),
+                        (bitwire2q_width(L), 2)):
+            assert bitwire_kind(w) == (kind, L), (L, w, kind)
+            assert seen.setdefault(w, (kind, L)) == (kind, L), (w, seen[w])
+        padded6 += int(bitwire6_width(L) != 9 * L // 8 + 8)
+        padded2 += int(bitwire2q_width(L) != 5 * L // 8 + 12)
+    assert padded6 > 0 and padded2 > 0  # collision cases actually exercised
 
 
 def test_wire_bitpack6_roundtrip_and_step():
@@ -499,3 +503,101 @@ def test_pack_block_bitwire_adaptive(tmp_path):
         assert got.shape[1] == 10 * 128 // 8 + 8
     finally:
         del os.environ["HPGQ_WIRE6"]
+
+
+def test_wire_bitpack2q_roundtrip_and_step():
+    """[bitpack2q] numpy pack -> device decode roundtrip + accumulator
+    equivalence vs the unpacked wire on an RTA3-binned corpus, the
+    >4-distinct misfit, and degenerate rows (len 0, single qual value)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hpgq.core.accumulator import DeviceAccumulator
+    from hpgq.io.native import bitwire2q_width
+    from hpgq.io.packer import wire_bitpack2q_np
+    from hpgq.kernels import stats_jnp
+
+    for L, nbins in ((128, 4), (80, 2), (8, 1)):
+        rng = np.random.default_rng(100 + L)
+        B = 64
+        lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+        lens[0] = 0  # degenerate: empty read
+        pos = np.arange(L)[None, :]
+        codes = np.where(pos < lens[:, None],
+                         rng.integers(0, 6, size=(B, L)), 5).astype(np.int8)
+        bins = np.asarray([35, 45, 56, 70][:nbins], np.uint8)
+        quals = np.where(pos < lens[:, None],
+                         bins[rng.integers(0, nbins, size=(B, L))],
+                         0).astype(np.uint8)
+        valid = rng.random(B) < 0.9
+        valid[0] = True
+
+        buf = wire_bitpack2q_np(codes, quals, lens, valid)
+        assert buf is not None
+        assert buf.shape == (B, bitwire2q_width(L))
+        c2, q2, l2, v2 = (np.asarray(x) for x in
+                          stats_jnp.wire_unbits(jnp.asarray(buf)))
+        np.testing.assert_array_equal(c2, np.where(valid[:, None], codes, 0))
+        np.testing.assert_array_equal(q2, np.where(valid[:, None], quals, 0))
+        np.testing.assert_array_equal(l2, np.where(valid, lens, 0))
+        np.testing.assert_array_equal(v2, valid)
+
+        if L == 128:
+            plain = DeviceAccumulator(L, 33, wire="off")
+            plain.update(codes, quals, lens, valid)
+            b2 = DeviceAccumulator(L, 33, wire="bitpack")
+            b2.update(jnp.asarray(buf))  # pre-packed palette buffer
+            assert b2.finish().equals(plain.finish())
+
+    # misfit: a row with 5 distinct qual values refuses (caller falls back)
+    quals[1, :5] = [33, 40, 50, 60, 70]
+    lens[1] = max(lens[1], 5)
+    valid[1] = True
+    assert wire_bitpack2q_np(codes, quals, lens, valid) is None
+
+
+def test_pack_block_bitwire_adaptive_palette(tmp_path):
+    """Adaptive ladder tier selection: an RTA3-binned corpus takes the
+    2q-palette layout (native == numpy byte-exact); HPGQ_QPAL=0 drops it
+    to the 6-bit tier; a >4-distinct corpus whose range still fits 6 bits
+    lands on 6-bit."""
+    import os
+
+    import numpy as np
+
+    from gen import make_fastq
+    from hpgq.io import FastqReader
+    from hpgq.io.native import bitwire2q_width, bitwire6_width
+    from hpgq.io.packer import (
+        pack_block,
+        pack_block_bitwire_adaptive,
+        wire_bitpack2q_np,
+    )
+
+    fq = str(tmp_path / "p2q.fq")
+    make_fastq(fq, 2000, min_len=40, max_len=120, n_prob=0.02,
+               lowercase_prob=0.1, seed=63, qual_bins=(2, 12, 23, 37))
+    with FastqReader(fq, batch_size=1024) as rd:
+        for block in rd:
+            got = pack_block_bitwire_adaptive(block, 128, pad_reads_to=2048)
+            assert got.shape[1] == bitwire2q_width(128)
+            want = wire_bitpack2q_np(
+                *pack_block(block, max_len=128, pad_reads_to=2048))
+            np.testing.assert_array_equal(got, want)
+
+    os.environ["HPGQ_QPAL"] = "0"
+    try:
+        with FastqReader(fq, batch_size=1024) as rd:
+            block = next(iter(rd))
+        got = pack_block_bitwire_adaptive(block, 128)
+        assert got.shape[1] == bitwire6_width(128)
+    finally:
+        del os.environ["HPGQ_QPAL"]
+
+    # unbinned (uniform 2..41) corpus: >4 distinct, range < 64 -> 6-bit
+    fq6 = str(tmp_path / "p6.fq")
+    make_fastq(fq6, 500, min_len=60, max_len=60, seed=64)
+    with FastqReader(fq6, batch_size=1024) as rd:
+        (block,) = list(rd)
+    got = pack_block_bitwire_adaptive(block, 64)
+    assert got.shape[1] == bitwire6_width(64)

@@ -53,6 +53,27 @@ void hpgq_pack_qnwire(const uint8_t*, const int64_t*, const int64_t*,
 int32_t hpgq_pack_bitwire6(const uint8_t*, const int64_t*, const int64_t*,
                            const int32_t*, int64_t, int64_t, int64_t,
                            int64_t, const int8_t*, uint8_t*, int);
+int32_t hpgq_pack_bitwire2q(const uint8_t*, const int64_t*, const int64_t*,
+                            const int32_t*, int64_t, int64_t, int64_t,
+                            int64_t, const int8_t*, uint8_t*, int);
+}
+
+// replicate native.bitwire2q_width (incl. 7-/6-bit collision bumps)
+static bool is7w(int64_t w) {
+    int64_t b = (w - 8) * 8;
+    return b % 10 == 0 && (b / 10) % 8 == 0;
+}
+static int64_t w6of(int64_t L) {
+    int64_t w = 9 * L / 8 + 8;
+    return is7w(w) ? w + 1 : w;
+}
+static int64_t w2of(int64_t L) {
+    int64_t w = 5 * L / 8 + 12;
+    for (;;) {
+        int64_t L6 = ((w - 8) * 8 / 9) / 8 * 8;
+        if (!is7w(w) && !(L6 > 0 && w6of(L6) == w)) return w;
+        ++w;
+    }
 }
 
 int main() {
@@ -138,6 +159,30 @@ int main() {
             n, L, rows, W6, lut, w6.data(), 4);
         if (!ok6) { fprintf(stderr, "bitwire6 misfit on 60-span quals\n");
                     return 1; }
+        // bitpack2q misfit path: 60-span random quals exceed 4 distinct
+        std::vector<uint8_t> w2(rows * w2of(L));
+        int32_t ok2 = hpgq_pack_bitwire2q(
+            buf.data(), seq_starts.data(), q_starts.data(), lens.data(),
+            n, L, rows, w2of(L), lut, w2.data(), 4);
+        if (ok2) { fprintf(stderr, "bitwire2q fit on 60-span quals?\n");
+                   return 1; }
+    }
+
+    // bitpack2q happy path: RTA3-binned quals (4 distinct values)
+    {
+        std::vector<uint8_t> bq = buf;
+        for (int64_t i = 0; i < n; ++i)
+            for (int32_t j = 0; j < lens[i]; ++j)
+                bq[q_starts[i] + j] = (uint8_t)("\x23\x2d\x38\x46"[rand() % 4]);
+        for (int64_t L : {64LL, 256LL}) {
+            int64_t rows = n + 32;
+            std::vector<uint8_t> w2(rows * w2of(L));
+            int32_t ok2 = hpgq_pack_bitwire2q(
+                bq.data(), seq_starts.data(), q_starts.data(), lens.data(),
+                n, L, rows, w2of(L), lut, w2.data(), 4);
+            if (!ok2) { fprintf(stderr, "bitwire2q misfit on binned quals\n");
+                        return 1; }
+        }
     }
 
     std::vector<int64_t> ss, ee;

@@ -64,6 +64,15 @@ def one_round(rng, rnd: int) -> dict:
         "lowercase_prob": float(rng.choice([0.0, 0.1])),
         "wire": str(rng.choice(["bitpack", "fused4", "pack4", "off"])),
         "qn": str(rng.choice(["0", "1"])),
+        # adaptive bitpack ladder: on/off, plus qual-shape draws so every
+        # tier is fuzzed — "binned" (4 distinct values, RTA3 style) takes
+        # the 2-bit palette tier; the default uniform 2..41 span exceeds
+        # 4 distinct but fits 6 bits (6-bit tier); "wide" (max_q=93 ->
+        # ASCII '~', a 92-value span) makes long rows misfit BOTH
+        # adaptive tiers (native returns 0 -> next rung), so the whole
+        # fallback ladder is drawn.
+        "wire6": str(rng.choice(["0", "1"])),
+        "qshape": str(rng.choice(["uniform", "uniform", "binned", "wide"])),
         "batch_size": int(rng.choice([37, 250, 1000, 10000])),
         "coalesce": int(rng.choice([0, 777, 131072])),
         "paired": bool(rng.integers(0, 2)),
@@ -198,8 +207,14 @@ def _run_maybe_interrupted(cfg, run_fn, opts):
 
 
 def make_kw_of(cfg):
-    return dict(min_len=cfg["min_len"], max_len=cfg["max_len"],
-                n_prob=cfg["n_prob"], lowercase_prob=cfg["lowercase_prob"])
+    kw = dict(min_len=cfg["min_len"], max_len=cfg["max_len"],
+              n_prob=cfg["n_prob"], lowercase_prob=cfg["lowercase_prob"])
+    shape = cfg.get("qshape", "uniform")
+    if shape == "binned":
+        kw["qual_bins"] = (2, 12, 23, 37)
+    elif shape == "wide":
+        kw["max_q"] = 93  # ASCII '~', the top of the legal range
+    return kw
 
 
 def _run_round(cfg, crit_kw, filter_on, make_kw):
@@ -212,11 +227,12 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
     from hpgq.oracle import spec
     from hpgq.pipeline.run import run_filter, run_stats
 
-    knobs = ("HPGQ_WIRE", "HPGQ_QN_WIRE", "HPGQ_COALESCE")
+    knobs = ("HPGQ_WIRE", "HPGQ_QN_WIRE", "HPGQ_COALESCE", "HPGQ_WIRE6")
     saved_env = {k: os.environ.get(k) for k in knobs}
     os.environ["HPGQ_WIRE"] = cfg["wire"]
     os.environ["HPGQ_QN_WIRE"] = cfg["qn"]
     os.environ["HPGQ_COALESCE"] = str(cfg["coalesce"])
+    os.environ["HPGQ_WIRE6"] = cfg.get("wire6", "1")
     try:
         tmp = tempfile.mkdtemp(prefix="fuzz_")
         f1 = os.path.join(tmp, "a.fq")
