@@ -51,7 +51,9 @@ from hpgq.io.fastq import FastqReader
 from hpgq.io.packer import pack_block, round_up
 from hpgq.options import FilterCriteria
 
-BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+BENCH_DIR = (os.environ.get("HPGQ_BENCH_DIR")
+             or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench"))
 
 CRIT = FilterCriteria(
     min_read_length=50, max_read_length=200,
@@ -212,7 +214,8 @@ def run_engine(path: str, batch_size: int, batch_reads: int,
 
 
 def run_headline_interleaved(path, opath, batch_size, batch_reads,
-                             read_len, budget_s, rounds=8, on_round=None):
+                             read_len, budget_s, rounds=8, on_round=None,
+                             one_pass=None, warmup=True):
     """Headline measurement with oracle and engine passes ALTERNATING.
 
     The tunneled-TPU link and the shared host both fluctuate ~10x on
@@ -224,7 +227,8 @@ def run_headline_interleaved(path, opath, batch_size, batch_reads,
     rounds would re-mix phases).  Per-round ratios + median go to stderr.
     Returns (engine_best, matched_oracle, engine_reads, forensics).
     """
-    one_pass = _engine_pass_factory(path, batch_size, batch_reads)
+    if one_pass is None:
+        one_pass = _engine_pass_factory(path, batch_size, batch_reads)
     h2d_probe = _make_h2d_probe(path, batch_reads)
     t_start = time.perf_counter()
     # engine warmup on a small same-shape corpus: blocks pad to the same
@@ -232,7 +236,9 @@ def run_headline_interleaved(path, opath, batch_size, batch_reads,
     # cache at ~1/20 the cost of a full pass (the tunnel has minutes-long
     # slow phases; a full-size warmup could eat the whole budget).  It also
     # warms the oracle corpus' page cache via the first oracle round.
-    one_pass(corpus_override=corpus(50_000, read_len))
+    # (Skipped when the bootstrap phase already compiled everything.)
+    if warmup:
+        one_pass(corpus_override=corpus(50_000, read_len))
     e_best = o_best = 0.0
     best_ratio = -1.0
     e_total = 0
@@ -284,23 +290,23 @@ def _make_h2d_probe(path: str, batch_reads: int):
     import jax
 
     from hpgq.core.accumulator import resolve_wire
-    from hpgq.io.packer import (
-        bucket_rows,
-        pack_block_bitwire,
-        pack_block_fused,
-        wire_len,
-    )
+    from hpgq.io.packer import bucket_rows, pack_block_wire, wire_len
 
     try:
         wire = resolve_wire()
-        pack = pack_block_bitwire if wire == "bitpack" else pack_block_fused
         with FastqReader(path, batch_size=batch_reads) as rd:
             first = next(iter(rd), None)
         if first is None or wire not in ("bitpack", "fused4"):
             return lambda: 0.0
         n = first.num_reads
         L = wire_len(first.max_len(), round_up(max(first.max_len(), 1), 128))
-        buf = pack(first, L, pad_reads_to=bucket_rows(n, batch_reads))
+        # allow6: the probe must ship the SAME adaptive wire bytes the
+        # production engine ships (palette 2q on binned corpora) — else
+        # the per-round engine_vs_h2d ratio compares against a fatter
+        # buffer and over-reports the engine
+        buf = pack_block_wire(first, wire, L,
+                              pad_reads_to=bucket_rows(n, batch_reads),
+                              allow6=True)
     except Exception:
         return lambda: 0.0
 
@@ -558,11 +564,18 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
     import jax
 
     from hpgq.core.accumulator import resolve_wire
-    from hpgq.io.packer import pack_block_bitwire, pack_block_fused
+    from hpgq.io.packer import pack_block_wire
     from hpgq.pipeline.session import StatsSession
 
     wire = resolve_wire()
-    pack = pack_block_bitwire if wire == "bitpack" else pack_block_fused
+
+    def pack(block, L, pad_reads_to=0):
+        # the production adaptive ladder (palette 2q / bitpack6 on fitting
+        # single-host corpora) — the breakdown must attribute the bytes
+        # the engine actually ships
+        return pack_block_wire(block, wire, L, pad_reads_to=pad_reads_to,
+                               allow6=True)
+
     out = {"wire": wire}
 
     # read + newline index (the serial part of the host pipeline)
@@ -710,34 +723,54 @@ def main():
 
     global QUAL_SHAPE
     QUAL_SHAPE = args.qual_shape
-    path = corpus(args.reads, args.read_len)
-    opath = (path if args.oracle_reads >= args.reads
-             else corpus(args.oracle_reads, args.read_len))
     br = round_up(args.batch_reads, 256)
 
     if args.mode == "all":
         # Headline (config #1+#2: stats with inline filter) first — computed
         # now, printed LAST so the driver's tail-parse lands on it.
+        #
+        # Time-to-first-metric is BOUNDED (VERDICT r3 #1): the truncation
+        # guard is armed before corpus generation, every expensive phase is
+        # a named entry in bench_phase_seconds (incl. the phase in flight
+        # when a signal lands), and a small bootstrap round (short oracle
+        # pass + one-bucket engine pass, compile served from the persistent
+        # cache) registers a provisional headline before the full 1M
+        # interleave starts.  A kill at ANY point yields a parsable final
+        # headline line on stdout plus the phase dict on stderr.
         t_all = time.perf_counter()
         phase_s = {}
+        _cur = {"name": None, "t0": 0.0}
 
-        def mark(name, t0):
-            phase_s[name] = round(time.perf_counter() - t0, 1)
-            return time.perf_counter()
+        def phase(name):
+            """Close the running phase (recording its duration) and open
+            ``name``; phase(None) just closes."""
+            now = time.perf_counter()
+            if _cur["name"] is not None:
+                phase_s[_cur["name"]] = round(now - _cur["t0"], 1)
+            _cur["name"], _cur["t0"] = name, now
 
         budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "520"))
         # guard from the very start: if an external timeout (or the alarm)
         # fires at ANY point, emit whatever is already measured — the
-        # headline if computed, else the per-phase timings for forensics
+        # best provisional headline if one exists, else an explicit
+        # zero-value headline so the artifact always has a parsable line
         import signal
 
         state = _STATE
 
         def _bail(sig, frame):
+            if _cur["name"] is not None:
+                phase_s[_cur["name"] + "@kill"] = round(
+                    time.perf_counter() - _cur["t0"], 1)
             _emit({"bench_phase_seconds": phase_s, "truncated_by": sig},
                   err=True)
             if state["headline"] is not None:
                 _emit(state["headline"])
+            else:
+                _emit({"metric": "stats_filter_reads_per_sec", "value": 0.0,
+                       "unit": "reads/s", "vs_baseline": 0.0,
+                       "qual_shape": QUAL_SHAPE,
+                       "error": "truncated before first measurement"})
             sys.stdout.flush()
             sys.stderr.flush()
             os._exit(0)
@@ -747,29 +780,82 @@ def main():
                 signal.signal(s, _bail)
             except (ValueError, OSError):
                 pass
-        signal.alarm(int(budget * 1.15))
+        signal.alarm(max(1, int(budget * 1.15)))
+        # thread backstop: a Python signal handler only runs between main-
+        # thread bytecodes — a device_put blocking forever inside the
+        # tunnel's C++ would keep SIGALRM pending and the artifact empty.
+        # A daemon timer thread emits the same bail unconditionally.
+        import threading
 
-        t = time.perf_counter()
+        wd = threading.Timer(budget * 1.3 + 10.0, lambda: _bail(0, None))
+        wd.daemon = True
+        wd.start()
 
-        def _provisional(e_best, o_best, fx):
+        phase("corpus_gen")
+        path = corpus(args.reads, args.read_len)
+        opath = (path if args.oracle_reads >= args.reads
+                 else corpus(args.oracle_reads, args.read_len))
+        boot_ecorpus = corpus(min(args.reads, 131_072), args.read_len)
+        boot_ocorpus = corpus(min(args.oracle_reads, 20_000), args.read_len)
+
+        def _set_headline(e_rps, o_rps):
             state["headline"] = {
                 "metric": "stats_filter_reads_per_sec",
-                "value": round(e_best, 1), "unit": "reads/s",
-                "vs_baseline": round(e_best / max(o_best, 1e-9), 3),
+                "value": round(e_rps, 1), "unit": "reads/s",
+                "vs_baseline": round(e_rps / max(o_rps, 1e-9), 3),
+                "qual_shape": QUAL_SHAPE,
             }
+
+        # Bootstrap: short oracle pass, then ONE one-bucket engine pass
+        # (doubles as the jit/persistent-cache warmup) and one warm repeat.
+        # After this block a provisional headline exists — the later
+        # interleave only refines it.
+        one_pass = _engine_pass_factory(path, args.batch_size, br)
+        phase("bootstrap_oracle")
+        o_boot = 0.0
+        with _guard("bootstrap-oracle"):
+            o_boot, _ = _oracle_pass(boot_ocorpus, args.batch_size)
+        boot_e = 0.0
+        with _guard("bootstrap-engine"):
+            phase("bootstrap_engine_compile")
+            t0 = time.perf_counter()
+            n = one_pass(corpus_override=boot_ecorpus)
+            boot_e = n / (time.perf_counter() - t0)
+            _set_headline(boot_e, o_boot)  # pessimistic: includes compile
+            phase("bootstrap_engine_warm")
+            t0 = time.perf_counter()
+            n = one_pass(corpus_override=boot_ecorpus)
+            boot_e = max(boot_e, n / (time.perf_counter() - t0))
+            _set_headline(boot_e, o_boot)
+        phase("headline_interleaved")
+
+        def _provisional(e_best, o_best, fx):
+            # full-size rounds supersede the bootstrap number
+            _set_headline(e_best, o_best)
 
         engine_rps, oracle_rps, total, rounds_fx = run_headline_interleaved(
             path, opath, args.batch_size, br, args.read_len,
-            budget_s=budget * 0.6, on_round=_provisional,
+            budget_s=max(60.0, budget * 0.6 - (time.perf_counter() - t_all)),
+            on_round=_provisional, one_pass=one_pass, warmup=False,
         )
-        t = mark("headline_interleaved", t)
+        phase(None)
+        if engine_rps <= 0.0:
+            # no full round completed inside the budget: the bootstrap
+            # numbers are the headline (still a real measured pair)
+            engine_rps, oracle_rps = boot_e, o_boot
         headline = {
             "metric": "stats_filter_reads_per_sec",
             "value": round(engine_rps, 1),
             "unit": "reads/s",
-            "vs_baseline": round(engine_rps / oracle_rps, 3),
+            "vs_baseline": round(engine_rps / max(oracle_rps, 1e-9), 3),
+            "qual_shape": QUAL_SHAPE,
         }
         state["headline"] = headline
+        t = time.perf_counter()
+
+        def mark(name, t0):
+            phase_s[name] = round(time.perf_counter() - t0, 1)
+            return time.perf_counter()
         bd = {}
         with _guard("breakdown"):
             bd = stage_breakdown(path, br)
@@ -796,7 +882,9 @@ def main():
                    "value": bd["device_step_reads_per_sec"],
                    "unit": "reads/s",
                    "vs_baseline": round(
-                       bd["device_step_reads_per_sec"] / oracle_rps, 3)})
+                       bd["device_step_reads_per_sec"]
+                       / max(oracle_rps, 1e-9), 3),
+                   "qual_shape": QUAL_SHAPE})
 
         import tempfile
 
@@ -840,7 +928,8 @@ def main():
                 mode_fx[tag] = fx
                 _emit({"metric": metric, "value": round(e_rps, 1),
                        "unit": "reads/s",
-                       "vs_baseline": round(e_rps / max(o_rps, 1e-9), 3)})
+                       "vs_baseline": round(e_rps / max(o_rps, 1e-9), 3),
+                       "qual_shape": QUAL_SHAPE})
 
         tmps = []
 
@@ -943,10 +1032,14 @@ def main():
                 _emit(sc)
         mark("scaling", t)
         signal.alarm(0)
+        wd.cancel()
         _emit({"bench_phase_seconds": phase_s}, err=True)
         _emit(headline)
         return
 
+    path = corpus(args.reads, args.read_len)
+    opath = (path if args.oracle_reads >= args.reads
+             else corpus(args.oracle_reads, args.read_len))
     if args.mode == "stats":
         oracle_rps, _ = run_oracle(opath, args.batch_size)
         engine_rps, total = run_engine(path, args.batch_size, br,

@@ -273,12 +273,21 @@ class ShapeCachedFn:
     only quality, length, and the per-base is-N flag,
     ``stats_jnp.wire_unqn8``)."""
 
+    # consecutive palette misses before the dispatcher stops attempting the
+    # 2q tier for the rest of the session: on unbinned corpora the numpy
+    # fallback's palette attempt costs a full pack + per-row sort per batch
+    # just to return None (the native packer bails much cheaper, but the
+    # miss is still pure overhead) — data that missed a few consecutive
+    # batches will essentially never fit later batches
+    _PAL_MISS_LIMIT = 3
+
     def __init__(self, build_fn, batch_reads: int, cache_key=None,
                  qn_ok: bool = False):
         self._build = build_fn
         self._cache = {}
         self._key = cache_key
         self._qn = qn_ok
+        self._pal_miss = 0
         self.batch_reads = batch_reads
 
     def _fn_for(self, shape, wire, wrap):
@@ -332,10 +341,16 @@ class ShapeCachedFn:
             if self._qn and os.environ.get("HPGQ_QN_WIRE", "1") != "0":
                 # prefer the 2q palette (5 bits/base) over the qn8 upgrade
                 # (8 bits/base) when the block fits — it carries a strict
-                # superset of what the verdict/trim kernels read
-                from ..io.packer import try_pack_block_palette
+                # superset of what the verdict/trim kernels read.  Sticky
+                # misfit: after _PAL_MISS_LIMIT consecutive misses the
+                # session stops paying the attempt.
+                if self._pal_miss < self._PAL_MISS_LIMIT:
+                    from ..io.packer import try_pack_block_palette
 
-                buf = try_pack_block_palette(block, wl, pad_reads_to=rows)
+                    buf = try_pack_block_palette(block, wl,
+                                                 pad_reads_to=rows)
+                    self._pal_miss = 0 if buf is not None \
+                        else self._pal_miss + 1
                 if buf is not None:
                     wire, unf = "bitpack", wire_unbits
                 else:
@@ -379,7 +394,7 @@ class ShapeCachedPairFn(ShapeCachedFn):
 
             wl = wire_len(max(b1.max_len(), b2.max_len()), lmax)
             in1 = in2 = None
-            if wire == "qn8":
+            if wire == "qn8" and self._pal_miss < self._PAL_MISS_LIMIT:
                 # palette preference (see ShapeCachedFn.__call__) — both
                 # mates must fit: they share one (rows, width) shape
                 from ..io.packer import try_pack_block_palette
@@ -391,8 +406,10 @@ class ShapeCachedPairFn(ShapeCachedFn):
                     from ..kernels.stats_jnp import wire_unbits
 
                     wire, unf = "bitpack", wire_unbits
+                    self._pal_miss = 0
                 else:
                     in1 = in2 = None
+                    self._pal_miss += 1
             if in1 is None:
                 a6 = wire == "bitpack"
                 in1 = pack_block_wire(b1, wire, wl, pad_reads_to=rows,
