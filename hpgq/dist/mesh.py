@@ -83,6 +83,15 @@ def zero_sharded_partials(mesh: Mesh, lcap: int, kmers_on: bool = False):
     return jax.device_put(acc, sharding)
 
 
+_STEP_CACHE: dict = {}
+
+
+def _crit_cache_key(crit):
+    import dataclasses
+
+    return None if crit is None else dataclasses.astuple(crit)
+
+
 def make_sharded_stats_step(
     mesh: Mesh,
     lcap: int,
@@ -103,7 +112,19 @@ def make_sharded_stats_step(
     buffer ``[ndev*B, W]`` sharded on 'data' and decodes per device inside
     shard_map — one host->device array per batch per host instead of four
     (same minimal-H2D design as the single-chip engine).
+
+    Cached process-wide per full static config: a fresh ``jax.jit`` object
+    per session would RE-TRACE the shard_map program on every pass
+    (measured ~0.15-1 s per trace per rank on a 2-process CPU mesh in
+    round 4 — it dominated the multihost per-pass cost).
     """
+    ck = ("stats", mesh, lcap, phred, kmers_on, _crit_cache_key(crit),
+          donate, wire)
+    try:
+        if ck in _STEP_CACHE:
+            return _STEP_CACHE[ck]
+    except TypeError:  # unhashable criteria subclass: build uncached
+        ck = None
     # engine resolves per backend (pallas on TPU, jnp elsewhere): the fused
     # pallas kernel runs per device inside shard_map — its out_shape structs
     # carry vma=('data',) so jax's vma typing accepts the manual axis
@@ -130,7 +151,10 @@ def make_sharded_stats_step(
             in_specs=(acc_spec, P("data")),
             out_specs=acc_spec,
         )
-        return jax.jit(fn, donate_argnums=(0,) if donate else ())
+        jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
+        if ck is not None:
+            _STEP_CACHE[ck] = jfn
+        return jfn
 
     def device_fn(acc, codes, quals, lens, valid):
         inner = jax.tree_util.tree_map(lambda x: x[0], acc)
@@ -143,7 +167,10 @@ def make_sharded_stats_step(
         in_specs=(acc_spec, P("data"), P("data"), P("data"), P("data")),
         out_specs=acc_spec,
     )
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
+    if ck is not None:
+        _STEP_CACHE[ck] = jfn
+    return jfn
 
 
 def make_sharded_paired_stats_step(
@@ -173,8 +200,18 @@ def make_sharded_paired_stats_step(
     buffer ``[ndev*B, W]`` sharded on 'data', decoded per device (wire
     columns may be trimmed; the paired step re-pads to lcap on device).
     Otherwise ``inN`` is the mate's plain (codes, quals, lens, valid)
-    tuple, each sharded on 'data'."""
+    tuple, each sharded on 'data'.
+
+    Cached process-wide like ``make_sharded_stats_step`` (re-trace per
+    session was the dominant multihost per-pass cost)."""
     wire = wire if wire in ("bitpack", "fused4") else None
+    ck = ("paired", mesh, lcap, phred, kmers_on, _crit_cache_key(crit),
+          donate, wire)
+    try:
+        if ck in _STEP_CACHE:
+            return _STEP_CACHE[ck]
+    except TypeError:
+        ck = None
     step = stats_jnp.make_paired_stats_step(
         lcap, phred, kmers_on, crit, jit=False, wire=wire, vary_axis="data"
     )
@@ -196,7 +233,10 @@ def make_sharded_paired_stats_step(
         in_specs=(acc_spec, acc_spec, batch_spec, batch_spec),
         out_specs=(acc_spec, acc_spec),
     )
-    return jax.jit(fn, donate_argnums=(0, 1) if donate else ())
+    jfn = jax.jit(fn, donate_argnums=(0, 1) if donate else ())
+    if ck is not None:
+        _STEP_CACHE[ck] = jfn
+    return jfn
 
 
 _MERGE_CACHE: dict = {}

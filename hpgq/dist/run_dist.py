@@ -27,6 +27,7 @@ test mesh) is the degenerate case with no vote and no striping.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -387,6 +388,60 @@ _jitted_max0 = jax.jit(lambda x: x.max(axis=0))
 _jitted_sum0 = jax.jit(lambda x: x.sum(axis=0))
 
 
+_VOTE_TIMEOUT_MS = 15 * 60 * 1000  # ranks can lag by a full slow batch
+
+
+class _KvVotes:
+    """Host-side cross-process votes over the distributed coordination
+    service's key-value store.
+
+    The original implementation voted through a device collective
+    (make_array_from_process_local_data + jitted reduce + device_get) —
+    measured ~0.85 s PER VOTE on a 2-process CPU mesh (profiled in round
+    4), which made the per-step lockstep vote the dominant multihost cost.
+    The KV store is a plain RPC to the coordinator (~ms).
+
+    Correctness leans on the lockstep invariant the votes themselves
+    guarantee: every rank issues the same votes in the same order, so a
+    process-global sequence number keys each round.  A rank entering
+    round ``seq`` proves every rank finished round ``seq-1`` (it read all
+    their values), hence values from ``seq-2`` are garbage — each rank
+    deletes its own ``seq-2`` key on entry."""
+
+    def __init__(self):
+        self.seq = 0
+
+    @staticmethod
+    def _client():
+        from jax._src import distributed
+
+        return distributed.global_state.client
+
+    def vote(self, vals: np.ndarray, reduce_fn) -> np.ndarray:
+        client = self._client()
+        pid, pcnt = jax.process_index(), jax.process_count()
+        seq = self.seq
+        self.seq += 1
+        client.key_value_set("hpgq/vote/%d/%d" % (seq, pid),
+                             json.dumps(vals.tolist()))
+        if seq >= 2:
+            try:
+                client.key_value_delete("hpgq/vote/%d/%d" % (seq - 2, pid))
+            except Exception:
+                pass  # cleanup only
+        out = vals
+        for p in range(pcnt):
+            if p == pid:
+                continue
+            raw = client.blocking_key_value_get(
+                "hpgq/vote/%d/%d" % (seq, p), _VOTE_TIMEOUT_MS)
+            out = reduce_fn(out, np.asarray(json.loads(raw), vals.dtype))
+        return out
+
+
+_KV_VOTES = _KvVotes()
+
+
 def _vote_sum(mesh, values) -> np.ndarray:
     """Element-wise cross-process sum of a small host-local int64 vector
     (global output counts for sharded filter/edit).  Single-process: the
@@ -394,6 +449,8 @@ def _vote_sum(mesh, values) -> np.ndarray:
     vals = np.atleast_1d(np.asarray(values, dtype=np.int64))
     if jax.process_count() == 1:
         return vals
+    if _KvVotes._client() is not None:
+        return _KV_VOTES.vote(vals, np.add)
     local = np.zeros((jax.local_device_count(),) + vals.shape, np.int64)
     local[0] = vals  # one carrier device per process
     g = jax.make_array_from_process_local_data(
@@ -423,6 +480,8 @@ def _vote_max_vec(mesh, values) -> np.ndarray:
     vals = np.atleast_1d(np.asarray(values, dtype=np.int32))
     if jax.process_count() == 1:
         return vals
+    if _KvVotes._client() is not None:
+        return _KV_VOTES.vote(vals, np.maximum)
     local = np.broadcast_to(
         vals, (jax.local_device_count(),) + vals.shape
     ).copy()
@@ -430,6 +489,50 @@ def _vote_max_vec(mesh, values) -> np.ndarray:
         NamedSharding(mesh, P("data")), local
     )
     return np.asarray(jax.device_get(_jitted_max0(g)))
+
+
+def _make_cgr_steps(mesh, k: int, phred: int, wire):
+    """(step_arrays, step_wire_or_None) for a sharded CGR session — cached
+    process-wide like ``mesh.make_sharded_stats_step`` (a fresh jit per
+    session re-traces the shard_map program every pass)."""
+    from .mesh import _STEP_CACHE, shard_map
+    from ..kernels.cgr import cgr_batch_tables
+
+    ck = ("cgr", mesh, k, phred, wire)
+    if ck in _STEP_CACHE:
+        return _STEP_CACHE[ck]
+
+    def device_fn(codes, quals, lens, valid):
+        ts, tq_hi, tq_lo, w = cgr_batch_tables(
+            codes, quals, lens, valid, k, phred, vary_axis="data"
+        )
+        return (
+            jax.lax.psum(ts, "data"),
+            jax.lax.psum(tq_hi, "data"),
+            jax.lax.psum(tq_lo, "data"),
+            jax.lax.psum(w, "data"),
+        )
+
+    # jit shape-caches per dispatch shape; shard_map retraces under it
+    step_arrays = jax.jit(shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P("data"),) * 4, out_specs=(P(),) * 4,
+    ))
+    step_wire = None
+    if wire in ("bitpack", "fused4"):
+        from ..kernels.stats_jnp import wire_unbits, wire_unfuse
+
+        unf = wire_unbits if wire == "bitpack" else wire_unfuse
+
+        def device_fn_wire(buf):
+            return device_fn(*unf(buf))
+
+        step_wire = jax.jit(shard_map(
+            device_fn_wire, mesh=mesh,
+            in_specs=(P("data"),), out_specs=(P(),) * 4,
+        ))
+    _STEP_CACHE[ck] = (step_arrays, step_wire)
+    return step_arrays, step_wire
 
 
 class ShardedCgrSession:
@@ -441,9 +544,7 @@ class ShardedCgrSession:
     stats sessions."""
 
     def __init__(self, mesh, k: int, phred: int, batch_reads: int):
-        from .mesh import shard_map
         from ..core.accumulator import resolve_wire
-        from ..kernels.cgr import cgr_batch_tables
 
         self.mesh = mesh if mesh is not None else data_mesh()
         self.k = k
@@ -456,36 +557,9 @@ class ShardedCgrSession:
         self.word_count = 0
         self.wire = resolve_wire()
         self._sharding = NamedSharding(self.mesh, P("data"))
-
-        def device_fn(codes, quals, lens, valid):
-            ts, tq_hi, tq_lo, w = cgr_batch_tables(
-                codes, quals, lens, valid, k, phred, vary_axis="data"
-            )
-            return (
-                jax.lax.psum(ts, "data"),
-                jax.lax.psum(tq_hi, "data"),
-                jax.lax.psum(tq_lo, "data"),
-                jax.lax.psum(w, "data"),
-            )
-
-        # jit shape-caches per dispatch shape; shard_map retraces under it
-        self._step_arrays = jax.jit(shard_map(
-            device_fn, mesh=self.mesh,
-            in_specs=(P("data"),) * 4, out_specs=(P(),) * 4,
-        ))
-        self._step_wire = None
-        if self.wire in ("bitpack", "fused4"):
-            from ..kernels.stats_jnp import wire_unbits, wire_unfuse
-
-            unf = wire_unbits if self.wire == "bitpack" else wire_unfuse
-
-            def device_fn_wire(buf):
-                return device_fn(*unf(buf))
-
-            self._step_wire = jax.jit(shard_map(
-                device_fn_wire, mesh=self.mesh,
-                in_specs=(P("data"),), out_specs=(P(),) * 4,
-            ))
+        self._step_arrays, self._step_wire = _make_cgr_steps(
+            self.mesh, k, phred, self.wire
+        )
 
     def local_shape(self, block):
         """``(lmax, rows, rawlen)`` vote vector — see
@@ -591,15 +665,20 @@ def iter_lockstep(mesh, blocks, multihost: bool, min_len: int, timers,
     length bucket) ends the loop."""
     done = False
     while True:
-        block = None if done else next(blocks, None)
+        if done:
+            block = None
+        else:
+            with timers.stage("read"):
+                block = next(blocks, None)
         if block is None:
             done = True
         if shape_fn is not None:
             local = shape_fn(block)
-            voted = (
-                tuple(int(v) for v in _vote_max_vec(mesh, local))
-                if multihost else tuple(int(v) for v in local)
-            )
+            if multihost:
+                with timers.stage("vote"):
+                    voted = tuple(int(v) for v in _vote_max_vec(mesh, local))
+            else:
+                voted = tuple(int(v) for v in local)
             if voted[0] == 0:
                 return
             yield block, voted
@@ -607,7 +686,8 @@ def iter_lockstep(mesh, blocks, multihost: bool, min_len: int, timers,
             lmax_local = (
                 0 if done else round_up(max(block.max_len(), min_len), 128)
             )
-            lmax_global = _vote_max(mesh, lmax_local)
+            with timers.stage("vote"):
+                lmax_global = _vote_max(mesh, lmax_local)
             if lmax_global == 0:
                 return
             yield block, lmax_global
@@ -1151,7 +1231,7 @@ def run_stats_sharded(
     finally:
         reader.close()
 
-    with timers.stage("compute"):
+    with timers.stage("finish-merge"):
         counters = sess.finish()
     if ck is not None:
         ck.complete()
