@@ -95,6 +95,17 @@ class ShardedStatsSession:
         self.lcap = lcap
         self.carry = None  # StatsCounters folded in on lcap growth/flush
         self.wire = resolve_wire()
+        # adaptive bitpack tiers (2q palette / 6-bit / 7-bit): the per-step
+        # shape vote carries the element-wise-max tier, so every rank
+        # dispatches the same wire width from data-dependent quals (the
+        # round-3 single-host-only restriction lifted — VERDICT r3 #6).
+        # All ranks must share the HPGQ_WIRE6/HPGQ_QPAL environment.
+        from ..io.packer import bitwire_tier_floor
+
+        self._tiered = self.wire == "bitpack"
+        self._tier_floor = bitwire_tier_floor() if self._tiered else 2
+        self._probe = None  # (block_id, (tier, wl, rows), packed buffer)
+        self._tier_miss = 0
         self._reset(lcap)
 
     def _reset(self, lcap: int):
@@ -124,16 +135,48 @@ class ShardedStatsSession:
         larger bucket also satisfies (lmax: 128-lane length bucket; rows:
         ndev-divisible 16384-row bucket; rawlen: longest read, from which
         every rank derives the identical trimmed wire width under the
-        voted lcap).  ``(0, 0, 0)`` marks an exhausted shard."""
+        voted lcap).  ``(0, 0, 0)`` marks an exhausted shard.
+
+        Bitpack wire sessions append a 4th element: the narrowest adaptive
+        tier this block fits (0 = 2q palette, 1 = 6-bit, 2 = 7-bit) — a
+        per-rank lower bound, so element-wise max votes the widest tier
+        any rank needs and every rank packs the same row width.  The
+        probe IS a pack (native single-pass, returns None on misfit); the
+        buffer is cached and reused by ``feed_block`` when the voted
+        shape matches the local one (the common case: full buckets,
+        homogeneous corpus)."""
         if block is None:
-            return (0, 0, 0)
-        return (
-            round_up(max(block.max_len(), 1), 128),
-            min(self.batch_reads,
-                round_up(bucket_rows(block.num_reads, self.batch_reads),
-                         self.ndev)),
-            max(block.max_len(), 1),
-        )
+            return (0, 0, 0, 0) if self._tiered else (0, 0, 0)
+        lmax = round_up(max(block.max_len(), 1), 128)
+        rows = min(self.batch_reads,
+                   round_up(bucket_rows(block.num_reads, self.batch_reads),
+                            self.ndev))
+        rawlen = max(block.max_len(), 1)
+        if not self._tiered:
+            return (lmax, rows, rawlen)
+        wl = wire_len(rawlen, max(self.lcap, lmax))
+        return (lmax, rows, rawlen, self._probe_tier(block, wl, rows))
+
+    def _probe_tier(self, block, wl: int, rows: int) -> int:
+        from ..io.packer import pack_block_bitwire_tier
+
+        tier = self._tier_floor
+        buf = None
+        while buf is None:
+            buf = pack_block_bitwire_tier(block, wl, tier, pad_reads_to=rows)
+            if buf is None:
+                tier += 1
+        if tier > self._tier_floor:
+            # sticky escalation: data that keeps missing a narrow tier
+            # stops paying the failed pack attempt (cf. ShapeCachedFn's
+            # palette-misfit flag)
+            self._tier_miss += 1
+            if self._tier_miss >= 3:
+                self._tier_floor = tier
+        else:
+            self._tier_miss = 0
+        self._probe = (id(block), (tier, wl, rows), buf)
+        return tier
 
     def feed_block(self, block, sel=None, shape=None):
         """Feed a RecordBlock; ``sel`` restricts which reads count (the
@@ -147,16 +190,34 @@ class ShardedStatsSession:
         single-chip engine's trimmed dispatch shapes)."""
         if shape is None:
             shape = self.local_shape(block)
-        lmax, rows, rawlen = shape
+        lmax, rows, rawlen = shape[:3]
         if lmax > self.lcap:
             self._grow(lmax)
         if self.wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_wire, zero_wire_sel
+            from ..io.packer import (
+                bitwire_tier_valid_off,
+                pack_block_bitwire_tier,
+                pack_block_wire,
+                zero_wire_sel,
+            )
 
             wl = wire_len(rawlen, self.lcap)
-            buf = pack_block_wire(block, self.wire, wl, pad_reads_to=rows)
+            valid_off = None
+            if self._tiered and len(shape) > 3:
+                tier = shape[3]
+                pr, self._probe = self._probe, None
+                if pr is not None and pr[0] == id(block) \
+                        and pr[1] == (tier, wl, rows):
+                    buf = pr[2]
+                else:  # voted shape/tier wider than the local probe
+                    buf = pack_block_bitwire_tier(block, wl, tier,
+                                                  pad_reads_to=rows)
+                valid_off = bitwire_tier_valid_off(wl, tier)
+            else:
+                buf = pack_block_wire(block, self.wire, wl,
+                                      pad_reads_to=rows)
             if sel is not None:
-                zero_wire_sel(buf, sel)
+                zero_wire_sel(buf, sel, valid_off=valid_off)
             self._feed_wire(buf)
             return
         codes, quals, lens, valid = pack_block(
@@ -174,8 +235,13 @@ class ShardedStatsSession:
         rows = self.batch_reads if shape is None else shape[1]
         wl = self.lcap if shape is None else wire_len(shape[2], self.lcap)
         if self.wire in ("bitpack", "fused4"):
-            W = (10 * wl // 8 if self.wire == "bitpack"
-                 else wl // 2 + wl) + 8
+            if self.wire == "bitpack":
+                from ..io.packer import bitwire_tier_width
+
+                tier = shape[3] if shape is not None and len(shape) > 3 else 2
+                W = bitwire_tier_width(wl, tier)
+            else:
+                W = wl // 2 + wl + 8
             # all-zero wire rows decode to valid=0 (no reads)
             self._feed_wire(np.zeros((rows, W), np.uint8))
             return
@@ -560,30 +626,53 @@ class ShardedCgrSession:
         self._step_arrays, self._step_wire = _make_cgr_steps(
             self.mesh, k, phred, self.wire
         )
+        from ..io.packer import bitwire_tier_floor
+
+        self._tiered = self.wire == "bitpack"
+        self._tier_floor = bitwire_tier_floor() if self._tiered else 2
+        self._probe = None
+        self._tier_miss = 0
+
+    # adaptive-tier probe identical to the stats session's (the decode
+    # dispatches on width, and both tiers are lossless for quals)
+    _probe_tier = ShardedStatsSession._probe_tier
 
     def local_shape(self, block):
-        """``(lmax, rows, rawlen)`` vote vector — see
+        """``(lmax, rows, rawlen[, tier])`` vote vector — see
         ``ShardedStatsSession.local_shape`` (lmax floors at the word size
         ``k`` so every step has at least one window column)."""
         if block is None:
-            return (0, 0, 0)
-        return (
-            round_up(max(block.max_len(), self.k), 128),
-            min(self.batch_reads,
-                round_up(bucket_rows(block.num_reads, self.batch_reads),
-                         self.ndev)),
-            max(block.max_len(), self.k),
-        )
+            return (0, 0, 0, 0) if self._tiered else (0, 0, 0)
+        lmax = round_up(max(block.max_len(), self.k), 128)
+        rows = min(self.batch_reads,
+                   round_up(bucket_rows(block.num_reads, self.batch_reads),
+                            self.ndev))
+        rawlen = max(block.max_len(), self.k)
+        if not self._tiered:
+            return (lmax, rows, rawlen)
+        wl = wire_len(rawlen, lmax)
+        return (lmax, rows, rawlen, self._probe_tier(block, wl, rows))
 
     def feed_block(self, block, shape=None):
         if shape is None:
             shape = self.local_shape(block)
-        lmax, rows, rawlen = shape
+        lmax, rows, rawlen = shape[:3]
         if self._step_wire is not None:
-            from ..io.packer import pack_block_wire
+            from ..io.packer import pack_block_bitwire_tier, pack_block_wire
 
-            buf = pack_block_wire(block, self.wire,
-                                  wire_len(rawlen, lmax), pad_reads_to=rows)
+            wl = wire_len(rawlen, lmax)
+            if self._tiered and len(shape) > 3:
+                tier = shape[3]
+                pr, self._probe = self._probe, None
+                if pr is not None and pr[0] == id(block) \
+                        and pr[1] == (tier, wl, rows):
+                    buf = pr[2]
+                else:
+                    buf = pack_block_bitwire_tier(block, wl, tier,
+                                                  pad_reads_to=rows)
+            else:
+                buf = pack_block_wire(block, self.wire, wl,
+                                      pad_reads_to=rows)
             self._fold(self._step_wire(*make_global_batch(
                 self.mesh, self._sharding, (buf,)
             )))
@@ -597,10 +686,16 @@ class ShardedCgrSession:
         if shape is None:
             shape = (round_up(max(128, self.k), 128), self.batch_reads,
                      self.k)
-        lmax, rows, rawlen = shape
+        lmax, rows, rawlen = shape[:3]
         if self._step_wire is not None:
             wl = wire_len(rawlen, lmax)
-            W = (10 * wl // 8 if self.wire == "bitpack" else wl // 2 + wl) + 8
+            if self.wire == "bitpack":
+                from ..io.packer import bitwire_tier_width
+
+                tier = shape[3] if len(shape) > 3 else 2
+                W = bitwire_tier_width(wl, tier)
+            else:
+                W = wl // 2 + wl + 8
             # all-zero wire rows decode to valid=0 (no reads)
             self._fold(self._step_wire(*make_global_batch(
                 self.mesh, self._sharding, (np.zeros((rows, W), np.uint8),)

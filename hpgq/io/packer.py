@@ -310,6 +310,73 @@ def pack_block_bitwire_adaptive(block, max_len: int,
     return out if out is not None else wire_bitpack_np(*packed)
 
 
+def bitwire_tier_width(L: int, tier: int) -> int:
+    """Row width of the bitpack wire at an explicit tier
+    (0 = 2q qual-palette, 1 = 6-bit re-based quals, 2 = plain 7-bit)."""
+    from .native import bitwire2q_width, bitwire6_width
+
+    if tier == 0:
+        return bitwire2q_width(L)
+    if tier == 1:
+        return bitwire6_width(L)
+    return 10 * L // 8 + 8
+
+
+def bitwire_tier_valid_off(L: int, tier: int) -> int:
+    """Byte offset of the per-row valid flag in each bitpack tier layout
+    (collision pad columns append at the END of a row, so offsets are
+    width-independent): 2q = codes3+qidx2+len4, 6-bit = codes3+q6+len4,
+    7-bit = codes3+q7+len4."""
+    if tier == 0:
+        return 5 * L // 8 + 4
+    if tier == 1:
+        return 9 * L // 8 + 4
+    return 10 * L // 8 + 4
+
+
+def bitwire_tier_floor() -> int:
+    """Narrowest bitpack tier the environment allows: 0 unless
+    ``HPGQ_QPAL=0`` (then 1), 2 when ``HPGQ_WIRE6=0`` disables the whole
+    adaptive ladder."""
+    import os
+
+    if os.environ.get("HPGQ_WIRE6", "1") in ("0", "off"):
+        return 2
+    if os.environ.get("HPGQ_QPAL", "1") in ("0", "off"):
+        return 1
+    return 0
+
+
+def pack_block_bitwire_tier(block, max_len: int, tier: int,
+                            pad_reads_to: int = 0):
+    """Pack at EXACTLY the given bitpack tier; returns None when the
+    block's quals don't fit a narrow tier (0/1).  The multihost sharded
+    sessions vote the per-step tier element-wise max across ranks (a
+    rank's probed minimum tier is a lower bound any wider tier also
+    satisfies), so packing at a voted tier always succeeds."""
+    n = block.num_reads
+    L = int(max_len)
+    assert L % 8 == 0, L
+    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    from . import native
+
+    if n and native.available():
+        args = (block.arr, block.starts[:, 1], block.starts[:, 3],
+                block.seq_lens, L, nrows)
+        if tier == 0:
+            return native.pack_bitwire2q(*args, num_threads=_NUM_THREADS)
+        if tier == 1:
+            return native.pack_bitwire6(*args, num_threads=_NUM_THREADS)
+        return native.pack_bitwire(*args, num_threads=_NUM_THREADS)
+    packed = pack_block(block, max_len=L, pad_reads_to=nrows)
+    if tier == 0:
+        return wire_bitpack2q_np(*packed)
+    if tier == 1:
+        return wire_bitpack6_np(*packed)
+    return wire_bitpack_np(*packed)
+
+
 def wire_qn8_np(codes, quals, lens, valid) -> np.ndarray:
     """Numpy reference of the qn8 wire: rows
     [(qual & 0x7F | is_N << 7) x L | len_le32 | valid | pad3]
@@ -338,14 +405,20 @@ def pack_block_qnwire(block, max_len: int, pad_reads_to: int = 0) -> np.ndarray:
                                "pack_qnwire", wire_qn8_np)
 
 
-def zero_wire_sel(buf: np.ndarray, sel) -> np.ndarray:
+def zero_wire_sel(buf: np.ndarray, sel, valid_off: int = None) -> np.ndarray:
     """Drop deselected reads from a packed wire buffer in place by zeroing
     each row's tail valid byte (offset W-4 in the bitpack/fused4/qn8 rows;
     the bitpack6 layout's valid byte sits before its qbase+pad tail) —
     one scatter instead of a re-pack.  ``sel`` is bool [num_reads]; rows
-    beyond ``len(sel)`` (padding) already carry valid=0."""
+    beyond ``len(sel)`` (padding) already carry valid=0.  Callers that
+    know the layout (tiered sharded sessions) pass ``valid_off``
+    explicitly (``bitwire_tier_valid_off``); otherwise it is inferred
+    from the row width."""
     drop = np.flatnonzero(~np.asarray(sel, bool))
     if drop.size:
+        if valid_off is not None:
+            buf[drop, valid_off] = 0
+            return buf
         W = buf.shape[1]
         off = W - 4
         # every wire layout puts valid at W-4 EXCEPT a collision-padded

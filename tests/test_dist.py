@@ -216,6 +216,71 @@ def test_run_stats_sharded_through_wire(tmp_path, monkeypatch):
             assert wired.equals(plain), kw
 
 
+def test_sharded_wire_tiers(tmp_path, monkeypatch):
+    """Adaptive bitpack tiers in the sharded sessions (VERDICT r3 #6):
+    binned quals ride the 2q palette tier, unbinned the 6-bit tier, and a
+    mixed corpus escalates mid-run (different wire widths across steps)
+    — every variant must equal the wire-off sharded run on the 8-device
+    mesh.  Covers stats (filtered) and CGR."""
+    import dataclasses
+
+    from hpgq.dist.run_dist import run_cgr_sharded, run_stats_sharded
+    from hpgq.options import CgrOptions, StatsOptions
+
+    binned = str(tmp_path / "b.fq")
+    plain = str(tmp_path / "p.fq")
+    mixed = str(tmp_path / "m.fq")
+    make_fastq(binned, 1500, min_len=40, max_len=120, n_prob=0.01, seed=63,
+               qual_bins=(2, 12, 23, 37))
+    make_fastq(plain, 1500, min_len=40, max_len=120, n_prob=0.01, seed=64)
+    with open(mixed, "wb") as f:
+        f.write(open(binned, "rb").read())
+        f.write(open(plain, "rb").read())
+
+    def sopts(fq, out):
+        o = StatsOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 500
+        o.criteria = dataclasses.replace(CRIT)
+        o.filter_on = True
+        return o
+
+    for i, fq in enumerate((binned, plain, mixed)):
+        a, b = tmp_path / ("ta%d" % i), tmp_path / ("tb%d" % i)
+        a.mkdir(), b.mkdir()
+        monkeypatch.setenv("HPGQ_WIRE", "off")
+        ref = run_stats_sharded(sopts(fq, a))
+        monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+        got = run_stats_sharded(sopts(fq, b))
+        monkeypatch.delenv("HPGQ_WIRE")
+        assert got.equals(ref), fq
+
+    def copts(fq, out):
+        o = CgrOptions()
+        o.in_filename = fq
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 500
+        o.k = 4
+        o.write_gs = True
+        return o
+
+    a, b = tmp_path / "ca", tmp_path / "cb"
+    a.mkdir(), b.mkdir()
+    monkeypatch.setenv("HPGQ_WIRE", "off")
+    r0 = run_cgr_sharded(copts(mixed, a))
+    monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+    r1 = run_cgr_sharded(copts(mixed, b))
+    monkeypatch.delenv("HPGQ_WIRE")
+    assert r0["fq_word_count"] == r1["fq_word_count"]
+    name = "m.fq_k=4.gs"
+    assert (a / name).read_bytes() == (b / name).read_bytes()
+
+
 def test_split_paired_ranges_no_trailing_newline(tmp_path):
     """A mate file without the final trailing newline (legal; the reader
     compensates at EOF) must not lose its last record from the shard

@@ -146,6 +146,76 @@ def test_two_process_sharded_stats(tmp_path, mode, compression):
     )
 
 
+def test_two_process_wire_tiers(tmp_path):
+    """2-process lockstep with the adaptive bitpack wire: the file's first
+    half is RTA3-binned (rank 0's byte range → 2q tier) and the second
+    half unbinned (rank 1 → 6-bit tier), so the per-step tier vote must
+    escalate every step both ranks are active, and the exhausted-rank
+    empty feeds must match the voted width.  Counters must equal the
+    single-process wire-off truth."""
+    n = 2400
+    half = str(tmp_path / "half.fq")
+    rest = str(tmp_path / "rest.fq")
+    make_fastq(half, n // 2, min_len=40, max_len=110, n_prob=0.02, seed=41,
+               qual_bins=(2, 12, 23, 37))
+    make_fastq(rest, n // 2, min_len=40, max_len=110, n_prob=0.02, seed=42)
+    fq = str(tmp_path / "in.fq")
+    with open(fq, "wb") as f:
+        f.write(open(half, "rb").read())
+        f.write(open(rest, "rb").read())
+
+    worker = str(tmp_path / "worker.py")
+    open(worker, "w").write(_WORKER)
+    coord = "localhost:%d" % _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["HPGQ_WIRE"] = "bitpack"
+    outs = [str(tmp_path / ("out%d" % i)) for i in range(2)]
+    for o in outs:
+        os.makedirs(o)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), "2", fq, outs[i],
+             "filtered",
+             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for i in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err.decode()[-3000:]
+        results.append(json.loads(out.decode().strip().splitlines()[-1]))
+    a, b = results
+    for k in a:
+        if k != "pid":
+            assert a[k] == b[k], (k, a[k], b[k])
+
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = str(tmp_path / "ref")
+    os.makedirs(o.out_dirname)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 512
+    o.criteria.min_read_quality = 18
+    o.criteria.max_read_quality = 40
+    o.filter_on = True
+    ref = run_stats(o)
+    assert a["num_reads"] == ref.num_reads
+    assert a["num_passed"] == ref.num_passed
+    assert a["num_failed"] == ref.num_failed
+    assert a["acc_length"] == ref.acc_length
+    assert a["num_As"] == ref.num_As
+    assert a["num_Ns"] == ref.num_Ns
+    assert a["qual_per_nt_sum"] == int(ref.acc_quality_per_nt.sum())
+
+
 _OUTPUT_WORKER = r"""
 import json, os, sys
 
