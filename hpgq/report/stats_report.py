@@ -128,9 +128,14 @@ def stats_report(counters: StatsCounters, opts, timing=None) -> None:
     """Write all report files (mirrors stats_report, src/stats_report.c:32-56)."""
     out_dir = opts.out_dirname
     in_filename = os.path.basename(opts.in_filename) or opts.in_filename
-    if counters.num_reads == 0:
+    if counters.num_reads == 0 and os.environ.get(
+            "HPGQ_STRICT_EMPTY", "0") not in ("1", "on"):
         # zero processed reads: every mean is 0/0 — the reference would
-        # printf NaNs; we emit an explicit empty summary instead
+        # printf NaNs; we emit an explicit empty summary instead.
+        # HPGQ_STRICT_EMPTY=1 reproduces the reference bytes exactly
+        # ("-nan" means, "Mean quality = -2147483648 [!]" from the x86
+        # (int)NaN conversion — verified against compiled C, round 4)
+        # through the normal writer path below.
         path = os.path.join(out_dir, in_filename + ".summary.txt")
         with open(path, "w", newline="\n") as f:
             f.write("-----------------------------------\n")
@@ -151,7 +156,15 @@ def stats_report(counters: StatsCounters, opts, timing=None) -> None:
 
 
 def _normalize_quality(quality: float, phred: int) -> int:
-    return int(c_round(quality - phred))
+    v = c_round(quality - phred)
+    if v != v:  # NaN (0/0 means on zero-read inputs): C (int)NaN on x86
+        return -(1 << 31)  # cvttsd2si indefinite value, INT_MIN
+    return int(v)
+
+
+def _c_char(code: int) -> str:
+    """C ``%c`` of an int: printf converts via (unsigned char)."""
+    return chr(code & 0xFF)
 
 
 def report_summary(in_filename, counters: StatsCounters, opts, out_dir):
@@ -204,7 +217,7 @@ def report_summary(in_filename, counters: StatsCounters, opts, out_dir):
         )
         f.write("\n")
         qual = _normalize_quality(f32div(1.0 * c.acc_quality, c.num_reads), c.phred)
-        f.write("Mean quality = %i [%c]\n" % (qual, qual + c.phred))
+        f.write("Mean quality = %i [%s]\n" % (qual, _c_char(qual + c.phred)))
         f.write("\n")
         f.write("Nucleotide content (A, C, G, T, N)\n")
         # C format "%0.2f %\n" — glibc keeps the lone "%" (see module docstring)
@@ -224,7 +237,7 @@ def report_summary(in_filename, counters: StatsCounters, opts, out_dir):
             acc = int(c.acc_quality_per_nt[k]) if k < c.lcap else 0
             cnt = int(c.count_quality_per_nt[k]) if k < c.lcap else 0
             qual = _normalize_quality(f32div(1.0 * acc, cnt), c.phred)
-            f.write("\tpos. %i: %i [%c]\t" % (k + 1, qual, qual + c.phred))
+            f.write("\tpos. %i: %i [%s]\t" % (k + 1, qual, _c_char(qual + c.phred)))
             if (k + 1) % 5 == 0:
                 f.write("\n")
         f.write("\n")

@@ -241,6 +241,45 @@ print("ACGT", c.num_As + c.num_Cs + c.num_Gs + c.num_Ts + c.num_Ns)
     assert strict < folded  # lowercase bases no longer counted
 
 
+def test_empty_input_summary_modes(tmp_path, monkeypatch):
+    """Zero processed reads: the default mode writes the explicit empty
+    summary; HPGQ_STRICT_EMPTY=1 reproduces the reference's unguarded
+    printf bytes (src/stats_report.c:60-153 — '-nan' means, the x86
+    (int)NaN 'Mean quality = -2147483648 [!]').  The golden was captured
+    from a compiled C replica of report_summary with the zero-state
+    counters (min_length init 100000, src/stats_fastq.c:24)."""
+    from hpgq.core.counters import StatsCounters
+
+    fq = str(tmp_path / "empty.fq")
+    open(fq, "wb").close()
+    counters = StatsCounters(phred=33)
+    opts = StatsOptions(in_filename=fq, out_dirname=str(tmp_path))
+
+    stats_report(counters, opts)
+    default = open(fq + ".summary.txt").read()
+    assert "Number of reads: 0" in default
+    assert "no reads processed" in default
+
+    monkeypatch.setenv("HPGQ_STRICT_EMPTY", "1")
+    stats_report(counters, opts)
+    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "golden", "empty_strict", "empty.fq.summary.txt")
+    assert open(fq + ".summary.txt", "rb").read() == open(golden, "rb").read()
+    # strict mode runs the full writer set like the reference
+    assert os.path.exists(fq + ".length.histogram.data")
+    assert os.path.getsize(fq + ".length.histogram.data") == 0
+
+    # filter-on empty: total > 0 so the processed line is 0.00, means nan
+    c2 = StatsCounters(phred=33)
+    c2.filter_on = True
+    c2.num_failed = 7
+    stats_report(c2, opts)
+    strict = open(fq + ".summary.txt").read()
+    assert "Number of reads in file  : 7" in strict
+    assert "Number of processed reads: 0 (0.00 %)" in strict
+    assert "Mean quality = -2147483648 [!]" in strict
+
+
 def test_f32pct_large_count_semantics():
     """Percentages follow the C float chain: f32(100f * f32(count)) / f32(b)."""
     from hpgq.utils.cfmt import f32pct, fmt2f
