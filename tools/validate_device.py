@@ -16,6 +16,9 @@ Checks (all exact unless noted):
   7. coalesced dispatch (explicit small batch + HPGQ_COALESCE) == (1).
   8. [D8] quality position window: fused kernel (short reads) + blockwise-L
      s_wq scratch (long reads) vs the per-read oracle.
+  9. binned (RTA3) corpus through the 2q qual-palette wire: stats engine
+     feed, filter verdict + output bytes, fused paired, and the tiered
+     sharded session (per-step tier vote) vs the oracle.
 
 Exits non-zero on any mismatch; prints one PASS line per check.
 """
@@ -341,6 +344,97 @@ def check_quality_window(n):
     return "[D8] quality window: " + ", ".join(msgs)
 
 
+def check_binned_palette(n):
+    """Binned (NovaSeq RTA3) quals ride the 2q qual-palette wire on every
+    single-host dispatch path — stats engine feed, filter verdict+bytes,
+    fused paired — and the TIERED sharded session (per-step tier vote).
+    All vs the oracle on the live backend (ADVICE r3 medium: the palette
+    decode was default-on with no on-device coverage)."""
+    import dataclasses
+
+    from hpgq.options import FilterCriteria, FilterOptions, StatsOptions
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_filter, run_stats
+
+    bins = (2, 12, 23, 37)
+    fq = corpus(n, "bin", qual_bins=bins)
+    kw = dict(min_read_quality=18, max_read_quality=40, max_N=3)
+    crit = FilterCriteria(**kw)
+
+    # the palette tier must actually engage on this corpus
+    from hpgq.io.fastq import FastqReader
+    from hpgq.io.packer import round_up, try_pack_block_palette, wire_len
+
+    with FastqReader(fq, batch_size=4096) as rd:
+        first = next(iter(rd))
+    wl = wire_len(first.max_len(), round_up(first.max_len(), 128))
+    assert try_pack_block_palette(first, wl) is not None, \
+        "palette tier did not engage on the binned corpus"
+
+    def sopts(paired=False):
+        o = StatsOptions()
+        o.in_filename = fq
+        if paired:
+            o.in_filename2 = corpus(n, "bin2", seed=33, qual_bins=bins)
+        o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 131072
+        o.criteria = dataclasses.replace(crit)
+        o.filter_on = True
+        return o
+
+    # 1) stats engine feed (adaptive ladder picks 2q)
+    eng = run_stats(sopts())
+    orc = spec.stats_of_file(spec.iter_seq_qual(fq),
+                             criteria=FilterCriteria(**kw), phred=33)
+    bad = counters_equal(eng, orc)
+    assert not bad, "binned stats counters differ: %s" % bad
+
+    # 2) filter verdict (ShapeCachedFn palette tier) + output bytes
+    fo = FilterOptions()
+    fo.in_filename = fq
+    fo.out_dirname = tempfile.mkdtemp(prefix="devval_")
+    fo.quality_encoding_value = 33
+    fo.quality_encoding_name = "phred33"
+    fo.batch_size = 131072
+    fo.criteria = dataclasses.replace(crit)
+    run_filter(fo)
+    sub = crit.substituted()
+    recs = open(fq, "rb").read().splitlines(keepends=True)
+    passed, failed = [], []
+    for i, (s, q) in enumerate(spec.iter_seq_qual(fq)):
+        (passed if spec.filter_verdict(s, q, sub, 33) else failed).extend(
+            recs[4 * i: 4 * i + 4])
+    got_p = open(os.path.join(fo.out_dirname, "passed.fq"), "rb").read()
+    got_f = open(os.path.join(fo.out_dirname, "failed.fq"), "rb").read()
+    assert got_p == b"".join(passed), "binned filter passed bytes differ"
+    assert got_f == b"".join(failed), "binned filter failed bytes differ"
+
+    # 3) fused paired (ShapeCachedPairFn palette preference)
+    po = sopts(paired=True)
+    c1, c2 = run_stats(po)
+    r1 = list(spec.iter_seq_qual(fq))
+    r2 = list(spec.iter_seq_qual(po.in_filename2))
+    both = [spec.filter_verdict(s1, q1, sub, 33)
+            and spec.filter_verdict(s2, q2, sub, 33)
+            for (s1, q1), (s2, q2) in zip(r1, r2)]
+    o1 = spec.stats_of_file(r for r, b in zip(r1, both) if b)
+    skip = ("filter_on", "num_passed", "num_failed")
+    bad = counters_equal(c1, o1, skip)
+    assert not bad, "binned paired counters differ: %s" % bad
+    assert c1.num_passed == sum(both)
+
+    # 4) tiered sharded session (per-step tier vote, 2q width dispatch)
+    from hpgq.dist.run_dist import run_stats_sharded
+
+    sh = run_stats_sharded(sopts())
+    bad = counters_equal(sh, orc)
+    assert not bad, "binned sharded counters differ: %s" % bad
+    return ("binned 2q palette: %d reads — stats, filter bytes, paired, "
+            "tiered sharded all equal" % n)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=100_000)
@@ -361,7 +455,8 @@ def main():
                   (check_sharded, args.reads // 2),
                   (check_sharded_paired, args.reads // 4),
                   (check_coalesced, args.reads // 2),
-                  (check_quality_window, args.reads // 2)):
+                  (check_quality_window, args.reads // 2),
+                  (check_binned_palette, args.reads // 2)):
         t0 = time.perf_counter()
         try:
             msg = fn(n)
