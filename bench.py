@@ -648,10 +648,25 @@ def run_cgr_oracle(path: str, n_reads: int, k: int = 7):
     return total / dt, total
 
 
+import threading as _threading
+
+# one writer at a time: the watchdog thread's bail must not interleave
+# with a main-thread emission mid-line (RLock: the SIGALRM handler runs
+# ON the main thread, possibly inside _emit itself)
+_EMIT_LOCK = _threading.RLock()
+
+
 def _emit(obj, err=False):
-    stream = sys.stderr if err else sys.stdout
-    print(json.dumps(obj), file=stream)
-    stream.flush()
+    with _EMIT_LOCK:
+        stream = sys.stderr if err else sys.stdout
+        print(json.dumps(obj), file=stream)
+        stream.flush()
+
+
+def _vs(e_rps: float, o_rps: float) -> float:
+    """vs_baseline ratio; 0.0 (not a ~1e14 blowup) when the oracle never
+    produced a measurement."""
+    return round(e_rps / o_rps, 3) if o_rps > 0 else 0.0
 
 
 # best-measured headline, visible to the __main__ crash guard: a tunnel
@@ -682,20 +697,31 @@ def run_scaling_subprocess(reads: int, timeout_s: float):
     process-global): measured 1-proc vs 2-proc CPU lockstep scaling, one
     pinned core per process (VERDICT r3 #5 — a real multi-process number,
     not the emulated-mesh overhead).  Forwards its metric line."""
+    import signal as _signal
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # own process group: a timeout must kill the pinned taskset workers
+    # too, not just the bench_scaling parent (orphans would keep burning
+    # cores into the next measurement)
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(here, "bench_scaling.py"),
+         "--two-process", "--reads", str(reads)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=here, start_new_session=True,
+    )
     try:
-        r = subprocess.run(
-            [sys.executable, os.path.join(here, "bench_scaling.py"),
-             "--two-process", "--reads", str(reads)],
-            capture_output=True, text=True, timeout=timeout_s, cwd=here,
-        )
+        out, _ = p.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(p.pid, _signal.SIGKILL)
+        except OSError:
+            p.kill()
+        p.wait()
         return None
-    if r.returncode != 0:
+    if p.returncode != 0:
         return None
-    for line in reversed(r.stdout.strip().splitlines()):
+    for line in reversed(out.strip().splitlines()):
         try:
             obj = json.loads(line)
         except ValueError:
@@ -761,21 +787,25 @@ def main():
         state = _STATE
 
         def _bail(sig, frame):
-            if _cur["name"] is not None:
-                phase_s[_cur["name"] + "@kill"] = round(
-                    time.perf_counter() - _cur["t0"], 1)
-            _emit({"bench_phase_seconds": phase_s, "truncated_by": sig},
-                  err=True)
-            if state["headline"] is not None:
-                _emit(state["headline"])
-            else:
-                _emit({"metric": "stats_filter_reads_per_sec", "value": 0.0,
-                       "unit": "reads/s", "vs_baseline": 0.0,
-                       "qual_shape": QUAL_SHAPE,
-                       "error": "truncated before first measurement"})
-            sys.stdout.flush()
-            sys.stderr.flush()
-            os._exit(0)
+            with _EMIT_LOCK:
+                if state.get("bailed"):
+                    os._exit(0)
+                state["bailed"] = True
+                if _cur["name"] is not None:
+                    phase_s[_cur["name"] + "@kill"] = round(
+                        time.perf_counter() - _cur["t0"], 1)
+                _emit({"bench_phase_seconds": phase_s, "truncated_by": sig},
+                      err=True)
+                if state["headline"] is not None:
+                    _emit(state["headline"])
+                else:
+                    _emit({"metric": "stats_filter_reads_per_sec",
+                           "value": 0.0, "unit": "reads/s",
+                           "vs_baseline": 0.0, "qual_shape": QUAL_SHAPE,
+                           "error": "truncated before first measurement"})
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(0)
 
         for s in (signal.SIGTERM, signal.SIGALRM):
             try:
@@ -804,7 +834,7 @@ def main():
             state["headline"] = {
                 "metric": "stats_filter_reads_per_sec",
                 "value": round(e_rps, 1), "unit": "reads/s",
-                "vs_baseline": round(e_rps / max(o_rps, 1e-9), 3),
+                "vs_baseline": _vs(e_rps, o_rps),
                 "qual_shape": QUAL_SHAPE,
             }
 
@@ -849,19 +879,15 @@ def main():
             "metric": "stats_filter_reads_per_sec",
             "value": round(engine_rps, 1),
             "unit": "reads/s",
-            "vs_baseline": round(engine_rps / max(oracle_rps, 1e-9), 3),
+            "vs_baseline": _vs(engine_rps, oracle_rps),
             "qual_shape": QUAL_SHAPE,
         }
         state["headline"] = headline
-        t = time.perf_counter()
-
-        def mark(name, t0):
-            phase_s[name] = round(time.perf_counter() - t0, 1)
-            return time.perf_counter()
+        phase("breakdown")
         bd = {}
         with _guard("breakdown"):
             bd = stage_breakdown(path, br)
-        t = mark("breakdown", t)
+        phase("modes_filter_edit_gz_cgr")
         # the end-to-end number is tunnel-bound in this environment: show
         # how close the engine runs to the host->device ceiling, and what
         # the chip itself sustains (the per-chip capability the BASELINE
@@ -891,9 +917,8 @@ def main():
             _emit({"metric": "device_step_reads_per_sec",
                    "value": bd["device_step_reads_per_sec"],
                    "unit": "reads/s",
-                   "vs_baseline": round(
-                       bd["device_step_reads_per_sec"]
-                       / max(oracle_rps, 1e-9), 3),
+                   "vs_baseline": _vs(bd["device_step_reads_per_sec"],
+                                      oracle_rps),
                    "qual_shape": QUAL_SHAPE})
 
         import tempfile
@@ -917,7 +942,7 @@ def main():
                 except Exception as e:
                     _emit({"mode_error": tag + "-oracle",
                            "error": repr(e)[:300]}, err=True)
-                    return max(oracle_rps, 1e-9)
+                    return oracle_rps
             return safe
 
         def mode_line(tag, metric, setup, warmup=True):
@@ -938,7 +963,7 @@ def main():
                 mode_fx[tag] = fx
                 _emit({"metric": metric, "value": round(e_rps, 1),
                        "unit": "reads/s",
-                       "vs_baseline": round(e_rps / max(o_rps, 1e-9), 3),
+                       "vs_baseline": _vs(e_rps, o_rps),
                        "qual_shape": QUAL_SHAPE})
 
         tmps = []
@@ -1028,7 +1053,7 @@ def main():
             shutil.rmtree(d, ignore_errors=True)
         if mode_fx:
             _emit({"mode_rounds": mode_fx}, err=True)
-        t = mark("modes_filter_edit_gz_cgr", t)
+        phase("scaling")
         # scaling is a CPU-mesh subprocess (no tunnel, ~15 s): always run it
         # so the line survives slow TPU phases eating the budget — but keep
         # its timeout inside the remaining SIGALRM headroom (the alarm fires
@@ -1043,10 +1068,11 @@ def main():
             # per-pass fixed costs (session, report, finish merge) don't
             # swamp the scalable part
             sc = run_scaling_subprocess(
-                262_144, timeout_s=max(20.0, min(150.0, headroom)))
+                min(262_144, args.reads),
+                timeout_s=max(20.0, min(150.0, headroom)))
             if sc:
                 _emit(sc)
-        mark("scaling", t)
+        phase(None)
         signal.alarm(0)
         wd.cancel()
         _emit({"bench_phase_seconds": phase_s}, err=True)
@@ -1100,7 +1126,7 @@ def main():
         "metric": metric,
         "value": round(engine_rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(engine_rps / oracle_rps, 3),
+        "vs_baseline": _vs(engine_rps, oracle_rps),
     })
 
 

@@ -140,12 +140,19 @@ def run_two_process(reads: int, read_len: int, passes: int = 3) -> None:
 
     def collect(procs):
         outs = []
-        for p in procs:
-            out, err = p.communicate(timeout=600)
-            if p.returncode != 0:
-                raise RuntimeError("scaling worker failed: %s"
-                                   % err.decode()[-1500:])
-            outs.append(json.loads(out.decode().strip().splitlines()[-1]))
+        try:
+            for p in procs:
+                out, err = p.communicate(timeout=600)
+                if p.returncode != 0:
+                    raise RuntimeError("scaling worker failed: %s"
+                                       % err.decode()[-1500:])
+                outs.append(json.loads(out.decode().strip().splitlines()[-1]))
+        finally:
+            # a failed/hung rank must not leave its pinned-core lockstep
+            # peers spinning until their own distributed timeout
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         n = outs[0]["reads"]
         # per-pass wall = slowest process (lockstep); skip pass 0 (compile)
         walls = [max(o["pass_seconds"][p] for o in outs)

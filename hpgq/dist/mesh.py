@@ -84,6 +84,14 @@ def zero_sharded_partials(mesh: Mesh, lcap: int, kmers_on: bool = False):
 
 
 _STEP_CACHE: dict = {}
+_STEP_CACHE_MAX = 32  # bounds compiled-executable pinning (fuzz sweeps
+# run hundreds of criteria configs; evict oldest — insertion order)
+
+
+def _step_cache_put(key, value):
+    while len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+        _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
+    _STEP_CACHE[key] = value
 
 
 def _crit_cache_key(crit):
@@ -119,7 +127,7 @@ def make_sharded_stats_step(
     round 4 — it dominated the multihost per-pass cost).
     """
     ck = ("stats", mesh, lcap, phred, kmers_on, _crit_cache_key(crit),
-          donate, wire)
+          donate, wire, stats_jnp.resolve_engine(None))
     try:
         if ck in _STEP_CACHE:
             return _STEP_CACHE[ck]
@@ -153,7 +161,7 @@ def make_sharded_stats_step(
         )
         jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
         if ck is not None:
-            _STEP_CACHE[ck] = jfn
+            _step_cache_put(ck, jfn)
         return jfn
 
     def device_fn(acc, codes, quals, lens, valid):
@@ -169,7 +177,7 @@ def make_sharded_stats_step(
     )
     jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
     if ck is not None:
-        _STEP_CACHE[ck] = jfn
+        _step_cache_put(ck, jfn)
     return jfn
 
 
@@ -206,7 +214,7 @@ def make_sharded_paired_stats_step(
     session was the dominant multihost per-pass cost)."""
     wire = wire if wire in ("bitpack", "fused4") else None
     ck = ("paired", mesh, lcap, phred, kmers_on, _crit_cache_key(crit),
-          donate, wire)
+          donate, wire, stats_jnp.resolve_engine(None))
     try:
         if ck in _STEP_CACHE:
             return _STEP_CACHE[ck]
@@ -235,7 +243,7 @@ def make_sharded_paired_stats_step(
     )
     jfn = jax.jit(fn, donate_argnums=(0, 1) if donate else ())
     if ck is not None:
-        _STEP_CACHE[ck] = jfn
+        _step_cache_put(ck, jfn)
     return jfn
 
 

@@ -158,14 +158,36 @@ class ShardedStatsSession:
         return (lmax, rows, rawlen, self._probe_tier(block, wl, rows))
 
     def _probe_tier(self, block, wl: int, rows: int) -> int:
-        from ..io.packer import pack_block_bitwire_tier
+        from ..io.packer import (
+            bitwire_tier_valid_off,
+            pack_block_bitwire_tier,
+        )
 
+        # The vote is element-wise MAX, so a rank's vote must be a tier
+        # whose every WIDER tier also fits its block — otherwise a peer's
+        # vote could force a repack that fails.  The tiers are not a
+        # containment lattice: tier 0 (<= 4 distinct quals) does NOT
+        # imply tier 1 (range < 64) — e.g. quals {2, 70} fit the palette
+        # but not the 6-bit rebase.  A 2q-fitting block therefore only
+        # votes 0 when tier 1 provably fits too (checked from the packed
+        # palette columns: range = pal[3] - pal[0]); else it votes 2.
         tier = self._tier_floor
         buf = None
         while buf is None:
             buf = pack_block_bitwire_tier(block, wl, tier, pad_reads_to=rows)
             if buf is None:
                 tier += 1
+        if tier == 0 and jax.process_count() > 1:
+            # single-process sessions use the local tier directly (no
+            # cross-rank max), so the monotonicity constraint only binds
+            # in multihost mode
+            vo = bitwire_tier_valid_off(wl, 0)
+            pal = buf[:, vo + 1: vo + 5]
+            if int((pal[:, 3].astype(np.int16)
+                    - pal[:, 0].astype(np.int16)).max(initial=0)) > 63:
+                tier = 2
+                buf = pack_block_bitwire_tier(block, wl, tier,
+                                              pad_reads_to=rows)
         if tier > self._tier_floor:
             # sticky escalation: data that keeps missing a narrow tier
             # stops paying the failed pack attempt (cf. ShapeCachedFn's
@@ -561,7 +583,7 @@ def _make_cgr_steps(mesh, k: int, phred: int, wire):
     """(step_arrays, step_wire_or_None) for a sharded CGR session — cached
     process-wide like ``mesh.make_sharded_stats_step`` (a fresh jit per
     session re-traces the shard_map program every pass)."""
-    from .mesh import _STEP_CACHE, shard_map
+    from .mesh import _STEP_CACHE, _step_cache_put, shard_map
     from ..kernels.cgr import cgr_batch_tables
 
     ck = ("cgr", mesh, k, phred, wire)
@@ -597,7 +619,7 @@ def _make_cgr_steps(mesh, k: int, phred: int, wire):
             device_fn_wire, mesh=mesh,
             in_specs=(P("data"),), out_specs=(P(),) * 4,
         ))
-    _STEP_CACHE[ck] = (step_arrays, step_wire)
+    _step_cache_put(ck, (step_arrays, step_wire))
     return step_arrays, step_wire
 
 

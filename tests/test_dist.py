@@ -281,6 +281,50 @@ def test_sharded_wire_tiers(tmp_path, monkeypatch):
     assert (a / name).read_bytes() == (b / name).read_bytes()
 
 
+def test_tier_vote_monotone_under_max(tmp_path, monkeypatch):
+    """The tier vote is element-wise MAX, so a rank may only vote a tier
+    whose every wider tier also fits its block.  Tier 0 (<= 4 distinct
+    quals) does NOT imply tier 1 (range < 64): quals {2, 70} fit the
+    palette but not the 6-bit rebase — in multihost mode such a block
+    must vote 2, or a peer voting 1 would force a failing repack and
+    crash the session (round-4 review finding)."""
+    import hpgq.dist.run_dist as rd
+    from hpgq.dist.mesh import data_mesh
+    from hpgq.io.fastq import FastqReader
+    from hpgq.io.packer import pack_block_bitwire_tier, wire_len
+
+    fq = str(tmp_path / "wide.fq")
+    seq = b"ACGT" * 25
+    q = (chr(33 + 2) * 50 + chr(33 + 70) * 50).encode()
+    with open(fq, "wb") as f:
+        for i in range(64):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, q))
+
+    monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+    sess = rd.ShardedStatsSession(data_mesh(), 33, batch_reads=16384)
+    assert sess._tiered
+    with FastqReader(fq, batch_size=1024) as r:
+        block = next(iter(r))
+    wl = wire_len(block.max_len(), 128)
+
+    # sanity: the lattice really is non-monotone for this block
+    assert pack_block_bitwire_tier(block, wl, 0) is not None
+    assert pack_block_bitwire_tier(block, wl, 1) is None
+
+    # single-process: local tier is used directly — palette fine
+    shape = sess.local_shape(block)
+    assert shape[3] == 0
+
+    # multihost: must vote a max-safe tier (2)
+    sess2 = rd.ShardedStatsSession(data_mesh(), 33, batch_reads=16384)
+    monkeypatch.setattr(rd.jax, "process_count", lambda: 2)
+    shape = sess2.local_shape(block)
+    assert shape[3] == 2
+    # and the cached probe buffer matches the voted tier
+    assert sess2._probe[1][0] == 2
+    sess2.feed_block(block, shape=(shape[0], shape[1], shape[2], 2))
+
+
 def test_split_paired_ranges_no_trailing_newline(tmp_path):
     """A mate file without the final trailing newline (legal; the reader
     compensates at EOF) must not lose its last record from the shard
