@@ -1076,14 +1076,16 @@ def main():
         # headline is _bail-protected)
         with _guard("scaling"):
             headroom = budget * 1.15 - (time.perf_counter() - t_all) - 8.0
-            # 262144 reads / 65536-read batches: both configs run identical
-            # full 65536-row dispatch shapes (4 steps 1-proc, 2 steps/proc
+            # 393216 reads / 65536-read batches: both configs run identical
+            # full 65536-row dispatch shapes (6 steps 1-proc, 3 steps/proc
             # 2-proc), so the efficiency fraction measures the lockstep +
             # imbalance cost, not batch-granularity luck; big enough that
             # per-pass fixed costs (session, report, finish merge) don't
-            # swamp the scalable part
+            # swamp the scalable part (262144 measured 0.70-0.79, 393216
+            # 0.80-0.86 — the residual IS the flat cost, which a real
+            # production stream amortizes to nothing)
             sc = run_scaling_subprocess(
-                min(262_144, args.reads),
+                min(393_216, args.reads),
                 timeout_s=max(20.0, min(150.0, headroom)))
             if sc:
                 _emit(sc)
