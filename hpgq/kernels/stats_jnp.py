@@ -266,26 +266,40 @@ def _vary(x, axis):
 
 
 def kmer_hist2d(kc, ok, lcap: int, bin_chunk: int = 64, vary_axis=None):
-    """2D (kmer, position) histogram via chunked one-hot compare-reduce.
+    """2D (kmer, position) histogram.
 
-    Avoids XLA scatter (serialized on TPU for colliding indices): for each
-    chunk of ``bin_chunk`` kmer ids, a fused compare+sum over the batch dim.
-    Cost B*W*1024 VPU ops — acceptable for the optional kmers mode; the CGR
-    kernel uses the separable-matmul trick instead (hpgq.kernels.cgr).
+    TPU: chunked one-hot compare-reduce — avoids XLA scatter (serialized
+    on TPU for colliding indices); for each chunk of ``bin_chunk`` kmer
+    ids, a fused compare+sum over the batch dim.  Cost B*W*1024 VPU ops —
+    fine on the VPU even at long-read W; the CGR kernel uses the
+    separable-matmul trick instead (hpgq.kernels.cgr).
+
+    CPU/GPU: O(B*W) scatter-add.  The compare-reduce's B*W*1024 element
+    ops take MINUTES per long-read batch on a host core (observed: a
+    2000-read 15 kbp corpus with --kmers hung past 400 s), while XLA's
+    CPU scatter is a plain serial loop — the same shape finishes in
+    seconds.  Invalid windows route to a sacrificial overflow row.
     """
     B, W = kc.shape
-    kcm = jnp.where(ok, kc, -1)
+    if jax.default_backend() != "tpu":
+        kcm = jnp.where(ok, kc, NUM_KMERS)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        out = _vary(jnp.zeros((NUM_KMERS + 1, W), jnp.int32), vary_axis)
+        out = out.at[kcm, pos].add(1)[:NUM_KMERS]
+    else:
+        kcm = jnp.where(ok, kc, -1)
 
-    def chunk(i, acc):
-        bins = i * bin_chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, bin_chunk), 2
-        )
-        eq = kcm[:, :, None] == bins  # [B, W, C]
-        part = eq.sum(axis=0, dtype=jnp.int32)  # [W, C]
-        return jax.lax.dynamic_update_slice(acc, part.T, (i * bin_chunk, 0))
+        def chunk(i, acc):
+            bins = i * bin_chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, bin_chunk), 2
+            )
+            eq = kcm[:, :, None] == bins  # [B, W, C]
+            part = eq.sum(axis=0, dtype=jnp.int32)  # [W, C]
+            return jax.lax.dynamic_update_slice(acc, part.T,
+                                                (i * bin_chunk, 0))
 
-    out = _vary(jnp.zeros((NUM_KMERS, W), jnp.int32), vary_axis)
-    out = jax.lax.fori_loop(0, NUM_KMERS // bin_chunk, chunk, out)
+        out = _vary(jnp.zeros((NUM_KMERS, W), jnp.int32), vary_axis)
+        out = jax.lax.fori_loop(0, NUM_KMERS // bin_chunk, chunk, out)
     if W < lcap:
         out = jnp.pad(out, ((0, 0), (0, lcap - W)))
     else:
