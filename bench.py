@@ -114,6 +114,26 @@ def bgzf_corpus(plain_path: str) -> str:
     return path
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _single_cpu_pack():
+    """The BASELINE denominator is SINGLE-CPU reference throughput: the
+    native packer's OpenMP pool must not multi-thread any oracle's pack
+    stage (it inflated the stats baseline ~13% measured on the 1M
+    corpus).  The oracles' numpy compute is single-threaded by
+    construction."""
+    from hpgq.io import packer as _pk
+
+    saved = _pk._NUM_THREADS
+    _pk.set_num_threads(1)
+    try:
+        yield
+    finally:
+        _pk._NUM_THREADS = saved
+
+
 def _oracle_pass(path: str, batch_size: int) -> "tuple[float, int]":
     """ONE single-CPU end-to-end oracle pass -> (reads/s, reads)."""
     from hpgq.core.counters import StatsCounters
@@ -122,7 +142,7 @@ def _oracle_pass(path: str, batch_size: int) -> "tuple[float, int]":
     t0 = time.perf_counter()
     total = 0
     acc = StatsCounters(phred=PHRED)
-    with FastqReader(path, batch_size=batch_size) as rd:
+    with _single_cpu_pack(), FastqReader(path, batch_size=batch_size) as rd:
         for block in rd:
             codes, quals, lens, valid = pack_block(block)
             ok = ob.block_verdicts(codes, quals, lens, CRIT, PHRED) & valid
@@ -346,7 +366,8 @@ def _oracle_filter_pass(path: str, batch_size: int, tmp: str):
 
     t0 = time.perf_counter()
     total = 0
-    with FastqReader(path, batch_size=batch_size) as rd, \
+    with _single_cpu_pack(), \
+         FastqReader(path, batch_size=batch_size) as rd, \
          open(os.path.join(tmp, "o_passed.fq"), "wb") as pw, \
          open(os.path.join(tmp, "o_failed.fq"), "wb") as fw:
         for block in rd:
@@ -370,7 +391,8 @@ def _oracle_edit_pass(path: str, batch_size: int, tmp: str):
     t0 = time.perf_counter()
     total = 0
     epath = os.path.join(tmp, "o_edit.fq")
-    with FastqReader(path, batch_size=batch_size) as rd, \
+    with _single_cpu_pack(), \
+         FastqReader(path, batch_size=batch_size) as rd, \
          open(epath, "wb") as ew:
         for block in rd:
             codes, quals, lens, valid = pack_block(block)
@@ -411,8 +433,9 @@ def _oracle_paired_pass(path1: str, path2: str, batch_size: int):
                 verdicts.append(ok[:block.num_reads])
         return blocks, np.concatenate(verdicts)
 
-    b1, v1 = load(path1)
-    b2, v2 = load(path2)
+    with _single_cpu_pack():
+        b1, v1 = load(path1)
+        b2, v2 = load(path2)
     both = v1 & v2
     for blocks in (b1, b2):
         acc = StatsCounters(phred=PHRED)
@@ -639,7 +662,7 @@ def run_cgr_oracle(path: str, n_reads: int, k: int = 7):
 
     t0 = time.perf_counter()
     total = 0
-    with FastqReader(path, batch_size=10_000) as rd:
+    with _single_cpu_pack(), FastqReader(path, batch_size=10_000) as rd:
         for block in rd:
             codes, quals, lens, valid = pack_block(block)
             fill_tables_loop(codes, quals, lens, valid, k, PHRED)
