@@ -694,8 +694,32 @@ def _vs(e_rps: float, o_rps: float) -> float:
 
 # best-measured headline, visible to the __main__ crash guard: a tunnel
 # death (e.g. JaxRuntimeError FailedPrecondition mid-run) must still yield
-# a parseable final metric line on stdout
-_STATE = {"headline": None}
+# a parseable final metric line on stdout.  "scaling_proc" tracks the
+# in-flight bench_scaling child so the bail path can kill its process
+# group (it runs detached in its own session).
+_STATE = {"headline": None, "scaling_proc": None}
+
+
+def _kill_scaling_group():
+    """Kill the bench_scaling child and its pinned workers (they share the
+    session we created for them — this reaches only our own descendants)."""
+    import signal as _signal
+
+    p = _STATE.get("scaling_proc")
+    if p is None:
+        return
+    _STATE["scaling_proc"] = None
+    try:
+        os.killpg(p.pid, _signal.SIGKILL)
+    except OSError:
+        try:
+            p.kill()
+        except OSError:
+            pass
+    try:
+        p.wait(timeout=5)
+    except Exception:
+        pass
 
 
 class _guard:
@@ -724,24 +748,25 @@ def run_scaling_subprocess(reads: int, timeout_s: float):
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # own process group: a timeout must kill the pinned taskset workers
-    # too, not just the bench_scaling parent (orphans would keep burning
-    # cores into the next measurement)
+    # own process group (created by US, containing only our descendants —
+    # the group kill below is a precise kill of known children, not a
+    # pattern kill): a timeout or a _bail must reach the pinned taskset
+    # workers too, not just the bench_scaling parent (orphans would keep
+    # burning cores into the next measurement)
     p = subprocess.Popen(
         [sys.executable, os.path.join(here, "bench_scaling.py"),
          "--two-process", "--reads", str(reads)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=here, start_new_session=True,
     )
+    _STATE["scaling_proc"] = p
     try:
         out, _ = p.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        try:
-            os.killpg(p.pid, _signal.SIGKILL)
-        except OSError:
-            p.kill()
-        p.wait()
+        _kill_scaling_group()
         return None
+    finally:
+        _STATE["scaling_proc"] = None
     if p.returncode != 0:
         return None
     for line in reversed(out.strip().splitlines()):
@@ -817,6 +842,15 @@ def main():
                 if state.get("bailed"):
                     os._exit(0)
                 state["bailed"] = True
+                _kill_scaling_group()  # detached session: exit won't reach it
+                # the signal may have landed mid-print on THIS thread (the
+                # RLock is reentrant, so the lock can't prevent that): a
+                # leading newline closes any half-written stdout line so
+                # the final headline stays tail-parsable
+                try:
+                    sys.stdout.write("\n")
+                except Exception:
+                    pass
                 if _cur["name"] is not None:
                     phase_s[_cur["name"] + "@kill"] = round(
                         time.perf_counter() - _cur["t0"], 1)

@@ -149,10 +149,16 @@ def run_two_process(reads: int, read_len: int, passes: int = 3) -> None:
                 outs.append(json.loads(out.decode().strip().splitlines()[-1]))
         finally:
             # a failed/hung rank must not leave its pinned-core lockstep
-            # peers spinning until their own distributed timeout
+            # peers spinning until their own distributed timeout (and the
+            # kills must be reaped — unwaited children stay zombies for
+            # the rest of the run)
             for p in procs:
                 if p.poll() is None:
                     p.kill()
+                    try:
+                        p.wait(timeout=10)
+                    except Exception:
+                        pass
         n = outs[0]["reads"]
         # per-pass wall = slowest process (lockstep); skip pass 0 (compile)
         walls = [max(o["pass_seconds"][p] for o in outs)
