@@ -357,6 +357,14 @@ class ShardedPairedStatsSession:
         # pack4 has no single-buffer sharded form; plain arrays there (same
         # degradation as ShardedStatsSession)
         self.wire = w if w in ("bitpack", "fused4") else None
+        from ..io.packer import bitwire_tier_floor
+
+        # adaptive tiers, shared across BOTH mates (one width per step);
+        # same vote-monotonicity rules as ShardedStatsSession._probe_tier
+        self._tiered = self.wire == "bitpack"
+        self._tier_floor = bitwire_tier_floor() if self._tiered else 2
+        self._probe = None  # (ids(b1,b2), (tier, wl, rows), (buf1, buf2))
+        self._tier_miss = 0
         self._reset(lcap)
 
     def _reset(self, lcap: int):
@@ -385,37 +393,72 @@ class ShardedPairedStatsSession:
         self._reset(lcap)
 
     def local_shape(self, pair):
-        """``(lmax, rows, rawlen)`` buckets for a lockstep mate-block pair
-        (the per-step vote vector; same contract as
-        ``ShardedStatsSession.local_shape``).  ``(0, 0, 0)`` marks an
-        exhausted shard."""
+        """``(lmax, rows, rawlen[, tier])`` buckets for a lockstep
+        mate-block pair (the per-step vote vector; same contract as
+        ``ShardedStatsSession.local_shape``; the tier is shared across
+        both mates — element-wise max of their narrowest safe tiers).
+        All-zeros marks an exhausted shard."""
         if pair is None:
-            return (0, 0, 0)
+            return (0, 0, 0, 0) if self._tiered else (0, 0, 0)
         b1, b2 = pair
         ml = max(b1.max_len(), b2.max_len(), 1)
         nr = max(b1.num_reads, b2.num_reads)
-        return (
-            round_up(ml, 128),
-            min(self.batch_reads,
-                round_up(bucket_rows(nr, self.batch_reads), self.ndev)),
-            ml,
-        )
+        lmax = round_up(ml, 128)
+        rows = min(self.batch_reads,
+                   round_up(bucket_rows(nr, self.batch_reads), self.ndev))
+        if not self._tiered:
+            return (lmax, rows, ml)
+        wl = wire_len(ml, max(self.lcap, lmax))
+        return (lmax, rows, ml, self._probe_pair_tier(b1, b2, wl, rows))
+
+    def _probe_pair_tier(self, b1, b2, wl: int, rows: int) -> int:
+        """Shared tier for both mates: probe each with the stats session's
+        monotone-safe logic, take the max, and repack the narrower mate at
+        the shared tier so the cache holds matching buffers."""
+        from ..io.packer import pack_block_bitwire_tier
+
+        t1 = ShardedStatsSession._probe_tier(self, b1, wl, rows)
+        p1 = self._probe
+        t2 = ShardedStatsSession._probe_tier(self, b2, wl, rows)
+        p2 = self._probe
+        tier = max(t1, t2)
+        buf1 = p1[2] if p1[1][0] == tier else pack_block_bitwire_tier(
+            b1, wl, tier, pad_reads_to=rows)
+        buf2 = p2[2] if p2[1][0] == tier else pack_block_bitwire_tier(
+            b2, wl, tier, pad_reads_to=rows)
+        self._probe = ((id(b1), id(b2)), (tier, wl, rows), (buf1, buf2))
+        return tier
 
     def feed_pair(self, b1, b2, shape=None):
         """One fused step over a lockstep mate-block pair.  ``shape`` is
-        the voted ``(lmax, rows, rawlen)`` in multihost mode (defaults to
-        this pair's local buckets)."""
+        the voted ``(lmax, rows, rawlen[, tier])`` in multihost mode
+        (defaults to this pair's local buckets)."""
         if shape is None:
             shape = self.local_shape((b1, b2))
-        lmax, rows, rawlen = shape
+        lmax, rows, rawlen = shape[:3]
         if lmax > self.lcap:
             self._grow(lmax)
         if self.wire:
-            from ..io.packer import pack_block_wire
+            from ..io.packer import (
+                pack_block_bitwire_tier,
+                pack_block_wire,
+            )
 
             wl = wire_len(rawlen, self.lcap)
-            in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows)
-            in2 = pack_block_wire(b2, self.wire, wl, pad_reads_to=rows)
+            if self._tiered and len(shape) > 3:
+                tier = shape[3]
+                pr, self._probe = self._probe, None
+                if pr is not None and pr[0] == (id(b1), id(b2)) \
+                        and pr[1] == (tier, wl, rows):
+                    in1, in2 = pr[2]
+                else:  # voted shape/tier wider than the local probe
+                    in1 = pack_block_bitwire_tier(b1, wl, tier,
+                                                  pad_reads_to=rows)
+                    in2 = pack_block_bitwire_tier(b2, wl, tier,
+                                                  pad_reads_to=rows)
+            else:
+                in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows)
+                in2 = pack_block_wire(b2, self.wire, wl, pad_reads_to=rows)
             g1, g2 = make_global_batch(self.mesh, self._sharding, (in1, in2))
         else:
             p1 = pack_block(b1, max_len=self.lcap, pad_reads_to=rows)
@@ -435,8 +478,14 @@ class ShardedPairedStatsSession:
         rows = self.batch_reads if shape is None else shape[1]
         if self.wire:
             wl = self.lcap if shape is None else wire_len(shape[2], self.lcap)
-            W = (10 * wl // 8 if self.wire == "bitpack"
-                 else wl // 2 + wl) + 8
+            if self.wire == "bitpack":
+                from ..io.packer import bitwire_tier_width
+
+                tier = (shape[3] if shape is not None and len(shape) > 3
+                        else 2)
+                W = bitwire_tier_width(wl, tier)
+            else:
+                W = wl // 2 + wl + 8
             # all-zero wire rows decode to valid=0 (no reads)
             z = np.zeros((rows, W), np.uint8)
             g1, g2 = make_global_batch(self.mesh, self._sharding, (z, z))

@@ -280,6 +280,29 @@ def test_sharded_wire_tiers(tmp_path, monkeypatch):
     name = "m.fq_k=4.gs"
     assert (a / name).read_bytes() == (b / name).read_bytes()
 
+    # fused sharded-PAIRED with per-step shared-mate tier votes: binned
+    # mate 1 + mixed mate 2 forces cross-mate tier reconciliation
+    mate2 = str(tmp_path / "m2.fq")
+    make_fastq(mate2, 3000, min_len=40, max_len=120, n_prob=0.01, seed=65,
+               qual_bins=(2, 12, 23, 37))
+    mixed3k = str(tmp_path / "m1.fq")
+    with open(mixed3k, "wb") as f:
+        f.write(open(mixed, "rb").read())  # 3000 reads, binned+unbinned
+
+    def popts(out):
+        o = sopts(mixed3k, out)
+        o.in_filename2 = mate2
+        return o
+
+    pa, pb = tmp_path / "pa", tmp_path / "pb"
+    pa.mkdir(), pb.mkdir()
+    monkeypatch.setenv("HPGQ_WIRE", "off")
+    ra = run_stats_sharded(popts(pa))
+    monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+    rb = run_stats_sharded(popts(pb))
+    monkeypatch.delenv("HPGQ_WIRE")
+    assert rb[0].equals(ra[0]) and rb[1].equals(ra[1])
+
 
 def test_tier_vote_monotone_under_max(tmp_path, monkeypatch):
     """The tier vote is element-wise MAX, so a rank may only vote a tier
