@@ -431,8 +431,13 @@ def check_binned_palette(n):
     sh = run_stats_sharded(sopts())
     bad = counters_equal(sh, orc)
     assert not bad, "binned sharded counters differ: %s" % bad
+
+    # 5) tiered fused sharded-PAIRED (shared-mate tier votes)
+    sp1, sp2 = run_stats_sharded(sopts(paired=True))
+    bad = counters_equal(sp1, c1) + counters_equal(sp2, c2)
+    assert not bad, "binned sharded-paired differs from single-host: %s" % bad
     return ("binned 2q palette: %d reads — stats, filter bytes, paired, "
-            "tiered sharded all equal" % n)
+            "tiered sharded + sharded-paired all equal" % n)
 
 
 def main():
