@@ -88,6 +88,52 @@ def test_pack_block_bitwire_matches_numpy(tmp_path, varlen):
                 np.testing.assert_array_equal(got, want)
 
 
+def test_pack_bitwire2q_edge_quals(tmp_path):
+    """2q palette packer edge cases vs the numpy oracle: qual values >= 64
+    (the discovery bitmap's second word — the binned corpora used
+    elsewhere stay below 64 and never exercise it), exactly-4-distinct
+    palettes spanning the 63/64 boundary, single-value rows, zero-length
+    reads, and rows longer than the wire width (truncation)."""
+    from hpgq.io.native import pack_bitwire2q
+    from hpgq.io.packer import wire_bitpack2q_np
+
+    rows = [
+        # (seq, quals as phred values)
+        (b"ACGTN" * 8, [0, 63, 64, 93] * 10),       # spans both words
+        (b"ACGT" * 10, [64] * 40),                  # single value >= 64
+        (b"GGGG" * 25, [93] * 100),                 # max legal qual
+        (b"", []),                                  # zero-length read
+        (b"ACGT" * 50, [2, 12, 23, 37] * 50),       # longer than L=128
+        (b"TTTT", [0, 0, 0, 0]),                    # min qual only
+    ]
+    path = tmp_path / "edge.fq"
+    with open(path, "wb") as f:
+        for i, (seq, qv) in enumerate(rows):
+            q = bytes(33 + v for v in qv)
+            f.write(b"@e%d\n%s\n+\n%s\n" % (i, seq, q))
+    with FastqReader(str(path), batch_size=64) as rd:
+        block = next(iter(rd))
+    for L, pr in ((128, 0), (128, 64)):
+        got = pack_bitwire2q(block.arr, block.starts[:, 1],
+                             block.starts[:, 3], block.seq_lens, L,
+                             max(pr, block.num_reads))
+        want = wire_bitpack2q_np(
+            *_np_pack(block, max_len=L, pad_reads_to=max(pr, block.num_reads)))
+        assert got is not None and want is not None
+        np.testing.assert_array_equal(got, want)
+
+    # a 5-distinct row must misfit in both implementations
+    with open(path, "ab") as f:
+        q = bytes(33 + v for v in (0, 20, 40, 60, 80) * 8)
+        f.write(b"@e9\n%s\n+\n%s\n" % (b"ACGT" * 10, q))
+    with FastqReader(str(path), batch_size=64) as rd:
+        block = next(iter(rd))
+    got = pack_bitwire2q(block.arr, block.starts[:, 1], block.starts[:, 3],
+                         block.seq_lens, 128, block.num_reads)
+    want = wire_bitpack2q_np(*_np_pack(block, max_len=128))
+    assert got is None and want is None
+
+
 def test_reader_native_vs_numpy(tmp_path):
     path = tmp_path / "big.fq"
     make_fastq(str(path), 5000, min_len=60, max_len=200, seed=8)
