@@ -998,7 +998,12 @@ def main():
         small = corpus(min(args.reads, 200_000), args.read_len)
         n_small = min(args.reads, 200_000)
         mode_fx = {}
-        mode_rounds = int(os.environ.get("HPGQ_BENCH_MODE_ROUNDS", "3"))
+        # 4 interleaved pairs per mode: filter/paired are write-heavy and
+        # hover near 1x when both sides are disk-bound (PERF.md), so an
+        # extra phase sample materially improves the odds of a matched
+        # round; slow phases are unaffected (run_mode_interleaved's budget
+        # guard stops early either way)
+        mode_rounds = int(os.environ.get("HPGQ_BENCH_MODE_ROUNDS", "4"))
 
         def mode_budget():
             # per-mode slice of what's left of the overall budget
