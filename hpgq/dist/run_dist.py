@@ -157,30 +157,33 @@ class ShardedStatsSession:
         wl = wire_len(rawlen, max(self.lcap, lmax))
         return (lmax, rows, rawlen, self._probe_tier(block, wl, rows))
 
-    def _probe_tier(self, block, wl: int, rows: int) -> int:
+    def _probe_tier(self, block, wl: int, rows: int,
+                    force_monotone: bool = False,
+                    miss_attr: str = "_tier_miss") -> int:
         from ..io.packer import (
             bitwire_tier_valid_off,
             pack_block_bitwire_tier,
         )
 
-        # The vote is element-wise MAX, so a rank's vote must be a tier
-        # whose every WIDER tier also fits its block — otherwise a peer's
-        # vote could force a repack that fails.  The tiers are not a
-        # containment lattice: tier 0 (<= 4 distinct quals) does NOT
-        # imply tier 1 (range < 64) — e.g. quals {2, 70} fit the palette
-        # but not the 6-bit rebase.  A 2q-fitting block therefore only
-        # votes 0 when tier 1 provably fits too (checked from the packed
-        # palette columns: range = pal[3] - pal[0]); else it votes 2.
+        # The vote is element-wise MAX, so a vote must be a tier whose
+        # every WIDER tier also fits its block — otherwise another
+        # participant's vote could force a repack that fails.  The tiers
+        # are not a containment lattice: tier 0 (<= 4 distinct quals)
+        # does NOT imply tier 1 (range < 64) — e.g. quals {2, 70} fit
+        # the palette but not the 6-bit rebase.  A 2q-fitting block
+        # therefore only votes 0 when tier 1 provably fits too (checked
+        # from the packed palette columns: range = pal[3] - pal[0]);
+        # else it votes 2.  The constraint binds whenever the tier is
+        # max'd with ANY other vote: other ranks (multihost) or the
+        # other mate (``force_monotone`` — the paired session, even
+        # single-process).
         tier = self._tier_floor
         buf = None
         while buf is None:
             buf = pack_block_bitwire_tier(block, wl, tier, pad_reads_to=rows)
             if buf is None:
                 tier += 1
-        if tier == 0 and jax.process_count() > 1:
-            # single-process sessions use the local tier directly (no
-            # cross-rank max), so the monotonicity constraint only binds
-            # in multihost mode
+        if tier == 0 and (force_monotone or jax.process_count() > 1):
             vo = bitwire_tier_valid_off(wl, 0)
             pal = buf[:, vo + 1: vo + 5]
             if int((pal[:, 3].astype(np.int16)
@@ -191,12 +194,15 @@ class ShardedStatsSession:
         if tier > self._tier_floor:
             # sticky escalation: data that keeps missing a narrow tier
             # stops paying the failed pack attempt (cf. ShapeCachedFn's
-            # palette-misfit flag)
-            self._tier_miss += 1
-            if self._tier_miss >= 3:
+            # palette-misfit flag).  ``miss_attr`` keeps the paired
+            # session's two mates on separate counters — a shared one
+            # oscillates 0/1 and never escalates.
+            miss = getattr(self, miss_attr) + 1
+            setattr(self, miss_attr, miss)
+            if miss >= 3:
                 self._tier_floor = tier
         else:
-            self._tier_miss = 0
+            setattr(self, miss_attr, 0)
         self._probe = (id(block), (tier, wl, rows), buf)
         return tier
 
@@ -364,7 +370,8 @@ class ShardedPairedStatsSession:
         self._tiered = self.wire == "bitpack"
         self._tier_floor = bitwire_tier_floor() if self._tiered else 2
         self._probe = None  # (ids(b1,b2), (tier, wl, rows), (buf1, buf2))
-        self._tier_miss = 0
+        self._tier_miss1 = 0  # per-mate sticky-escalation counters
+        self._tier_miss2 = 0
         self._reset(lcap)
 
     def _reset(self, lcap: int):
@@ -413,13 +420,19 @@ class ShardedPairedStatsSession:
 
     def _probe_pair_tier(self, b1, b2, wl: int, rows: int) -> int:
         """Shared tier for both mates: probe each with the stats session's
-        monotone-safe logic, take the max, and repack the narrower mate at
-        the shared tier so the cache holds matching buffers."""
+        monotone-safe logic (``force_monotone``: the cross-MATE max is a
+        vote too, so the lattice constraint binds even single-process),
+        take the max, and repack the narrower mate at the shared tier so
+        the cache holds matching buffers."""
         from ..io.packer import pack_block_bitwire_tier
 
-        t1 = ShardedStatsSession._probe_tier(self, b1, wl, rows)
+        t1 = ShardedStatsSession._probe_tier(
+            self, b1, wl, rows, force_monotone=True,
+            miss_attr="_tier_miss1")
         p1 = self._probe
-        t2 = ShardedStatsSession._probe_tier(self, b2, wl, rows)
+        t2 = ShardedStatsSession._probe_tier(
+            self, b2, wl, rows, force_monotone=True,
+            miss_attr="_tier_miss2")
         p2 = self._probe
         tier = max(t1, t2)
         buf1 = p1[2] if p1[1][0] == tier else pack_block_bitwire_tier(

@@ -280,8 +280,9 @@ def test_sharded_wire_tiers(tmp_path, monkeypatch):
     name = "m.fq_k=4.gs"
     assert (a / name).read_bytes() == (b / name).read_bytes()
 
-    # fused sharded-PAIRED with per-step shared-mate tier votes: binned
-    # mate 1 + mixed mate 2 forces cross-mate tier reconciliation
+    # fused sharded-PAIRED with per-step shared-mate tier votes: mixed
+    # (binned+unbinned) mate 1 + binned mate 2 forces cross-mate tier
+    # reconciliation
     mate2 = str(tmp_path / "m2.fq")
     make_fastq(mate2, 3000, min_len=40, max_len=120, n_prob=0.01, seed=65,
                qual_bins=(2, 12, 23, 37))
@@ -346,6 +347,52 @@ def test_tier_vote_monotone_under_max(tmp_path, monkeypatch):
     # and the cached probe buffer matches the voted tier
     assert sess2._probe[1][0] == 2
     sess2.feed_block(block, shape=(shape[0], shape[1], shape[2], 2))
+
+
+def test_paired_cross_mate_tier_monotone(tmp_path, monkeypatch):
+    """The cross-MATE tier max is a vote too: a mate whose quals fit the
+    palette but span >= 64 (tier 0 fits, tier 1 does not) paired with a
+    mate needing tier 1 must not force a failing tier-1 repack — even
+    SINGLE-process, where the stats session's rank-vote guard is off
+    (round-4 second-review crash finding)."""
+    import numpy as np
+
+    import hpgq.dist.run_dist as rd
+    from hpgq.dist.run_dist import run_stats_sharded
+    from hpgq.options import StatsOptions
+
+    n = 256
+    seq = b"ACGT" * 25
+    q_wide = (chr(33 + 2) * 50 + chr(33 + 70) * 50).encode()  # 2 distinct
+    rng = np.random.default_rng(9)
+    m1 = str(tmp_path / "w1.fq")
+    m2 = str(tmp_path / "w2.fq")
+    with open(m1, "wb") as f:
+        for i in range(n):
+            f.write(b"@a%d\n%s\n+\n%s\n" % (i, seq, q_wide))
+    with open(m2, "wb") as f:
+        for i in range(n):
+            q = bytes(33 + int(v) for v in rng.integers(2, 42, len(seq)))
+            f.write(b"@a%d\n%s\n+\n%s\n" % (i, seq, q))
+
+    def opts(out, a, b):
+        o = StatsOptions()
+        o.in_filename, o.in_filename2 = a, b
+        o.out_dirname = str(out)
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 128
+        return o
+
+    for j, (a, b) in enumerate(((m1, m2), (m2, m1))):
+        pa, pb = tmp_path / ("xa%d" % j), tmp_path / ("xb%d" % j)
+        pa.mkdir(), pb.mkdir()
+        monkeypatch.setenv("HPGQ_WIRE", "off")
+        ra = run_stats_sharded(opts(pa, a, b))
+        monkeypatch.setenv("HPGQ_WIRE", "bitpack")
+        rb = run_stats_sharded(opts(pb, a, b))  # crashed before the fix
+        monkeypatch.delenv("HPGQ_WIRE")
+        assert rb[0].equals(ra[0]) and rb[1].equals(ra[1])
 
 
 def test_split_paired_ranges_no_trailing_newline(tmp_path):

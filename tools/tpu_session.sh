@@ -28,11 +28,14 @@ assert time.time()-t0 < 8, time.time()-t0
     echo "$(date +%H:%M:%S) phase good, attempt $i" >> "$LOG"
     if [ "$ran_val" = "0" ]; then
       timeout 3600 python tools/validate_device.py --reads 100000 \
-        > /tmp/devval_session.log 2>&1 && ran_val=1
-      echo "$(date +%H:%M:%S) validate rc=$? (see /tmp/devval_session.log)" >> "$LOG"
+        > /tmp/devval_session.log 2>&1
+      rc=$?  # capture BEFORE any $(...) substitution resets $?
+      [ "$rc" = "0" ] && ran_val=1
+      echo "$(date +%H:%M:%S) validate rc=$rc (see /tmp/devval_session.log)" >> "$LOG"
       timeout 1800 python tools/ab_wire6.py --binned --reads 1000000 \
         > /tmp/ab_binned_session.log 2>&1
-      echo "$(date +%H:%M:%S) ab rc=$?" >> "$LOG"
+      rc=$?
+      echo "$(date +%H:%M:%S) ab rc=$rc" >> "$LOG"
     fi
     timeout 900 python bench.py > /tmp/bench_try.out 2> /tmp/bench_try.err
     v=$(python - <<'PY'
