@@ -973,9 +973,14 @@ def main():
                 # proof (VERDICT r3 #2): when the engine runs at >=90% of
                 # the serial host->device link rate for its own wire bytes,
                 # vs_baseline is set by the oracle's machine phase, not by
-                # engine headroom
-                bd["verdict"] = ("engine at the host->device link ceiling; "
-                                 "vs_baseline reflects oracle phase")
+                # engine headroom.  Values well above 1 mean the engine's
+                # overlapped shard streams beat the one-stream probe, or
+                # the probe sampled a slower tunnel phase than the engine
+                # pass — use the per-round engine_vs_h2d entries (same-
+                # second pairs) for the clean comparison.
+                bd["verdict"] = ("engine at/above the serial host->device "
+                                 "link rate; vs_baseline reflects oracle "
+                                 "phase (see per-round engine_vs_h2d)")
         ratios = sorted(r["ratio"] for r in rounds_fx) or [0.0]
         _emit({"breakdown": bd,
                "headline_rounds": rounds_fx,
