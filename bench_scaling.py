@@ -44,9 +44,9 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-coord, pid, nproc, fq, repo, passes = sys.argv[1:7]
+coord, pid, nproc, fq, repo, passes, benchdir = sys.argv[1:8]
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(repo, ".bench", "jax_cache"))
+                  os.path.join(benchdir, "jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 if int(nproc) > 1:
     jax.distributed.initialize(coord, int(nproc), int(pid))
@@ -105,11 +105,14 @@ def run_two_process(reads: int, read_len: int, passes: int = 3) -> None:
     the configs launch back-to-back in ROUNDS (adjacent seconds ≈ same
     phase, like the headline's interleave) and the reported efficiency
     is the median per-round ratio."""
-    from bench import corpus
+    from bench import BENCH_DIR, corpus
 
     path = corpus(reads, read_len)
     here = os.path.dirname(os.path.abspath(__file__))
-    worker = os.path.join(here, ".bench", "scal_worker.py")
+    # resolve the scratch dir the same way bench.py does (HPGQ_BENCH_DIR
+    # override honored): a redirected bench run must not write inside the
+    # repo checkout
+    worker = os.path.join(BENCH_DIR, "scal_worker.py")
     os.makedirs(os.path.dirname(worker), exist_ok=True)
     with open(worker, "w") as f:
         f.write(_WORKER)
@@ -130,7 +133,7 @@ def run_two_process(reads: int, read_len: int, passes: int = 3) -> None:
         procs = []
         for i in range(nproc):
             cmd = [sys.executable, worker, coord, str(i), str(nproc),
-                   path, here, str(passes)]
+                   path, here, str(passes), BENCH_DIR]
             if pin:
                 cmd = [pin, "-c", str(cores[i])] + cmd
             procs.append(subprocess.Popen(

@@ -98,7 +98,16 @@ class DeviceAccumulator:
 
     def update(self, codes, quals=None, lens=None, valid=None) -> None:
         """Feed one batch: either the four packed arrays, or — with the
-        fused wire format — a single pre-fused buffer as ``codes``."""
+        fused wire format — a single pre-fused buffer as ``codes`` (a
+        ``(buf, exc)`` tuple for the 2c tier's exception sidecar)."""
+        if self.wire == "bitpack" and isinstance(codes, tuple) \
+                and quals is None:
+            buf, exc = codes
+            self._acc = self._step(self._acc, buf, exc)
+            self._since_flush += 1
+            if self._since_flush >= self.flush_every:
+                self.flush()
+            return
         if self.wire in ("fused4", "bitpack"):
             if quals is None:
                 buf = codes

@@ -184,8 +184,10 @@ class ShardedStatsSession:
             if buf is None:
                 tier += 1
         if tier == 0 and (force_monotone or jax.process_count() > 1):
-            vo = bitwire_tier_valid_off(wl, 0)
-            pal = buf[:, vo + 1: vo + 5]
+            from ..io.packer import bitwire_tier_palette_cols
+
+            ps, pe = bitwire_tier_palette_cols(wl)
+            pal = buf[:, ps:pe]
             if int((pal[:, 3].astype(np.int16)
                     - pal[:, 0].astype(np.int16)).max(initial=0)) > 63:
                 tier = 2
@@ -563,9 +565,16 @@ class _KvVotes:
 
     @staticmethod
     def _client():
-        from jax._src import distributed
+        """The coordination-service KV client, or None when the private
+        JAX API it lives behind has moved (a JAX upgrade renaming
+        ``jax._src.distributed.global_state.client`` must degrade to the
+        slow-but-correct device-collective vote, not raise)."""
+        try:
+            from jax._src import distributed
 
-        return distributed.global_state.client
+            return distributed.global_state.client
+        except (ImportError, AttributeError):
+            return None
 
     def vote(self, vals: np.ndarray, reduce_fn) -> np.ndarray:
         client = self._client()

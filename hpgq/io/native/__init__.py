@@ -106,7 +106,7 @@ def get_lib():
         return _lib
 
 
-_ABI = 6  # must match hpgq_abi_version() in packer.cpp
+_ABI = 7  # must match hpgq_abi_version() in packer.cpp
 
 
 def _bind(lib):
@@ -164,6 +164,12 @@ def _bind(lib):
         u8p, i64p, i64p, i32p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i8p, u8p, ctypes.c_int,
+    ]
+    lib.hpgq_pack_bitwire2c.restype = ctypes.c_int64
+    lib.hpgq_pack_bitwire2c.argtypes = [
+        u8p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i8p, u8p, i32p, ctypes.c_int64, ctypes.c_int,
     ]
 
 
@@ -381,6 +387,88 @@ def pack_bitwire2q(buf, seq_starts, q_starts, lens, L: int, nrows: int,
         n, L, nrows, W, BASE_LUT, out.reshape(-1), num_threads,
     )
     return out if ok else None
+
+
+def bitwire2c_width(L: int) -> int:
+    """Row width of the bitpack2c layout: 4L/8 + 12 (2-bit base codes +
+    2-bit palette indices + len/valid/palette tail), bumped by pad bytes
+    while it collides with a valid 7-bit, 6-bit, or 2q width (the decoder
+    family is identified by width; 2c buffers additionally always travel
+    with their exception sidecar, see ``pack_bitwire2c``)."""
+    W = 4 * L // 8 + 12
+
+    def _is7(w: int) -> bool:
+        body = (w - 8) * 8
+        return body % 10 == 0 and (body // 10) % 8 == 0
+
+    def _is6(w: int) -> bool:
+        L6 = ((w - 8) * 8 // 9) // 8 * 8
+        return L6 > 0 and bitwire6_width(L6) == w
+
+    def _is2q(w: int) -> bool:
+        m = (w - 12) // 5
+        for mm in (m, m - 1):
+            if mm >= 1 and bitwire2q_width(8 * mm) == w:
+                return True
+        return False
+
+    while _is7(W) or _is6(W) or _is2q(W):
+        W += 1
+    return W
+
+
+# exception sidecar row bucket: padded to multiples of this many int32
+# entries so the jitted decode compiles for a handful of shapes only
+EXC_BUCKET = 8192
+
+
+def exc_pad(exc: np.ndarray, nrows: int, L: int) -> np.ndarray:
+    """Pad an exception list to the EXC_BUCKET grid with OOB sentinels
+    (enc = (nrows*L) << 1 — past the flat [nrows*L] scatter target, so
+    ``mode='drop'`` ignores them)."""
+    cap = max(EXC_BUCKET, -(-max(len(exc), 1) // EXC_BUCKET) * EXC_BUCKET)
+    out = np.full(cap, np.int32((nrows * L) << 1), dtype=np.int32)
+    out[: len(exc)] = exc
+    return out
+
+
+def pack_bitwire2c(buf, seq_starts, q_starts, lens, L: int, nrows: int,
+                   num_threads: int = 0):
+    """Bitpack2c wire: ``(buf uint8 [nrows, bitwire2c_width(L)],
+    exc int32 [E_padded])`` — 2-bit base codes (A..T = 0..3; N and OTHER
+    positions packed as 0 and recorded in the exception sidecar) + 2-bit
+    indices into a per-row 4-entry qual palette.  Exceptions are
+    ``((row * L + pos) << 1) | is_other`` in row-major order; the device
+    decode scatter-restores codes 4/5, so downstream kernels see EXACT
+    codes (``stats_jnp.wire_unbits2c``).  Returns None when some row holds
+    > 4 distinct qual values or the exception capacity (~6% of positions)
+    overflows (caller falls back to the 2q tier).  4.1 bits/base vs 2q's
+    5 — the narrowest layout of the adaptive ladder."""
+    lib = get_lib()
+    assert L % 8 == 0, L
+    if nrows * L >= (1 << 30):  # exception encoding must fit int32 << 1
+        return None
+    n = len(lens)
+    W = bitwire2c_width(L)
+    out = np.empty((nrows, W), dtype=np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    exc_cap = max(8192, n * L // 16)
+    exc = np.empty(exc_cap, dtype=np.int32)
+    from ..packer import BASE_LUT
+
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    got = lib.hpgq_pack_bitwire2c(
+        arr,
+        np.ascontiguousarray(seq_starts, dtype=np.int64),
+        np.ascontiguousarray(q_starts, dtype=np.int64),
+        np.ascontiguousarray(lens, dtype=np.int32),
+        n, L, nrows, W, BASE_LUT, out.reshape(-1), exc, exc_cap,
+        num_threads,
+    )
+    if got < 0:
+        return None
+    return out, exc_pad(exc[:got], nrows, L)
 
 
 def pack_qnwire(buf, seq_starts, q_starts, lens, L: int, nrows: int,

@@ -434,6 +434,150 @@ int32_t hpgq_pack_bitwire2q(const uint8_t* buf, const int64_t* seq_starts,
     return misfit ? 0 : 1;
 }
 
+// bitpack2c wire: 2-bit base codes + 2-bit qual-palette indices, then
+// len_le32|valid|p0 p1 p2 p3|pad3 (+ pad columns past other families'
+// widths — see hpgq.io.native.bitwire2c_width).  Bases A..T pack as
+// 0..3; N and OTHER positions pack as 0 and are recorded in the
+// exception sidecar `exc` as ((row * L + pos) << 1) | is_other, in
+// row-major order — the device decode scatter-restores codes 4/5, so
+// downstream kernels see EXACT codes.  Returns the exception count, or
+// -1 when some row holds > 4 distinct qual values, or -2 when the
+// exception capacity overflows (caller falls back to the 2q tier either
+// way).  4.1 bits/base vs the 2q tier's 5 — the narrowest layout of
+// the adaptive ladder.
+int64_t hpgq_pack_bitwire2c(const uint8_t* buf, const int64_t* seq_starts,
+                            const int64_t* q_starts, const int32_t* lens,
+                            int64_t n, int64_t L, int64_t nrows, int64_t W,
+                            const int8_t* lut, uint8_t* out, int32_t* exc,
+                            int64_t exc_cap, int num_threads) {
+    const int64_t c2 = L / 4;  // 2L/8 bytes of base codes
+    const int64_t q2 = L / 4;  // 2L/8 bytes of qual indices
+    if (num_threads < 1) num_threads = 1;
+    // per-thread exception slices keep the single pass parallel; each
+    // thread owns a contiguous ascending row range, so concatenating the
+    // slices in thread order yields the globally row-major list the
+    // device scatter wants (sorted unique indices)
+    int T = num_threads;
+    if (T > 16) T = 16;
+    if (nrows < T) T = (int)(nrows > 0 ? nrows : 1);
+    std::vector<int64_t> counts((size_t)T, 0);
+    const int64_t slice_cap = exc_cap / T;
+    volatile int fail = 0;  // 1 = qual misfit, 2 = exception overflow
+#ifdef _OPENMP
+#pragma omp parallel num_threads(T)
+#endif
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        const int64_t lo = nrows * t / T;
+        const int64_t hi = nrows * (t + 1) / T;
+        int32_t* my_exc = exc + t * slice_cap;
+        int64_t my_cnt = 0;
+        for (int64_t i = lo; i < hi && !fail; ++i) {
+            uint8_t* row = out + i * W;
+            if (i >= n) {
+                memset(row, 0, W);
+                continue;
+            }
+            const int64_t len_orig = lens[i];
+            int64_t len = len_orig;
+            if (len > L) len = L;
+            const uint8_t* seq = buf + seq_starts[i];
+            const uint8_t* q = buf + q_starts[i];
+            uint64_t seen0 = 0, seen1 = 0;
+            for (int64_t j = 0; j < len; ++j) {
+                uint8_t v = q[j] & 0x7F;
+                uint64_t bit = 1ull << (v & 63);
+                if (v & 64) seen1 |= bit; else seen0 |= bit;
+            }
+            int np = __builtin_popcountll(seen0) + __builtin_popcountll(seen1);
+            if (np > 4) {
+                fail = 1;
+                break;
+            }
+            uint8_t pal[4];
+            int k = 0;
+            for (uint64_t w = seen0; w; w &= w - 1)
+                pal[k++] = (uint8_t)__builtin_ctzll(w);
+            for (uint64_t w = seen1; w; w &= w - 1)
+                pal[k++] = (uint8_t)(64 + __builtin_ctzll(w));
+            for (; k < 4; ++k) pal[k] = np ? pal[np - 1] : 0;
+            uint8_t qmap[128];
+            memset(qmap, 0, sizeof(qmap));
+            for (int m = 0; m < 4; ++m)
+                qmap[pal[m]] = (uint8_t)(m < np ? m : np ? np - 1 : 0);
+            // 2-bit base codes; N (4) / OTHER (5) emit an exception entry
+            uint32_t reg = 0;
+            int bits = 0;
+            uint8_t* p = row;
+            for (int64_t j = 0; j < L; ++j) {
+                uint32_t c = 0;
+                if (j < len) {
+                    c = (uint32_t)(lut[seq[j]] & 7);
+                    if (c >= 4) {
+                        if (my_cnt >= slice_cap) {
+                            fail = 2;
+                            break;
+                        }
+                        my_exc[my_cnt++] =
+                            (int32_t)((((i * L) + j) << 1) | (c == 5));
+                        c = 0;
+                    }
+                }
+                reg |= c << bits;
+                bits += 2;
+                if (bits >= 8) {
+                    *p++ = (uint8_t)(reg & 0xFF);
+                    reg >>= 8;
+                    bits -= 8;
+                }
+            }
+            if (fail) break;
+            reg = 0;
+            bits = 0;
+            p = row + c2;
+            for (int64_t j = 0; j < L; ++j) {
+                uint32_t v = j < len ? (uint32_t)qmap[q[j] & 0x7F] : 0u;
+                reg |= v << bits;
+                bits += 2;
+                if (bits >= 8) {
+                    *p++ = (uint8_t)(reg & 0xFF);
+                    reg >>= 8;
+                    bits -= 8;
+                }
+            }
+            uint8_t* tail = row + c2 + q2;
+            uint32_t l32 = (uint32_t)len_orig;
+            tail[0] = (uint8_t)(l32 & 0xFF);
+            tail[1] = (uint8_t)((l32 >> 8) & 0xFF);
+            tail[2] = (uint8_t)((l32 >> 16) & 0xFF);
+            tail[3] = (uint8_t)((l32 >> 24) & 0xFF);
+            tail[4] = 1;
+            tail[5] = pal[0];
+            tail[6] = pal[1];
+            tail[7] = pal[2];
+            tail[8] = pal[3];
+            tail[9] = tail[10] = tail[11] = 0;
+            for (int64_t b = c2 + q2 + 12; b < W; ++b) row[b] = 0;  // pads
+        }
+        counts[(size_t)t] = my_cnt;
+    }
+    if (fail) return fail == 1 ? -1 : -2;
+    // compact the per-thread slices (serial; slices are small and ordered)
+    int64_t total = counts[0];
+    for (int t = 1; t < T; ++t) {
+        if (counts[(size_t)t]) {
+            memmove(exc + total, exc + (int64_t)t * slice_cap,
+                    (size_t)counts[(size_t)t] * sizeof(int32_t));
+        }
+        total += counts[(size_t)t];
+    }
+    return total;
+}
+
 // qn8 wire: one byte per base = (qual & 0x7F) | (is_N << 7), then
 // len_le32|valid|pad3 (W = L + 8).  ASCII quality is always <= 126 so
 // bit 7 is free to carry the N flag — the only thing the filter/edit
@@ -491,6 +635,6 @@ int64_t hpgq_concat_spans(const uint8_t* buf, const int64_t* starts,
     return total;
 }
 
-int hpgq_abi_version(void) { return 6; }
+int hpgq_abi_version(void) { return 7; }
 
 }  // extern "C"

@@ -241,6 +241,103 @@ def wire_bitpack2q_np(codes, quals, lens, valid):
     return row
 
 
+def wire_bitpack2c_np(codes, quals, lens, valid):
+    """Numpy reference of the bitpack2c wire: ``(buf, exc)`` with rows
+    [codes2 | qidx2 | len_le32 | valid | palette4 (ascending) | pad3
+    (+ pad columns from ``native.bitwire2c_width``'s collision bumps)].
+    Bases pack as 2-bit codes (A..T = 0..3); N/OTHER positions pack as 0
+    and are listed in the exception sidecar ``exc`` (int32, row-major,
+    ``((row * L + pos) << 1) | is_other``, padded to the EXC_BUCKET grid
+    with out-of-bounds sentinels) — the device decode scatter-restores
+    codes 4/5 so downstream kernels see EXACT codes
+    (``stats_jnp.wire_unbits2c``).  Returns None when some row holds > 4
+    distinct qual values.  Differential oracle for
+    ``hpgq_pack_bitwire2c``."""
+    from .native import bitwire2c_width, exc_pad
+
+    B, L = np.asarray(quals).shape
+    assert L % 8 == 0, L
+    if B * L >= (1 << 30):
+        return None
+    v = np.asarray(valid, dtype=bool)
+    c = np.where(v[:, None], np.asarray(codes, dtype=np.uint8), np.uint8(0))
+    q = np.where(v[:, None], np.asarray(quals, dtype=np.uint8) & 0x7F,
+                 np.uint8(0))
+    lens64 = np.where(v, np.asarray(lens), 0).astype(np.int64)
+    mask = np.arange(L)[None, :] < np.minimum(lens64, L)[:, None]
+    qm = np.where(mask, q, np.uint8(255))
+    qmin = qm.min(axis=1, initial=255)
+    qmin = np.where(mask.any(axis=1), qmin, 0).astype(np.uint8)
+    qs = np.sort(np.where(mask, q, qmin[:, None]), axis=1)
+    d = np.concatenate([np.ones((B, 1), bool),
+                        np.diff(qs.astype(np.int16), axis=1) != 0], axis=1)
+    if B and int(d.sum(axis=1).max(initial=1)) > 4:
+        return None
+    rank = d.cumsum(axis=1) - 1
+    pal = np.zeros((B, 4), dtype=np.uint8)
+    pal[np.repeat(np.arange(B), L), np.minimum(rank, 3).ravel()] = qs.ravel()
+    for k in (1, 2, 3):
+        np.maximum(pal[:, k], pal[:, k - 1], out=pal[:, k])
+    qidx = ((q[:, :, None] > pal[:, None, :3]).sum(axis=2)).astype(np.uint8)
+    qidx = np.where(mask, qidx, np.uint8(0))
+    # exceptions (row-major): in-length N/OTHER positions; codes pack as 0
+    is_exc = mask & (c >= 4)
+    er, ep = np.nonzero(is_exc)
+    exc = ((er.astype(np.int64) * L + ep) * 2
+           + (c[er, ep] == 5)).astype(np.int32)
+    c2 = np.where(is_exc, np.uint8(0), np.where(mask, c, np.uint8(0)))
+    lens_b = lens64.astype("<i4").view(np.uint8).reshape(B, 4)
+    parts = [
+        _bitpack_np(c2 & 3, 2), _bitpack_np(qidx & 3, 2), lens_b,
+        v.astype(np.uint8).reshape(B, 1), pal,
+        np.zeros((B, 3), dtype=np.uint8),
+    ]
+    W = bitwire2c_width(L)
+    row = np.concatenate(parts, axis=1)
+    if row.shape[1] < W:  # collision pad column(s)
+        row = np.concatenate(
+            [row, np.zeros((B, W - row.shape[1]), dtype=np.uint8)], axis=1)
+    return row, exc_pad(exc, B, L)
+
+
+def wire2c_enabled() -> bool:
+    """The 2c tier is on unless HPGQ_WIRE2C=0 disables it specifically,
+    HPGQ_QPAL=0 disables the palette machinery it builds on, or
+    HPGQ_WIRE6=0 disables the whole adaptive ladder."""
+    import os
+
+    return (os.environ.get("HPGQ_WIRE2C", "1") not in ("0", "off")
+            and os.environ.get("HPGQ_QPAL", "1") not in ("0", "off")
+            and os.environ.get("HPGQ_WIRE6", "1") not in ("0", "off"))
+
+
+_WIRE2C_MAX_L = 2048  # exception encoding + trimmed-wire scope (short reads)
+
+
+def try_pack_block_2c(block, max_len: int, pad_reads_to: int = 0):
+    """The 2c pack alone (no fallback ladder): ``(buf, exc)``, or None
+    when the block misses the tier (> 4 distinct quals in a row, too many
+    N/OTHER positions, L out of scope, or the tier is disabled)."""
+    if not wire2c_enabled():
+        return None
+    n = block.num_reads
+    L = int(max_len)
+    assert L % 8 == 0, L
+    if L > _WIRE2C_MAX_L:
+        return None
+    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    from . import native
+
+    if n and native.available():
+        return native.pack_bitwire2c(
+            block.arr, block.starts[:, 1], block.starts[:, 3],
+            block.seq_lens, L, nrows, num_threads=_NUM_THREADS,
+        )
+    return wire_bitpack2c_np(*pack_block(block, max_len=L,
+                                         pad_reads_to=nrows))
+
+
 def try_pack_block_palette(block, max_len: int, pad_reads_to: int = 0):
     """The 2q palette pack alone (no fallback ladder): the wire buffer,
     or None when any row exceeds 4 distinct qual values or the adaptive
@@ -270,20 +367,28 @@ def try_pack_block_palette(block, max_len: int, pad_reads_to: int = 0):
 
 
 def pack_block_bitwire_adaptive(block, max_len: int,
-                                pad_reads_to: int = 0) -> np.ndarray:
+                                pad_reads_to: int = 0,
+                                allow2c: bool = False):
     """Adaptive bitpack ladder, narrowest layout the block fits:
-    bitpack2q (5 bits/base) when every row has <= 4 distinct qual values
-    (binned production corpora — NovaSeq/NextSeq RTA3), else bitpack6
-    (9 bits/base) when every row's qual range fits 6 bits (unbinned
-    corpora virtually always do), else the plain 7-bit bitpack.  SINGLE-
-    HOST paths only: the multihost shard_map sessions need
-    data-independent dispatch shapes, so they keep calling the plain
-    packers.  ``HPGQ_WIRE6=0`` disables the whole ladder;
-    ``HPGQ_QPAL=0`` disables just the palette tier."""
+    bitpack2c (4.1 bits/base: 2-bit codes + 2-bit qual-palette indices +
+    N/OTHER exception sidecar — ``allow2c`` callers only, returns a
+    ``(buf, exc)`` tuple), else bitpack2q (5 bits/base) when every row
+    has <= 4 distinct qual values (binned production corpora —
+    NovaSeq/NextSeq RTA3), else bitpack6 (9 bits/base) when every row's
+    qual range fits 6 bits (unbinned corpora virtually always do), else
+    the plain 7-bit bitpack.  SINGLE-HOST paths only: the multihost
+    shard_map sessions need data-independent dispatch shapes, so they
+    keep calling the plain packers.  ``HPGQ_WIRE6=0`` disables the whole
+    ladder; ``HPGQ_QPAL=0`` disables the palette tiers;
+    ``HPGQ_WIRE2C=0`` disables just 2c."""
     import os
 
     if os.environ.get("HPGQ_WIRE6", "1") in ("0", "off"):
         return pack_block_bitwire(block, max_len, pad_reads_to=pad_reads_to)
+    if allow2c:
+        out = try_pack_block_2c(block, max_len, pad_reads_to=pad_reads_to)
+        if out is not None:
+            return out
     qpal = os.environ.get("HPGQ_QPAL", "1") not in ("0", "off")
     n = block.num_reads
     L = int(max_len)
@@ -332,6 +437,18 @@ def bitwire_tier_valid_off(L: int, tier: int) -> int:
     if tier == 1:
         return 9 * L // 8 + 4
     return 10 * L // 8 + 4
+
+
+def bitwire_tier_palette_cols(L: int) -> "tuple[int, int]":
+    """Column slice ``(start, stop)`` of the 4-entry ascending qual palette
+    in a tier-0 (2q) wire row — the tail layout is
+    ``[... | len4 | valid | palette4 | pad3]`` (see hpgq_pack_bitwire2q),
+    so the palette sits right after the valid byte.  Single source of
+    truth for consumers that read the palette back off the wire (the
+    multihost tier-vote monotonicity probe); the native-vs-numpy packer
+    equality tests pin this layout."""
+    vo = bitwire_tier_valid_off(L, 0)
+    return vo + 1, vo + 5
 
 
 def bitwire_tier_floor() -> int:
@@ -437,16 +554,21 @@ def zero_wire_sel(buf: np.ndarray, sel, valid_off: int = None) -> np.ndarray:
 
 
 def pack_block_wire(block, wire: str, max_len: int,
-                    pad_reads_to: int = 0, allow6: bool = False) -> np.ndarray:
+                    pad_reads_to: int = 0, allow6: bool = False,
+                    allow2c: bool = False):
     """Pack a RecordBlock into the named wire format
     ('bitpack' | 'fused4' | 'qn8') — the one dispatch point for every
     wire-format consumer (engine feed, verdict/trim calls, CGR, sharded
     sessions).  ``allow6``: for 'bitpack', permit the adaptive 6-bit-qual
     layout (single-host callers only; multihost shard_map shapes must not
-    depend on data — see ``pack_block_bitwire_adaptive``)."""
+    depend on data — see ``pack_block_bitwire_adaptive``).  ``allow2c``:
+    additionally permit the 2c tier, whose return value is a
+    ``(buf, exc)`` tuple — only callers whose device step accepts the
+    exception sidecar opt in."""
     if wire == "bitpack" and allow6:
         return pack_block_bitwire_adaptive(block, max_len,
-                                           pad_reads_to=pad_reads_to)
+                                           pad_reads_to=pad_reads_to,
+                                           allow2c=allow2c)
     pack = {"bitpack": pack_block_bitwire, "fused4": pack_block_fused,
             "qn8": pack_block_qnwire}[wire]
     return pack(block, max_len, pad_reads_to=pad_reads_to)

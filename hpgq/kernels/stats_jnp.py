@@ -469,16 +469,20 @@ def wire_unfuse(buf):
 def bitwire_kind(row_width: int):
     """(qual_bits, L) for a bitpack-family wire row width.
 
-    Three layouts, distinguished by width alone (each adaptive family's
+    Four layouts, distinguished by width alone (each adaptive family's
     width function bumps past the others' valid widths, so membership
     tests are exact — see ``hpgq.io.native.bitwire6_width`` /
-    ``bitwire2q_width``):
+    ``bitwire2q_width`` / ``bitwire2c_width``):
 
     * 7-bit quals: W = 10L/8 + 8 exactly.
     * 6-bit re-based quals: W = 9L/8 + 8 (+1 pad on 7-bit collision).
     * 2-bit palette indices (qual_bits returned as 2): W = 5L/8 + 12
-      (+pads past any 7-/6-bit collision)."""
-    from ..io.native import bitwire2q_width, bitwire6_width
+      (+pads past any 7-/6-bit collision).
+    * 2c — 2-bit codes + 2-bit palette indices (qual_bits returned as
+      the sentinel -2): W = 4L/8 + 12 (+pads past the other families).
+      A 2c buffer cannot be decoded alone — its codes need the exception
+      sidecar (:func:`wire_unbits2c`)."""
+    from ..io.native import bitwire2c_width, bitwire2q_width, bitwire6_width
 
     body = (row_width - 8) * 8
     if body % 10 == 0 and (body // 10) % 8 == 0:
@@ -490,6 +494,10 @@ def bitwire_kind(row_width: int):
     for mm in (m, m - 1):
         if mm >= 1 and bitwire2q_width(8 * mm) == row_width:
             return 2, 8 * mm
+    for d in range(4):  # collision pads bump W by up to a few bytes
+        L2 = 2 * (row_width - d - 12)
+        if L2 > 0 and L2 % 8 == 0 and bitwire2c_width(L2) == row_width:
+            return -2, L2
     raise ValueError("not a bitpack-family row width: %d" % row_width)
 
 
@@ -558,6 +566,10 @@ def wire_unbits(buf):
     path."""
     B, W = buf.shape
     qbits, L = bitwire_kind(W)
+    if qbits == -2:
+        raise ValueError(
+            "2c wire rows need their exception sidecar — decode with "
+            "wire_unbits2c(buf, exc)")
     if qbits == 6:
         return _unbits6(buf, L)
     if qbits == 2:
@@ -636,6 +648,46 @@ def _unbits2q(buf, L: int):
     q = jnp.where(idx < 2, lo, hi)
     mask = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < lens[:, None]
     quals = jnp.where(mask, q, jnp.uint8(0))
+    return codes, quals, lens, valid
+
+
+def wire_unbits2c(buf, exc):
+    """Device-side decoder of the bitpack2c wire (see
+    ``hpgq.io.packer.wire_bitpack2c_np``) -> (codes, quals, lens, valid).
+
+    Row layout (W = 4L/8 + 12 + pads): little-endian 2-bit base codes
+    (A..T; N/OTHER positions packed as 0), 2-bit palette indices, then
+    len_le32|valid|palette4|pad3.  ``exc`` is the int32 exception sidecar
+    — ``((row * L + pos) << 1) | is_other`` entries, row-major, padded
+    with out-of-bounds sentinels — scatter-restored here as codes 4/5
+    (sorted unique indices, ``mode='drop'`` eats the padding), so every
+    downstream kernel sees EXACT codes; beyond-length positions are set
+    to 5 (OTHER) to match ``pack_block``'s padding byte-for-byte."""
+    B, W = buf.shape
+    qbits, L = bitwire_kind(W)
+    assert qbits == -2, (W, qbits)
+    c2 = L // 4
+    q2 = L // 4
+    cb = buf[:, :c2].reshape(B, L // 8, 2)
+    codes2 = _bit_fields(cb, 2, 3).reshape(B, L)
+    idx = exc >> 1
+    val = ((exc & 1) + 4).astype(jnp.uint8)
+    codes = (
+        codes2.reshape(-1)
+        .at[idx].max(val, mode="drop", unique_indices=True,
+                     indices_are_sorted=True)
+        .reshape(B, L)
+    )
+    qb = buf[:, c2 : c2 + q2].reshape(B, L // 8, 2)
+    qidx = _bit_fields(qb, 2, 3).reshape(B, L)
+    lens, valid = _wire_tail(buf, c2 + q2)
+    pal = buf[:, c2 + q2 + 5 : c2 + q2 + 9]  # [B, 4] ascending
+    lo = jnp.where(qidx == 0, pal[:, 0:1], pal[:, 1:2])
+    hi = jnp.where(qidx == 2, pal[:, 2:3], pal[:, 3:4])
+    q = jnp.where(qidx < 2, lo, hi)
+    mask = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < lens[:, None]
+    quals = jnp.where(mask, q, jnp.uint8(0))
+    codes = jnp.where(mask, codes, jnp.uint8(5)).astype(jnp.int8)
     return codes, quals, lens, valid
 
 
@@ -748,8 +800,14 @@ def make_stats_step(
         inner = step
         unfuse = wire_unfuse if wire == "fused4" else wire_unbits
 
-        def step(acc, buf):  # noqa: F811 — fused single-buffer entry
-            codes, quals, lens, valid = unfuse(buf)
+        def step(acc, buf, exc=None):  # noqa: F811 — fused single-buffer
+            # entry; ``exc`` is the 2c tier's exception sidecar (the
+            # jitted step retraces per argument structure, so the
+            # None/array alternation costs one extra trace, not a branch)
+            if exc is None:
+                codes, quals, lens, valid = unfuse(buf)
+            else:
+                codes, quals, lens, valid = wire_unbits2c(buf, exc)
             codes, quals = pad_wire_cols(codes, quals, lcap)
             return inner(acc, codes, quals, lens, valid)
 

@@ -162,7 +162,8 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0,
             from ..io.packer import pack_block_wire, wire_len
 
             buf = pack_block_wire(block, wire, wire_len(block.max_len(), L),
-                                  pad_reads_to=rows, allow6=True)
+                                  pad_reads_to=rows, allow6=True,
+                                  allow2c=True)
             return block, (jax.device_put(buf),)
         packed = pack_block(block, max_len=L, pad_reads_to=rows)
         if wire == "pack4":

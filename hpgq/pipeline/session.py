@@ -86,7 +86,7 @@ class StatsSession:
 
             self.acc.update(pack_block_wire(
                 block, wire, wire_len(block.max_len(), self.lcap),
-                pad_reads_to=rows, allow6=True))
+                pad_reads_to=rows, allow6=True, allow2c=True))
             return
         self.feed_packed(*pack_block(
             block, max_len=self.lcap, pad_reads_to=rows
@@ -94,14 +94,16 @@ class StatsSession:
 
     def feed_packed(self, codes, quals=None, lens=None, valid=None):
         # quals carry the logical L; a lone wire buffer encodes L in its
-        # row width (fused4: W = L/2 + L + 8; bitpack: W = 10L/8 + 8).
+        # row width (fused4: W = L/2 + L + 8; bitpack: W = 10L/8 + 8; a
+        # (buf, exc) tuple is the 2c tier with its exception sidecar).
         # Wire widths may be trimmed below lcap (io.packer.wire_len); the
         # device cap itself always stays 128-lane rounded.
         if quals is None:
             from ..kernels.stats_jnp import bitwire_logical_len, fused_logical_len
 
+            W = (codes[0] if isinstance(codes, tuple) else codes).shape[1]
             L = (bitwire_logical_len if self.acc.wire == "bitpack"
-                 else fused_logical_len)(codes.shape[1])
+                 else fused_logical_len)(W)
         else:
             L = quals.shape[1]
         if L > self.lcap:
