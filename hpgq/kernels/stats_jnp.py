@@ -873,7 +873,11 @@ def make_paired_stats_step(
 
     if wire in ("fused4", "bitpack"):
         def unf(t):
-            c, q, l, v = (wire_unfuse if wire == "fused4" else wire_unbits)(t)
+            if isinstance(t, tuple):  # 2c tier: (buf, exc) sidecar pair
+                c, q, l, v = wire_unbits2c(*t)
+            else:
+                c, q, l, v = (wire_unfuse if wire == "fused4"
+                              else wire_unbits)(t)
             c, q = pad_wire_cols(c, q, lcap)
             return c, q, l, v
     elif wire == "pack4":

@@ -185,9 +185,9 @@ class PairedStatsSession:
 
             wl = wire_len(max(b1.max_len(), b2.max_len()), L)
             in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows,
-                                  allow6=True)
+                                  allow6=True, allow2c=True)
             in2 = pack_block_wire(b2, self.wire, wl, pad_reads_to=rows,
-                                  allow6=True)
+                                  allow6=True, allow2c=True)
         else:
             in1 = pack_block(b1, max_len=L, pad_reads_to=rows)
             in2 = pack_block(b2, max_len=L, pad_reads_to=rows)
@@ -199,8 +199,8 @@ class PairedStatsSession:
         return in1, in2
 
     def _packed_len(self, in1) -> int:
-        # wire mode packs each mate to ONE uint8 buffer (the step's unf
-        # expects the bare array); the plain/pack4 modes pass the
+        # wire mode packs each mate to ONE uint8 buffer (a (buf, exc)
+        # 2-tuple for the 2c tier); the plain/pack4 modes pass the
         # (codes, quals, lens, valid) tuple
         if self.wire in ("bitpack", "fused4"):
             from ..kernels.stats_jnp import (
@@ -208,8 +208,9 @@ class PairedStatsSession:
                 fused_logical_len,
             )
 
+            W = (in1[0] if isinstance(in1, tuple) else in1).shape[1]
             return (bitwire_logical_len if self.wire == "bitpack"
-                    else fused_logical_len)(in1.shape[1])
+                    else fused_logical_len)(W)
         return in1[1].shape[1]
 
     def feed_pair_packed(self, in1, in2) -> None:
@@ -341,16 +342,22 @@ class ShapeCachedFn:
             rows = bucket_rows(n, self.batch_reads)
             buf = None
             if self._qn and os.environ.get("HPGQ_QN_WIRE", "1") != "0":
-                # prefer the 2q palette (5 bits/base) over the qn8 upgrade
-                # (8 bits/base) when the block fits — it carries a strict
-                # superset of what the verdict/trim kernels read.  Sticky
-                # misfit: after _PAL_MISS_LIMIT consecutive misses the
-                # session stops paying the attempt.
+                # prefer the narrowest layout that carries what the
+                # verdict/trim kernels read: 2c (4.1 bits/base, exact
+                # codes via the exception sidecar) over the 2q palette
+                # (5 bits/base) over the qn8 upgrade (8 bits/base).
+                # Sticky misfit: after _PAL_MISS_LIMIT consecutive misses
+                # the session stops paying the attempts.
                 if self._pal_miss < self._PAL_MISS_LIMIT:
-                    from ..io.packer import try_pack_block_palette
+                    from ..io.packer import (
+                        try_pack_block_2c,
+                        try_pack_block_palette,
+                    )
 
-                    buf = try_pack_block_palette(block, wl,
-                                                 pad_reads_to=rows)
+                    buf = try_pack_block_2c(block, wl, pad_reads_to=rows)
+                    if buf is None:
+                        buf = try_pack_block_palette(block, wl,
+                                                     pad_reads_to=rows)
                     self._pal_miss = 0 if buf is not None \
                         else self._pal_miss + 1
                 if buf is not None:
@@ -362,8 +369,16 @@ class ShapeCachedFn:
             if buf is None:
                 buf = pack_block_wire(block, wire, wl, pad_reads_to=rows,
                                       allow6=(wire == "bitpack"))
-            wrap = lambda inner: (lambda b: inner(*unf(b)))  # noqa: E731
-            out = self._fn_for(buf.shape, wire, wrap)(buf)
+            if isinstance(buf, tuple):  # 2c: (buf, exc) sidecar pair
+                from ..kernels.stats_jnp import wire_unbits2c
+
+                wrap2 = lambda inner: (  # noqa: E731
+                    lambda b, e: inner(*wire_unbits2c(b, e)))
+                out = self._fn_for((buf[0].shape, buf[1].shape),
+                                   "bitpack2c", wrap2)(*buf)
+            else:
+                wrap = lambda inner: (lambda b: inner(*unf(b)))  # noqa: E731
+                out = self._fn_for(buf.shape, wire, wrap)(buf)
         else:
             codes, quals, lens, valid = pack_block(
                 block, max_len=lmax,
@@ -396,14 +411,25 @@ class ShapeCachedPairFn(ShapeCachedFn):
 
             wl = wire_len(max(b1.max_len(), b2.max_len()), lmax)
             in1 = in2 = None
+            two_c = False
             if wire == "qn8" and self._pal_miss < self._PAL_MISS_LIMIT:
-                # palette preference (see ShapeCachedFn.__call__) — both
-                # mates must fit: they share one (rows, width) shape
-                from ..io.packer import try_pack_block_palette
+                # narrow-tier preference (see ShapeCachedFn.__call__) —
+                # both mates must fit the SAME tier: 2c first (exact
+                # codes + exception sidecars), else the 2q palette
+                from ..io.packer import (
+                    try_pack_block_2c,
+                    try_pack_block_palette,
+                )
 
-                in1 = try_pack_block_palette(b1, wl, pad_reads_to=rows)
-                in2 = (try_pack_block_palette(b2, wl, pad_reads_to=rows)
+                in1 = try_pack_block_2c(b1, wl, pad_reads_to=rows)
+                in2 = (try_pack_block_2c(b2, wl, pad_reads_to=rows)
                        if in1 is not None else None)
+                if in2 is not None:
+                    two_c = True
+                else:
+                    in1 = try_pack_block_palette(b1, wl, pad_reads_to=rows)
+                    in2 = (try_pack_block_palette(b2, wl, pad_reads_to=rows)
+                           if in1 is not None else None)
                 if in2 is not None:
                     from ..kernels.stats_jnp import wire_unbits
 
@@ -418,9 +444,19 @@ class ShapeCachedPairFn(ShapeCachedFn):
                                       allow6=a6)
                 in2 = pack_block_wire(b2, wire, wl, pad_reads_to=rows,
                                       allow6=a6)
-            wrap = lambda inner: (  # noqa: E731
-                lambda a, b: inner(*unf(a), *unf(b)))
-            out = self._fn_for(in1.shape, wire, wrap)(in1, in2)
+            if two_c:
+                from ..kernels.stats_jnp import wire_unbits2c
+
+                wrap2 = lambda inner: (  # noqa: E731
+                    lambda a1, e1, a2, e2: inner(*wire_unbits2c(a1, e1),
+                                                 *wire_unbits2c(a2, e2)))
+                out = self._fn_for(
+                    (in1[0].shape, in1[1].shape, in2[0].shape,
+                     in2[1].shape), "bitpack2c", wrap2)(*in1, *in2)
+            else:
+                wrap = lambda inner: (  # noqa: E731
+                    lambda a, b: inner(*unf(a), *unf(b)))
+                out = self._fn_for(in1.shape, wire, wrap)(in1, in2)
         else:
             p1 = pack_block(b1, max_len=lmax, pad_reads_to=rows)
             p2 = pack_block(b2, max_len=lmax, pad_reads_to=rows)

@@ -472,15 +472,22 @@ def test_filter_edit_palette_wire(tmp_path, monkeypatch):
         o.criteria.max_left_quality = 60
         return o
 
-    hits = {"fit": 0}
+    hits = {"fit": 0, "fit2c": 0}
     orig = packer_mod.try_pack_block_palette
+    orig2c = packer_mod.try_pack_block_2c
 
     def spy(*a, **k):
         out = orig(*a, **k)
         hits["fit"] += int(out is not None)
         return out
 
+    def spy2c(*a, **k):
+        out = orig2c(*a, **k)
+        hits["fit2c"] += int(out is not None)
+        return out
+
     monkeypatch.setattr(packer_mod, "try_pack_block_palette", spy)
+    monkeypatch.setattr(packer_mod, "try_pack_block_2c", spy2c)
     monkeypatch.setenv("HPGQ_WIRE", "bitpack")
     outs = {}
     for tag, qpal in (("pal", "1"), ("nopal", "0")):
@@ -497,7 +504,10 @@ def test_filter_edit_palette_wire(tmp_path, monkeypatch):
             rf["num_passed"], rf["num_failed"], re_["num_edited"],
         )
     assert outs["pal"] == outs["nopal"]
-    assert hits["fit"] > 0  # the palette tier actually carried batches
+    # a narrow tier actually carried batches (2c preferred; the palette
+    # only engages for blocks 2c rejects)
+    assert hits["fit2c"] + hits["fit"] > 0
+    assert hits["fit2c"] > 0  # the 2c tier specifically
 
 
 def test_phred64_encoding_and_aliases(tmp_path):

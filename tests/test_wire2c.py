@@ -141,6 +141,46 @@ def test_decode_round_trip_exact(tmp_path, varlen):
             np.testing.assert_array_equal(valid, ref[3], err_msg="valid")
 
 
+def test_paired_2c_equals_plain(tmp_path, monkeypatch):
+    """Paired stats+filter through the 2c wire == the wire-off run on an
+    N-containing binned corpus (pair-consistent verdicts ride the
+    restored exact codes)."""
+    import dataclasses
+
+    from hpgq.options import FilterCriteria, StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    p1 = str(tmp_path / "m1.fq")
+    p2 = str(tmp_path / "m2.fq")
+    make_fastq(p1, 4000, min_len=100, max_len=100, n_prob=0.02, seed=21,
+               qual_bins=(2, 12, 23, 37))
+    make_fastq(p2, 4000, min_len=100, max_len=100, n_prob=0.02, seed=22,
+               qual_bins=(2, 12, 23, 37))
+    crit = FilterCriteria(min_read_quality=20, max_read_quality=60, max_N=2)
+
+    def run(wire):
+        monkeypatch.setenv("HPGQ_WIRE", wire)
+        o = StatsOptions()
+        o.in_filename, o.in_filename2 = p1, p2
+        o.out_dirname = str(tmp_path / ("out_" + wire))
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 1500
+        o.criteria = dataclasses.replace(crit)
+        o.filter_on = True
+        return run_stats(o, report=False)
+
+    w1, w2 = run("bitpack")
+    o1, o2 = run("off")
+    for got, want in ((w1, o1), (w2, o2)):
+        assert got.num_passed == want.num_passed
+        assert got.num_failed == want.num_failed
+        assert got.num_reads == want.num_reads
+        assert (got.num_As, got.num_Ns) == (want.num_As, want.num_Ns)
+        np.testing.assert_array_equal(got.base_per_nt, want.base_per_nt)
+        np.testing.assert_array_equal(got.quality_hist, want.quality_hist)
+
+
 def test_engine_2c_equals_oracle(tmp_path, monkeypatch):
     """End-to-end stats+filter through the 2c wire == the numpy oracle on
     an N-containing binned corpus (jnp engine, forced bitpack wire)."""
