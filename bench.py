@@ -865,11 +865,16 @@ def run_scaling_subprocess(reads: int, timeout_s: float):
     # pattern kill): a timeout or a _bail must reach the pinned taskset
     # workers too, not just the bench_scaling parent (orphans would keep
     # burning cores into the next measurement)
+    env = dict(os.environ)
+    # the child self-limits its round count to ~the timeout we will
+    # enforce, so a squeezed budget yields fewer rounds, not a kill that
+    # loses the metric line
+    env["HPGQ_SCALING_BUDGET_S"] = str(max(15.0, timeout_s - 10.0))
     p = subprocess.Popen(
         [sys.executable, os.path.join(here, "bench_scaling.py"),
          "--two-process", "--reads", str(reads)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        cwd=here, start_new_session=True,
+        cwd=here, start_new_session=True, env=env,
     )
     _STATE["scaling_proc"] = p
     try:
@@ -1288,16 +1293,18 @@ def main():
         # headline is _bail-protected)
         with _guard("scaling"):
             headroom = budget * 1.15 - (time.perf_counter() - t_all) - 8.0
-            # 393216 reads / 65536-read batches: both configs run identical
-            # full 65536-row dispatch shapes (6 steps 1-proc, 3 steps/proc
+            # 786432 reads / 65536-read batches: both configs run identical
+            # full 65536-row dispatch shapes (12 steps 1-proc, 6 steps/proc
             # 2-proc), so the efficiency fraction measures the lockstep +
             # imbalance cost, not batch-granularity luck; big enough that
-            # per-pass fixed costs (session, report, finish merge) don't
-            # swamp the scalable part (262144 measured 0.70-0.79, 393216
-            # 0.80-0.86 — the residual IS the flat cost, which a real
-            # production stream amortizes to nothing)
+            # per-pass fixed costs (session setup, finish merge, report)
+            # don't swamp the scalable part (262144 measured 0.70-0.79,
+            # 393216 0.80-0.86, 786432 0.92 — the residual IS the flat
+            # cost, which a real production stream amortizes to nothing).
+            # The child self-limits rounds to the timeout (scaling budget
+            # env), so a tight headroom degrades to fewer rounds.
             sc = run_scaling_subprocess(
-                min(393_216, args.reads),
+                min(786_432, args.reads),
                 timeout_s=max(20.0, min(150.0, headroom)))
             if sc:
                 _emit(sc)

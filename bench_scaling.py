@@ -54,7 +54,10 @@ sys.path.insert(0, repo)
 from hpgq.options import StatsOptions
 from hpgq.dist.run_dist import run_stats_sharded
 
+from hpgq.utils.timers import StageTimers
+
 dts, reads = [], 0
+stages = []
 outdir = tempfile.mkdtemp(prefix="hpgq_scal_")
 for i in range(int(passes)):
     o = StatsOptions()
@@ -66,11 +69,14 @@ for i in range(int(passes)):
     o.criteria.min_read_quality = 20
     o.criteria.max_read_quality = 60
     o.filter_on = True
+    t = StageTimers()
     t0 = time.perf_counter()
-    c = run_stats_sharded(o)
+    c = run_stats_sharded(o, t)
     dts.append(time.perf_counter() - t0)
+    stages.append({k: round(v, 3) for k, v in sorted(t.totals.items())})
     reads = c.num_passed + c.num_failed  # psum'd: global totals
-print(json.dumps({"pid": int(pid), "pass_seconds": dts, "reads": reads}))
+print(json.dumps({"pid": int(pid), "pass_seconds": dts, "reads": reads,
+                  "stages": stages}))
 """
 
 
@@ -166,13 +172,29 @@ def run_two_process(reads: int, read_len: int, passes: int = 3) -> None:
         # per-pass wall = slowest process (lockstep); skip pass 0 (compile)
         walls = [max(o["pass_seconds"][p] for o in outs)
                  for p in range(1, passes)]
+        stg = outs[0].get("stages")
+        if stg:
+            print(json.dumps({"nproc": len(outs), "walls": [round(w, 3)
+                              for w in walls], "stages_best": stg[-1]}),
+                  file=sys.stderr)
         return n / min(walls)
 
     effs = []
     rounds = int(os.environ.get("HPGQ_SCALING_ROUNDS", "3"))
+    # budget-aware: the caller (bench.py) runs this under a hard timeout —
+    # settling for fewer completed rounds beats a timeout kill that loses
+    # the metric line entirely
+    budget = float(os.environ.get("HPGQ_SCALING_BUDGET_S", "0") or 0)
+    t_start = time.perf_counter()
+    last_round = 0.0
     for rnd in range(rounds):
+        if (effs and budget
+                and time.perf_counter() - t_start + last_round > budget):
+            break
+        t0 = time.perf_counter()
         r1 = collect(spawn(1, [0]))
         r2 = collect(spawn(2, [0, 1]))
+        last_round = time.perf_counter() - t0
         effs.append(r2 / (2.0 * r1))
         print(json.dumps({"round": rnd, "rps_1proc": round(r1, 1),
                           "rps_2proc": round(r2, 1),
