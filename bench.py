@@ -531,11 +531,14 @@ def make_edit_pass(path: str, batch_size: int, tmp: str):
 
 
 def make_paired_pass(path1: str, path2: str, batch_size: int, tmp: str):
-    """Config #4 engine pass factory: paired stats + inline filter."""
+    """Config #4 engine pass factory: paired stats + inline filter.  Each
+    pass's per-stage timers land on ``one_pass.last_stages`` (VERDICT r4
+    #2: the paired pass carries the same attribution the headline has)."""
     import dataclasses
 
     from hpgq.options import StatsOptions
     from hpgq.pipeline.run import run_stats
+    from hpgq.utils.timers import StageTimers
 
     def one_pass():
         o = StatsOptions()
@@ -546,10 +549,17 @@ def make_paired_pass(path1: str, path2: str, batch_size: int, tmp: str):
         o.batch_size = batch_size
         o.criteria = dataclasses.replace(CRIT)
         o.filter_on = True
+        t = StageTimers()
         t0 = time.perf_counter()
-        c1, c2 = run_stats(o)
+        c1, c2 = run_stats(o, t)
+        dt = time.perf_counter() - t0
         pairs = c1.num_passed + c1.num_failed
-        return 2 * pairs / (time.perf_counter() - t0), 2 * pairs
+        one_pass.last_stages = {
+            "wall_s": round(dt, 3),
+            "stages_s": {k: round(v, 3) for k, v in sorted(t.totals.items())},
+            "batches": t.num_batches,
+        }
+        return 2 * pairs / dt, 2 * pairs
 
     return one_pass
 
@@ -1182,6 +1192,9 @@ def main():
                                                 substituted),
                     rounds=mode_rounds, budget_s=mode_budget())
                 mode_fx[tag] = fx
+                stages = getattr(engine_pass, "last_stages", None)
+                if stages:  # per-stage attribution (VERDICT r4 #2)
+                    _emit({"mode_stages": tag, **stages}, err=True)
                 line = {"metric": metric, "value": round(e_rps, 1),
                         "unit": "reads/s",
                         "vs_baseline": _vs(e_rps, o_rps),

@@ -140,6 +140,30 @@ def make_sharded_stats_step(
                                      vary_axis="data")
     acc_spec = jax.tree_util.tree_map(lambda _: P("data"), stats_jnp.zero_partials(lcap, kmers_on))
 
+    if wire == "bitpack2c":
+        # 2c tier: the wire buffer travels with its per-device exception
+        # sidecar ([ndev*Edev] int32, sharded on 'data' like the rows —
+        # entries encode ((local_row * L + pos) << 1) | is_other, padded
+        # with per-device OOB sentinels); the decode scatter-restores
+        # exact codes per device (stats_jnp.wire_unbits2c)
+        def device_fn(acc, buf, exc):
+            inner = jax.tree_util.tree_map(lambda x: x[0], acc)
+            c, q, l, v = stats_jnp.wire_unbits2c(buf, exc)
+            c, q = stats_jnp.pad_wire_cols(c, q, lcap)
+            out = step(inner, c, q, l, v)
+            return jax.tree_util.tree_map(lambda x: x[None], out)
+
+        fn = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(acc_spec, P("data"), P("data")),
+            out_specs=acc_spec,
+        )
+        jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
+        if ck is not None:
+            _step_cache_put(ck, jfn)
+        return jfn
+
     if wire in ("bitpack", "fused4"):
         unf = (stats_jnp.wire_unbits if wire == "bitpack"
                else stats_jnp.wire_unfuse)

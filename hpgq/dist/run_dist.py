@@ -103,9 +103,19 @@ class ShardedStatsSession:
         from ..io.packer import bitwire_tier_floor
 
         self._tiered = self.wire == "bitpack"
-        self._tier_floor = bitwire_tier_floor() if self._tiered else 2
+        # single-end sharded sessions ride the full ladder incl. tier -1
+        # (2c: the step variant accepts the exception sidecar); the paired
+        # and CGR sharded sessions keep floor >= 0
+        self._tier_floor = (bitwire_tier_floor(allow2c=True)
+                            if self._tiered else 2)
+        # vote-vector width is pinned at construction (env-derived, same
+        # on every rank): the sticky escalation below may raise
+        # _tier_floor mid-run, which must not change the lockstep vote
+        # length across ranks
+        self._vote_width = 5 if self._tier_floor < 0 else 4
         self._probe = None  # (block_id, (tier, wl, rows), packed buffer)
         self._tier_miss = 0
+        self._step2c = None  # lazily-built 2c step (per lcap)
         self._reset(lcap)
 
     def _reset(self, lcap: int):
@@ -115,6 +125,7 @@ class ShardedStatsSession:
             self.mesh, lcap, self.phred, self.kmers_on, self.crit,
             wire=self.wire,
         )
+        self._step2c = None  # rebuilt on first 2c feed at this lcap
         self._sharding = NamedSharding(self.mesh, P("data"))
         self._rows_since_flush = 0
 
@@ -138,15 +149,21 @@ class ShardedStatsSession:
         voted lcap).  ``(0, 0, 0)`` marks an exhausted shard.
 
         Bitpack wire sessions append a 4th element: the narrowest adaptive
-        tier this block fits (0 = 2q palette, 1 = 6-bit, 2 = 7-bit) — a
-        per-rank lower bound, so element-wise max votes the widest tier
-        any rank needs and every rank packs the same row width.  The
-        probe IS a pack (native single-pass, returns None on misfit); the
-        buffer is cached and reused by ``feed_block`` when the voted
-        shape matches the local one (the common case: full buckets,
-        homogeneous corpus)."""
+        tier this block fits (-1 = 2c, 0 = 2q palette, 1 = 6-bit,
+        2 = 7-bit) — a per-rank lower bound, so element-wise max votes
+        the widest tier any rank needs and every rank packs the same row
+        width.  (An exhausted shard's all-zero vector maxes a live -1 up
+        to 0 on tail steps — a harmless widening, since wider tiers
+        always pack.)  Single-end sessions whose floor allows tier -1
+        append a 5th element: the per-device exception-bucket count —
+        max'd like the rest, every rank then pads its sidecar to the
+        voted bucket.  The probe IS a pack (native single-pass, returns
+        None on misfit); the buffer is cached and reused by
+        ``feed_block`` when the voted shape matches the local one (the
+        common case: full buckets, homogeneous corpus)."""
+        width = getattr(self, "_vote_width", 4)
         if block is None:
-            return (0, 0, 0, 0) if self._tiered else (0, 0, 0)
+            return (0,) * width if self._tiered else (0, 0, 0)
         lmax = round_up(max(block.max_len(), 1), 128)
         rows = min(self.batch_reads,
                    round_up(bucket_rows(block.num_reads, self.batch_reads),
@@ -155,7 +172,15 @@ class ShardedStatsSession:
         if not self._tiered:
             return (lmax, rows, rawlen)
         wl = wire_len(rawlen, max(self.lcap, lmax))
-        return (lmax, rows, rawlen, self._probe_tier(block, wl, rows))
+        tier = self._probe_tier(block, wl, rows)
+        if width == 4:
+            return (lmax, rows, rawlen, tier)
+        excb = 0
+        if tier == -1:
+            pr = self._probe
+            if pr is not None and pr[0] == id(block) and pr[2] is not None:
+                excb = self._exc_dev_buckets(pr[2][1], rows, wl)
+        return (lmax, rows, rawlen, tier, excb)
 
     def _probe_tier(self, block, wl: int, rows: int,
                     force_monotone: bool = False,
@@ -183,11 +208,14 @@ class ShardedStatsSession:
             buf = pack_block_bitwire_tier(block, wl, tier, pad_reads_to=rows)
             if buf is None:
                 tier += 1
-        if tier == 0 and (force_monotone or jax.process_count() > 1):
+        if tier in (-1, 0) and (force_monotone or jax.process_count() > 1):
+            # tier -1 -> 0 is containment (2c = 2q palette criterion plus
+            # an exception budget), but both palette tiers need the 6-bit
+            # guard below before they can be max'd with other votes
             from ..io.packer import bitwire_tier_palette_cols
 
-            ps, pe = bitwire_tier_palette_cols(wl)
-            pal = buf[:, ps:pe]
+            ps, pe = bitwire_tier_palette_cols(wl, tier)
+            pal = (buf[0] if isinstance(buf, tuple) else buf)[:, ps:pe]
             if int((pal[:, 3].astype(np.int16)
                     - pal[:, 0].astype(np.int16)).max(initial=0)) > 63:
                 tier = 2
@@ -243,6 +271,13 @@ class ShardedStatsSession:
                     buf = pack_block_bitwire_tier(block, wl, tier,
                                                   pad_reads_to=rows)
                 valid_off = bitwire_tier_valid_off(wl, tier)
+                if tier == -1:
+                    buf, exc = buf
+                    if sel is not None:
+                        zero_wire_sel(buf, sel, valid_off=valid_off)
+                    excb = shape[4] if len(shape) > 4 else 0
+                    self._feed_wire2c(buf, exc, rows, wl, excb)
+                    return
             else:
                 buf = pack_block_wire(block, self.wire, wl,
                                       pad_reads_to=rows)
@@ -270,6 +305,13 @@ class ShardedStatsSession:
 
                 tier = shape[3] if shape is not None and len(shape) > 3 else 2
                 W = bitwire_tier_width(wl, tier)
+                if tier == -1:
+                    # all-zero rows decode to valid=0; an all-sentinel
+                    # sidecar scatters nothing (mode='drop')
+                    excb = shape[4] if len(shape) > 4 else 0
+                    self._feed_wire2c(np.zeros((rows, W), np.uint8),
+                                      np.empty(0, np.int32), rows, wl, excb)
+                    return
             else:
                 W = wl // 2 + wl + 8
             # all-zero wire rows decode to valid=0 (no reads)
@@ -286,6 +328,77 @@ class ShardedStatsSession:
     def _feed_wire(self, buf):
         (gbuf,) = make_global_batch(self.mesh, self._sharding, (buf,))
         self.acc = self._step(self.acc, gbuf)
+        self._after_step(buf.shape[0])
+
+    @property
+    def _local_ndev(self) -> int:
+        """Devices THIS process feeds: each process contributes
+        process-local rows that shard over its own devices
+        (make_array_from_process_local_data), so per-device rows are
+        rows / local_ndev — NOT rows / global_ndev (the same trap as the
+        round-4 int32-flush-window bug)."""
+        return max(1, self.ndev // jax.process_count())
+
+    def _split_exc_by_device(self, exc, rows: int, wl: int):
+        """Regroup a local-row exception list (packer output, sorted
+        row-major) into per-LOCAL-device lists for the sharded decode:
+        local device d owns rows [d*rpd, (d+1)*rpd), its entries
+        re-encode as ((device_row * L + pos) << 1) | flag.  Returns
+        (list of local_ndev int32 arrays, max per-device count)."""
+        ldev = self._local_ndev
+        rpd = rows // ldev
+        live = exc[exc < np.int32((rows * wl) << 1)]  # strip sentinels
+        rowpos = (live >> 1).astype(np.int64)
+        dev = (rowpos // wl) // rpd
+        local = (((rowpos - dev * (rpd * wl)) << 1)
+                 | (live & 1)).astype(np.int32)
+        parts = [local[dev == d] for d in range(ldev)]
+        return parts, max((p.size for p in parts), default=0)
+
+    def _exc_dev_buckets(self, exc, rows: int, wl: int) -> int:
+        """Per-device exception-bucket count for the lockstep vote.
+
+        Must upper-bound the count of ANY device's slice under any voted
+        rows >= the local probe's (the vote can widen rows, which widens
+        rows-per-device and re-groups the exceptions).  A device slice is
+        an aligned window of rpd <= batch_reads/local_ndev consecutive
+        rows, and every such window is contained in some SLIDING window
+        of rpd_max rows — so the sliding-window max count is a sound
+        bound for every grouping the vote can produce."""
+        from ..io.native import EXC_BUCKET
+
+        live = exc[exc < np.int32((rows * wl) << 1)]
+        r = (live >> 1).astype(np.int64) // wl  # ascending (row-major pack)
+        rpd_max = self.batch_reads // self._local_ndev
+        if r.size:
+            hi = np.searchsorted(r, r + rpd_max, side="left")
+            mx = int((hi - np.arange(r.size)).max())
+        else:
+            mx = 0
+        return -(-max(mx, 1) // EXC_BUCKET)
+
+    def _feed_wire2c(self, buf, exc, rows: int, wl: int, excb: int):
+        """One sharded 2c step: the wire buffer plus its exception
+        sidecar, regrouped per device and padded to the VOTED per-device
+        bucket (``excb``) so every rank dispatches identical shapes."""
+        from ..io.native import EXC_BUCKET
+
+        if self._step2c is None:
+            self._step2c = make_sharded_stats_step(
+                self.mesh, self.lcap, self.phred, self.kmers_on, self.crit,
+                wire="bitpack2c",
+            )
+        parts, _ = self._split_exc_by_device(exc, rows, wl)
+        ldev = self._local_ndev
+        rpd = rows // ldev
+        edev = max(excb, 1) * EXC_BUCKET
+        sent = np.int32((rpd * wl) << 1)  # OOB for the device's shard
+        gexc = np.full(ldev * edev, sent, dtype=np.int32)
+        for d, p in enumerate(parts):
+            gexc[d * edev : d * edev + p.size] = p
+        gbuf, gexc = make_global_batch(self.mesh, self._sharding,
+                                       (buf, gexc))
+        self.acc = self._step2c(self.acc, gbuf, gexc)
         self._after_step(buf.shape[0])
 
     def feed_packed(self, codes, quals, lens, valid):

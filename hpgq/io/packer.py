@@ -417,9 +417,12 @@ def pack_block_bitwire_adaptive(block, max_len: int,
 
 def bitwire_tier_width(L: int, tier: int) -> int:
     """Row width of the bitpack wire at an explicit tier
-    (0 = 2q qual-palette, 1 = 6-bit re-based quals, 2 = plain 7-bit)."""
-    from .native import bitwire2q_width, bitwire6_width
+    (-1 = 2c codes+palette, 0 = 2q qual-palette, 1 = 6-bit re-based
+    quals, 2 = plain 7-bit)."""
+    from .native import bitwire2c_width, bitwire2q_width, bitwire6_width
 
+    if tier == -1:
+        return bitwire2c_width(L)
     if tier == 0:
         return bitwire2q_width(L)
     if tier == 1:
@@ -430,8 +433,10 @@ def bitwire_tier_width(L: int, tier: int) -> int:
 def bitwire_tier_valid_off(L: int, tier: int) -> int:
     """Byte offset of the per-row valid flag in each bitpack tier layout
     (collision pad columns append at the END of a row, so offsets are
-    width-independent): 2q = codes3+qidx2+len4, 6-bit = codes3+q6+len4,
-    7-bit = codes3+q7+len4."""
+    width-independent): 2c = codes2+qidx2+len4, 2q = codes3+qidx2+len4,
+    6-bit = codes3+q6+len4, 7-bit = codes3+q7+len4."""
+    if tier == -1:
+        return 4 * L // 8 + 4
     if tier == 0:
         return 5 * L // 8 + 4
     if tier == 1:
@@ -439,42 +444,50 @@ def bitwire_tier_valid_off(L: int, tier: int) -> int:
     return 10 * L // 8 + 4
 
 
-def bitwire_tier_palette_cols(L: int) -> "tuple[int, int]":
+def bitwire_tier_palette_cols(L: int, tier: int = 0) -> "tuple[int, int]":
     """Column slice ``(start, stop)`` of the 4-entry ascending qual palette
-    in a tier-0 (2q) wire row — the tail layout is
-    ``[... | len4 | valid | palette4 | pad3]`` (see hpgq_pack_bitwire2q),
-    so the palette sits right after the valid byte.  Single source of
-    truth for consumers that read the palette back off the wire (the
-    multihost tier-vote monotonicity probe); the native-vs-numpy packer
-    equality tests pin this layout."""
-    vo = bitwire_tier_valid_off(L, 0)
+    in a palette-tier wire row (tier -1 = 2c, 0 = 2q) — both tail layouts
+    are ``[... | len4 | valid | palette4 | pad3]`` (see
+    hpgq_pack_bitwire2q / hpgq_pack_bitwire2c), so the palette sits right
+    after the valid byte.  Single source of truth for consumers that read
+    the palette back off the wire (the multihost tier-vote monotonicity
+    probe); the native-vs-numpy packer equality tests pin this layout."""
+    vo = bitwire_tier_valid_off(L, tier)
     return vo + 1, vo + 5
 
 
-def bitwire_tier_floor() -> int:
-    """Narrowest bitpack tier the environment allows: 0 unless
-    ``HPGQ_QPAL=0`` (then 1), 2 when ``HPGQ_WIRE6=0`` disables the whole
-    adaptive ladder."""
+def bitwire_tier_floor(allow2c: bool = False) -> int:
+    """Narrowest bitpack tier the environment allows: -1 (2c) for callers
+    whose device step accepts the exception sidecar when the tier is
+    enabled, else 0; 1 when ``HPGQ_QPAL=0`` disables the palette tiers,
+    2 when ``HPGQ_WIRE6=0`` disables the whole adaptive ladder."""
     import os
 
     if os.environ.get("HPGQ_WIRE6", "1") in ("0", "off"):
         return 2
     if os.environ.get("HPGQ_QPAL", "1") in ("0", "off"):
         return 1
+    if allow2c and wire2c_enabled():
+        return -1
     return 0
 
 
 def pack_block_bitwire_tier(block, max_len: int, tier: int,
                             pad_reads_to: int = 0):
     """Pack at EXACTLY the given bitpack tier; returns None when the
-    block's quals don't fit a narrow tier (0/1).  The multihost sharded
-    sessions vote the per-step tier element-wise max across ranks (a
-    rank's probed minimum tier is a lower bound any wider tier also
-    satisfies), so packing at a voted tier always succeeds."""
+    block doesn't fit a narrow tier (-1/0/1) — tier -1 (2c) additionally
+    returns a ``(buf, exc)`` tuple and misses when the exception sidecar
+    overflows or L is out of 2c scope.  The multihost sharded sessions
+    vote the per-step tier element-wise max across ranks (a rank's probed
+    minimum tier is a lower bound any wider tier also satisfies), so
+    packing at a voted tier always succeeds."""
     n = block.num_reads
     L = int(max_len)
     assert L % 8 == 0, L
     nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    if tier == -1:
+        return try_pack_block_2c(block, L, pad_reads_to=nrows)
 
     from . import native
 

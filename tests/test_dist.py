@@ -334,10 +334,12 @@ def test_tier_vote_monotone_under_max(tmp_path, monkeypatch):
     # sanity: the lattice really is non-monotone for this block
     assert pack_block_bitwire_tier(block, wl, 0) is not None
     assert pack_block_bitwire_tier(block, wl, 1) is None
+    assert pack_block_bitwire_tier(block, wl, -1) is not None  # N-free
 
-    # single-process: local tier is used directly — palette fine
+    # single-process: local tier is used directly — 2c fits (N-free
+    # rows + 2-distinct palette), the narrowest tier of the ladder
     shape = sess.local_shape(block)
-    assert shape[3] == 0
+    assert shape[3] == -1
 
     # multihost: must vote a max-safe tier (2)
     sess2 = rd.ShardedStatsSession(data_mesh(), 33, batch_reads=16384)

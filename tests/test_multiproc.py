@@ -216,6 +216,70 @@ def test_two_process_wire_tiers(tmp_path):
     assert a["qual_per_nt_sum"] == int(ref.acc_quality_per_nt.sum())
 
 
+def test_two_process_wire_2c(tmp_path):
+    """2-process lockstep where the 2c tier WINS the vote: a fully
+    RTA3-binned N-containing corpus — both ranks probe tier -1, the
+    5-wide vote carries the per-device exception-bucket element, and the
+    sharded step decodes each rank's regrouped sidecar.  Counters must
+    equal the single-process wire-off truth (incl. num_Ns: the exact-N
+    restoration crossing process + device sharding)."""
+    n = 2400
+    fq = str(tmp_path / "b2c.fq")
+    make_fastq(fq, n, min_len=40, max_len=110, n_prob=0.03, seed=43,
+               qual_bins=(2, 12, 23, 37))
+
+    worker = str(tmp_path / "worker.py")
+    open(worker, "w").write(_WORKER)
+    coord = "localhost:%d" % _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["HPGQ_WIRE"] = "bitpack"
+    outs = [str(tmp_path / ("out%d" % i)) for i in range(2)]
+    for o in outs:
+        os.makedirs(o)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), "2", fq, outs[i],
+             "filtered",
+             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for i in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err.decode()[-3000:]
+        results.append(json.loads(out.decode().strip().splitlines()[-1]))
+    a, b = results
+    for k in a:
+        if k != "pid":
+            assert a[k] == b[k], (k, a[k], b[k])
+
+    from hpgq.options import StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    o = StatsOptions()
+    o.in_filename = fq
+    o.out_dirname = str(tmp_path / "ref")
+    os.makedirs(o.out_dirname)
+    o.quality_encoding_value = 33
+    o.quality_encoding_name = "phred33"
+    o.batch_size = 512
+    o.criteria.min_read_quality = 18
+    o.criteria.max_read_quality = 40
+    o.filter_on = True
+    ref = run_stats(o)
+    for k, v in (("num_reads", ref.num_reads),
+                 ("num_passed", ref.num_passed),
+                 ("num_failed", ref.num_failed),
+                 ("acc_length", ref.acc_length),
+                 ("num_As", ref.num_As), ("num_Ns", ref.num_Ns),
+                 ("qual_per_nt_sum", int(ref.acc_quality_per_nt.sum()))):
+        assert a[k] == v, (k, a[k], v)
+
+
 _OUTPUT_WORKER = r"""
 import json, os, sys
 

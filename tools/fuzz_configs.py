@@ -72,6 +72,7 @@ def one_round(rng, rnd: int) -> dict:
         # adaptive tiers (native returns 0 -> next rung), so the whole
         # fallback ladder is drawn.
         "wire6": str(rng.choice(["0", "1"])),
+        "wire2c": str(rng.choice(["0", "1"])),
         "qshape": str(rng.choice(["uniform", "uniform", "binned", "wide"])),
         "batch_size": int(rng.choice([37, 250, 1000, 10000])),
         "coalesce": int(rng.choice([0, 777, 131072])),
@@ -227,12 +228,14 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
     from hpgq.oracle import spec
     from hpgq.pipeline.run import run_filter, run_stats
 
-    knobs = ("HPGQ_WIRE", "HPGQ_QN_WIRE", "HPGQ_COALESCE", "HPGQ_WIRE6")
+    knobs = ("HPGQ_WIRE", "HPGQ_QN_WIRE", "HPGQ_COALESCE", "HPGQ_WIRE6",
+             "HPGQ_WIRE2C")
     saved_env = {k: os.environ.get(k) for k in knobs}
     os.environ["HPGQ_WIRE"] = cfg["wire"]
     os.environ["HPGQ_QN_WIRE"] = cfg["qn"]
     os.environ["HPGQ_COALESCE"] = str(cfg["coalesce"])
     os.environ["HPGQ_WIRE6"] = cfg.get("wire6", "1")
+    os.environ["HPGQ_WIRE2C"] = cfg.get("wire2c", "1")
     try:
         tmp = tempfile.mkdtemp(prefix="fuzz_")
         f1 = os.path.join(tmp, "a.fq")

@@ -440,6 +440,102 @@ def check_binned_palette(n):
             "tiered sharded + sharded-paired all equal" % n)
 
 
+def check_wire2c(n):
+    """The 2c wire tier (2-bit codes + qual palette + exception sidecar)
+    on the live backend: engine == oracle on an N-containing binned
+    corpus through every 2c consumer — stats engine feed, filter verdict
+    bytes, fused paired, and the tiered sharded session (per-step tier
+    -1 vote + sharded sidecar) — and the exact-N restoration shows in
+    num_Ns/base_per_nt."""
+    import dataclasses
+
+    from hpgq.options import FilterCriteria, FilterOptions, StatsOptions
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_filter, run_stats
+
+    bins = (2, 12, 23, 37)
+    fq = corpus(n, "bin2c", qual_bins=bins, n_prob=0.02)
+    kw = dict(min_read_quality=18, max_read_quality=40, max_N=2)
+    crit = FilterCriteria(**kw)
+
+    # the 2c tier must actually engage on this corpus
+    from hpgq.io.fastq import FastqReader
+    from hpgq.io.packer import round_up, try_pack_block_2c, wire_len
+
+    with FastqReader(fq, batch_size=4096) as rd:
+        first = next(iter(rd))
+    wl = wire_len(first.max_len(), round_up(first.max_len(), 128))
+    out = try_pack_block_2c(first, wl)
+    assert out is not None, "2c tier did not engage on the binned corpus"
+    assert int((out[1] < ((first.num_reads * wl) << 1)).sum()) > 0, \
+        "no exceptions recorded on an N-containing corpus"
+
+    def sopts(paired=False):
+        o = StatsOptions()
+        o.in_filename = fq
+        if paired:
+            o.in_filename2 = corpus(n, "bin2c2", seed=37, qual_bins=bins,
+                                    n_prob=0.02)
+        o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 131072
+        o.criteria = dataclasses.replace(crit)
+        o.filter_on = True
+        return o
+
+    # 1) stats engine feed (ladder picks 2c)
+    eng = run_stats(sopts())
+    orc = spec.stats_of_file(spec.iter_seq_qual(fq),
+                             criteria=FilterCriteria(**kw), phred=33)
+    bad = counters_equal(eng, orc)
+    assert not bad, "2c stats counters differ: %s" % bad
+    assert eng.num_Ns == orc.num_Ns and eng.num_Ns > 0
+
+    # 2) filter verdict (2c preference in ShapeCachedFn) + output bytes
+    fo = FilterOptions()
+    fo.in_filename = fq
+    fo.out_dirname = tempfile.mkdtemp(prefix="devval_")
+    fo.quality_encoding_value = 33
+    fo.quality_encoding_name = "phred33"
+    fo.batch_size = 131072
+    fo.criteria = dataclasses.replace(crit)
+    run_filter(fo)
+    sub = crit.substituted()
+    recs = open(fq, "rb").read().splitlines(keepends=True)
+    passed, failed = [], []
+    for i, (s, q) in enumerate(spec.iter_seq_qual(fq)):
+        (passed if spec.filter_verdict(s, q, sub, 33) else failed).extend(
+            recs[4 * i: 4 * i + 4])
+    got_p = open(os.path.join(fo.out_dirname, "passed.fq"), "rb").read()
+    got_f = open(os.path.join(fo.out_dirname, "failed.fq"), "rb").read()
+    assert got_p == b"".join(passed), "2c filter passed bytes differ"
+    assert got_f == b"".join(failed), "2c filter failed bytes differ"
+
+    # 3) fused paired (both mates 2c)
+    po = sopts(paired=True)
+    c1, c2 = run_stats(po)
+    r1 = list(spec.iter_seq_qual(fq))
+    r2 = list(spec.iter_seq_qual(po.in_filename2))
+    both = [spec.filter_verdict(s1, q1, sub, 33)
+            and spec.filter_verdict(s2, q2, sub, 33)
+            for (s1, q1), (s2, q2) in zip(r1, r2)]
+    o1 = spec.stats_of_file(r for r, b in zip(r1, both) if b)
+    skip = ("filter_on", "num_passed", "num_failed")
+    bad = counters_equal(c1, o1, skip)
+    assert not bad, "2c paired counters differ: %s" % bad
+    assert c1.num_passed == sum(both)
+
+    # 4) tiered sharded session (tier -1 vote + per-device sidecar)
+    from hpgq.dist.run_dist import run_stats_sharded
+
+    sh = run_stats_sharded(sopts())
+    bad = counters_equal(sh, orc)
+    assert not bad, "2c sharded counters differ: %s" % bad
+    return ("2c wire: %d reads (Ns present) — stats, filter bytes, paired, "
+            "tiered sharded all equal; exact-N restoration verified" % n)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=100_000)
@@ -461,7 +557,8 @@ def main():
                   (check_sharded_paired, args.reads // 4),
                   (check_coalesced, args.reads // 2),
                   (check_quality_window, args.reads // 2),
-                  (check_binned_palette, args.reads // 2)):
+                  (check_binned_palette, args.reads // 2),
+                  (check_wire2c, args.reads // 2)):
         t0 = time.perf_counter()
         try:
             msg = fn(n)
