@@ -326,29 +326,50 @@ def _make_h2d_probe(path: str, batch_reads: int):
             return _null_probe()
         n = first.num_reads
         L = wire_len(first.max_len(), round_up(max(first.max_len(), 1), 128))
-        # allow6/allow2c: the probe must ship the SAME adaptive wire bytes
-        # the production engine ships (2c/palette tiers on binned corpora)
-        # — else the per-round engine_vs_h2d ratio compares against a
-        # fatter buffer and over-reports the engine
-        buf = pack_block_wire(first, wire, L,
-                              pad_reads_to=bucket_rows(n, batch_reads),
-                              allow6=True, allow2c=True)
+        # the probe must ship the SAME adaptive wire bytes the production
+        # engine ships (2u on uniform binned corpora, else 2c/palette
+        # tiers) — else the per-round engine_vs_h2d ratio compares
+        # against a fatter buffer and over-reports the engine
+        from hpgq.io.packer import try_pack_block_2u
+
+        u = try_pack_block_2u(first,
+                              pad_reads_to=bucket_rows(n, batch_reads))
+        if u is not None:
+            buf = u[:3]  # (buf, exc, pal) — the shipped arrays
+        else:
+            buf = pack_block_wire(first, wire, L,
+                                  pad_reads_to=bucket_rows(n, batch_reads),
+                                  allow6=True, allow2c=True)
     except Exception:
         return _null_probe()
 
     parts = buf if isinstance(buf, tuple) else (buf,)
     bpr = sum(p.nbytes for p in parts) / max(n, 1)
 
+    # data-dependency fetch: device_put returns at ENQUEUE through the
+    # axon tunnel and even block_until_ready is inconsistent (measured: a
+    # 64 MB put "completed" at 1.5 GB/s enqueue while the true transfer
+    # ran at 25-37 MB/s) — only fetching a value derived from the buffer
+    # proves the bytes crossed
+    _touch = jax.jit(lambda a: a[0, 0].astype(jnp_uint32()) + a[-1, -1])
+
     def probe() -> float:
         try:
             t0 = time.perf_counter()
-            jax.block_until_ready(jax.device_put(buf))
+            d = jax.device_put(buf)
+            int(_touch(d[0] if isinstance(d, tuple) else d))
             return n / (time.perf_counter() - t0)
         except Exception:
             return 0.0
 
     probe.bytes_per_read = bpr
     return probe
+
+
+def jnp_uint32():
+    import jax.numpy as jnp
+
+    return jnp.uint32
 
 
 EDIT_CRIT = FilterCriteria(
@@ -626,9 +647,14 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
     wire = resolve_wire()
 
     def pack(block, L, pad_reads_to=0):
-        # the production adaptive ladder (2c / palette 2q / bitpack6 on
-        # fitting single-host corpora) — the breakdown must attribute the
-        # bytes the engine actually ships
+        # the production adaptive ladder (2u / 2c / palette 2q / bitpack6
+        # on fitting single-host corpora) — the breakdown must attribute
+        # the bytes the engine actually ships
+        from hpgq.io.packer import try_pack_block_2u
+
+        u = try_pack_block_2u(block, pad_reads_to=pad_reads_to)
+        if u is not None:
+            return u[:3]  # (buf, exc, pal)
         return pack_block_wire(block, wire, L, pad_reads_to=pad_reads_to,
                                allow6=True, allow2c=True)
 
@@ -664,10 +690,15 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
     out["pack_wire_reads_per_sec"] = round(best, 1)
     out["wire_bytes_per_read"] = round(nbytes / max(rows, 1), 2)
 
+    # true-transfer timing: a jit consuming the whole buffer cannot run
+    # before the bytes cross; device_put/block_until_ready return at
+    # enqueue through the tunnel (see _make_h2d_probe)
+    _touch = jax.jit(lambda a: a[0, 0].astype(jnp_uint32()) + a[-1, -1])
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(buf))
+        d = jax.device_put(buf)
+        int(_touch(d[0] if isinstance(d, tuple) else d))
         best = max(best, n / (time.perf_counter() - t0))
     out["h2d_reads_per_sec"] = round(best, 1)
     out["h2d_mb_per_sec"] = round(nbytes * best / n / 1e6, 1)
@@ -675,7 +706,13 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
     sess = StatsSession(PHRED, kmers_on=False, crit=CRIT,
                         batch_reads=batch_reads)
     if getattr(sess.acc, "wire", None) in ("fused4", "bitpack"):
+        from hpgq.io.packer import try_pack_block_2u
+
         dbuf = jax.device_put(buf)
+        u = try_pack_block_2u(first, pad_reads_to=rows)
+        if u is not None:
+            # uniform tier: the session feed takes the tagged payload
+            dbuf = ("2u",) + tuple(jax.device_put(u[:3])) + u[3:]
         sess.feed_packed(dbuf)  # compile warmup
         jax.device_get(sess.acc._acc["num_reads"])
         steps = 10
@@ -700,11 +737,23 @@ def stage_breakdown(path: str, batch_reads: int) -> dict:
         try:
             import jax.numpy as jnp
 
-            from hpgq.kernels.stats_jnp import make_stats_step, zero_partials
+            from hpgq.kernels.stats_jnp import (
+                make_stats_step,
+                make_stats_step2u,
+                zero_partials,
+            )
 
-            raw = make_stats_step(sess.lcap, PHRED, False, CRIT, jit=False,
-                                  donate=False, wire="bitpack")
-            inputs = dbuf if isinstance(dbuf, tuple) else (dbuf,)
+            if isinstance(dbuf, tuple) and isinstance(dbuf[0], str):
+                _, b2, e2, p2, nv, Lu = dbuf
+                raw2u = make_stats_step2u(sess.lcap, PHRED, False, CRIT,
+                                          Lu, jit=False)
+                raw = lambda a, b, *r: raw2u(a, b, *r, nv)  # noqa: E731
+                inputs = (b2, e2, p2)
+            else:
+                raw = make_stats_step(sess.lcap, PHRED, False, CRIT,
+                                      jit=False, donate=False,
+                                      wire="bitpack")
+                inputs = dbuf if isinstance(dbuf, tuple) else (dbuf,)
 
             def multi(k):
                 @jax.jit

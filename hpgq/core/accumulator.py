@@ -87,6 +87,7 @@ class DeviceAccumulator:
         self.counters.filter_on = self.filter_on
         self.counters.ensure_length(lcap)
         self.engine = engine
+        self._crit = crit
         self.wire = resolve_wire(wire)
         self._step = make_stats_step(lcap, phred, kmers_on, crit, jit=jit,
                                      engine=engine, wire=self.wire)
@@ -123,6 +124,20 @@ class DeviceAccumulator:
             if self.wire == "pack4" and codes.shape[1] == quals.shape[1]:
                 codes = wire_pack4(np.asarray(codes))  # not pre-packed upstream
             self._acc = self._step(self._acc, codes, quals, lens, valid)
+        self._since_flush += 1
+        if self._since_flush >= self.flush_every:
+            self.flush()
+
+    def update_uniform(self, payload) -> None:
+        """Feed one bitpack2u (uniform-tier) batch:
+        ``(buf, exc, pal, n_valid, Lu)`` — the per-batch sidecar replaces
+        the per-row wire tail (see ``stats_jnp.make_stats_step2u``)."""
+        from ..kernels.stats_jnp import make_stats_step2u
+
+        buf, exc, pal, n_valid, Lu = payload
+        step = make_stats_step2u(self.lcap, self.phred, self.kmers_on,
+                                 self._crit, Lu, engine=self.engine)
+        self._acc = step(self._acc, buf, exc, pal, n_valid)
         self._since_flush += 1
         if self._since_flush >= self.flush_every:
             self.flush()

@@ -106,7 +106,7 @@ def get_lib():
         return _lib
 
 
-_ABI = 7  # must match hpgq_abi_version() in packer.cpp
+_ABI = 8  # must match hpgq_abi_version() in packer.cpp
 
 
 def _bind(lib):
@@ -170,6 +170,12 @@ def _bind(lib):
         u8p, i64p, i64p, i32p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i8p, u8p, i32p, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.hpgq_pack_bitwire2u.restype = ctypes.c_int64
+    lib.hpgq_pack_bitwire2u.argtypes = [
+        u8p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i8p, u8p, i32p, ctypes.c_int64, u8p, ctypes.c_int,
     ]
 
 
@@ -469,6 +475,53 @@ def pack_bitwire2c(buf, seq_starts, q_starts, lens, L: int, nrows: int,
     if got < 0:
         return None
     return out, exc_pad(exc[:got], nrows, L)
+
+
+def bitwire2u_width(Lu: int) -> int:
+    """Row width of the bitpack2u (uniform) layout: two bare 2-bit planes
+    padded to whole even bytes — 4 * ceil(Lu/8).  No tail: lengths,
+    validity, and the palette travel as a per-batch sidecar, and the
+    decode is dispatched explicitly (never width-sniffed), so no
+    collision bumps are needed."""
+    return 4 * ((Lu + 7) // 8)
+
+
+def pack_bitwire2u(buf, seq_starts, q_starts, lens, Lu: int, nrows: int,
+                   num_threads: int = 0):
+    """Bitpack2u (uniform-tier) wire: ``(buf uint8 [nrows, 4*ceil(Lu/8)],
+    exc int32 [E_padded], pal uint8 [4], n_valid)`` — applies when every
+    read has the same length ``Lu`` and the block-wide union of qual
+    values fits one 4-entry palette.  52 B per 100 bp read vs the 2c
+    tier's 66 (the per-row len/valid/palette tail becomes a per-batch
+    sidecar).  Returns None when the block misses the tier (non-uniform
+    lengths, > 4 distinct quals in the union, or exception overflow);
+    the caller falls back to 2c."""
+    lib = get_lib()
+    Lp = 8 * ((Lu + 7) // 8)
+    if nrows * Lp >= (1 << 30):
+        return None
+    n = len(lens)
+    W = bitwire2u_width(Lu)
+    out = np.empty((nrows, W), dtype=np.uint8)
+    pal = np.zeros(4, dtype=np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    exc_cap = max(8192, n * Lu // 16)
+    exc = np.empty(exc_cap, dtype=np.int32)
+    from ..packer import BASE_LUT
+
+    arr = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    got = lib.hpgq_pack_bitwire2u(
+        arr,
+        np.ascontiguousarray(seq_starts, dtype=np.int64),
+        np.ascontiguousarray(q_starts, dtype=np.int64),
+        np.ascontiguousarray(lens, dtype=np.int32),
+        n, Lu, nrows, BASE_LUT, out.reshape(-1), exc, exc_cap, pal,
+        num_threads,
+    )
+    if got < 0:
+        return None
+    return out, exc_pad(exc[:got], nrows, Lp), pal, n
 
 
 def pack_qnwire(buf, seq_starts, q_starts, lens, L: int, nrows: int,

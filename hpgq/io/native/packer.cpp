@@ -472,16 +472,20 @@ int64_t hpgq_pack_bitwire2c(const uint8_t* buf, const int64_t* seq_starts,
 #else
         const int t = 0;
 #endif
-        const int64_t lo = nrows * t / T;
-        const int64_t hi = nrows * (t + 1) / T;
+        // partition REAL rows over n (not nrows): the per-thread
+        // exception slices are sized for an even spread of reads, and
+        // padded rows carry none — splitting by nrows concentrated all
+        // reads in the first threads and overflowed their slices when
+        // nrows >> n (caught by the 2u differential tests)
+        const int64_t lo = n * t / T;
+        const int64_t hi = n * (t + 1) / T;
+        const int64_t plo = n + (nrows - n) * t / T;
+        const int64_t phi = n + (nrows - n) * (t + 1) / T;
+        for (int64_t i = plo; i < phi; ++i) memset(out + i * W, 0, W);
         int32_t* my_exc = exc + t * slice_cap;
         int64_t my_cnt = 0;
         for (int64_t i = lo; i < hi && !fail; ++i) {
             uint8_t* row = out + i * W;
-            if (i >= n) {
-                memset(row, 0, W);
-                continue;
-            }
             const int64_t len_orig = lens[i];
             int64_t len = len_orig;
             if (len > L) len = L;
@@ -578,6 +582,162 @@ int64_t hpgq_pack_bitwire2c(const uint8_t* buf, const int64_t* seq_starts,
     return total;
 }
 
+// bitpack2u wire ("uniform" tier): 2-bit base codes + 2-bit qual-palette
+// indices as two bare bit-planes — NO per-row tail at all.  Applies when
+// every read in the block has the SAME length Lu and the block-wide
+// UNION of qual values fits one 4-entry palette (RTA3-binned uniform-
+// length production runs — the overwhelmingly common shape).  Row width
+// W = 4 * ceil(Lu/8) bytes (each plane padded to whole even bytes, spare
+// bits zero); lengths, validity, and the palette travel as a tiny
+// per-batch sidecar instead of 12+ bytes per row: 52 B per 100 bp read
+// vs the 2c tier's 66.  N/OTHER positions pack as 0 with exception
+// entries ((row * Lp + pos) << 1) | is_other where Lp = 8*ceil(Lu/8)
+// (the decoder's padded field count).  Returns the exception count, or
+// -1 (> 4 distinct quals in the union), -2 (exception overflow),
+// -3 (non-uniform length) — caller falls back to the 2c tier.
+int64_t hpgq_pack_bitwire2u(const uint8_t* buf, const int64_t* seq_starts,
+                            const int64_t* q_starts, const int32_t* lens,
+                            int64_t n, int64_t Lu, int64_t nrows,
+                            const int8_t* lut, uint8_t* out, int32_t* exc,
+                            int64_t exc_cap, uint8_t* pal_out,
+                            int num_threads) {
+    const int64_t L8 = (Lu + 7) / 8;
+    const int64_t plane = 2 * L8;  // bytes per 2-bit plane
+    const int64_t W = 4 * L8;
+    const int64_t Lp = 8 * L8;
+    if (num_threads < 1) num_threads = 1;
+    int T = num_threads;
+    if (T > 16) T = 16;
+    if (nrows < T) T = (int)(nrows > 0 ? nrows : 1);
+    // pass 1: block-wide qual-union bitmaps + uniform-length check
+    std::vector<uint64_t> s0((size_t)T, 0), s1((size_t)T, 0);
+    volatile int fail = 0;
+#ifdef _OPENMP
+#pragma omp parallel num_threads(T)
+#endif
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        const int64_t lo = n * t / T;
+        const int64_t hi = n * (t + 1) / T;
+        uint64_t m0 = 0, m1 = 0;
+        for (int64_t i = lo; i < hi && !fail; ++i) {
+            if (lens[i] != Lu) {
+                fail = 3;
+                break;
+            }
+            const uint8_t* q = buf + q_starts[i];
+            for (int64_t j = 0; j < Lu; ++j) {
+                uint8_t v = q[j] & 0x7F;
+                uint64_t bit = 1ull << (v & 63);
+                if (v & 64) m1 |= bit; else m0 |= bit;
+            }
+        }
+        s0[(size_t)t] = m0;
+        s1[(size_t)t] = m1;
+    }
+    if (fail) return -fail;
+    uint64_t seen0 = 0, seen1 = 0;
+    for (int t = 0; t < T; ++t) {
+        seen0 |= s0[(size_t)t];
+        seen1 |= s1[(size_t)t];
+    }
+    int np = __builtin_popcountll(seen0) + __builtin_popcountll(seen1);
+    if (np > 4) return -1;
+    uint8_t pal[4];
+    int k = 0;
+    for (uint64_t w = seen0; w; w &= w - 1)
+        pal[k++] = (uint8_t)__builtin_ctzll(w);
+    for (uint64_t w = seen1; w; w &= w - 1)
+        pal[k++] = (uint8_t)(64 + __builtin_ctzll(w));
+    for (; k < 4; ++k) pal[k] = np ? pal[np - 1] : 0;
+    for (int m = 0; m < 4; ++m) pal_out[m] = pal[m];
+    uint8_t qmap[128];
+    memset(qmap, 0, sizeof(qmap));
+    for (int m = 0; m < 4; ++m)
+        qmap[pal[m]] = (uint8_t)(m < np ? m : np ? np - 1 : 0);
+    // pass 2: pack both planes + exceptions (per-thread slices, row order)
+    std::vector<int64_t> counts((size_t)T, 0);
+    const int64_t slice_cap = exc_cap / T;
+#ifdef _OPENMP
+#pragma omp parallel num_threads(T)
+#endif
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        // real rows partition over n; padded rows (exception-free) over
+        // the remainder — see the matching comment in hpgq_pack_bitwire2c
+        const int64_t lo = n * t / T;
+        const int64_t hi = n * (t + 1) / T;
+        const int64_t plo = n + (nrows - n) * t / T;
+        const int64_t phi = n + (nrows - n) * (t + 1) / T;
+        for (int64_t i = plo; i < phi; ++i) memset(out + i * W, 0, W);
+        int32_t* my_exc = exc + t * slice_cap;
+        int64_t my_cnt = 0;
+        for (int64_t i = lo; i < hi && !fail; ++i) {
+            uint8_t* row = out + i * W;
+            const uint8_t* seq = buf + seq_starts[i];
+            const uint8_t* q = buf + q_starts[i];
+            uint32_t reg = 0;
+            int bits = 0;
+            uint8_t* p = row;
+            for (int64_t j = 0; j < Lp; ++j) {
+                uint32_t c = 0;
+                if (j < Lu) {
+                    c = (uint32_t)(lut[seq[j]] & 7);
+                    if (c >= 4) {
+                        if (my_cnt >= slice_cap) {
+                            fail = 2;
+                            break;
+                        }
+                        my_exc[my_cnt++] =
+                            (int32_t)((((i * Lp) + j) << 1) | (c == 5));
+                        c = 0;
+                    }
+                }
+                reg |= c << bits;
+                bits += 2;
+                if (bits >= 8) {
+                    *p++ = (uint8_t)(reg & 0xFF);
+                    reg >>= 8;
+                    bits -= 8;
+                }
+            }
+            if (fail) break;
+            reg = 0;
+            bits = 0;
+            p = row + plane;
+            for (int64_t j = 0; j < Lp; ++j) {
+                uint32_t v = j < Lu ? (uint32_t)qmap[q[j] & 0x7F] : 0u;
+                reg |= v << bits;
+                bits += 2;
+                if (bits >= 8) {
+                    *p++ = (uint8_t)(reg & 0xFF);
+                    reg >>= 8;
+                    bits -= 8;
+                }
+            }
+        }
+        counts[(size_t)t] = my_cnt;
+    }
+    if (fail) return -(int64_t)fail;
+    int64_t total = counts[0];
+    for (int t = 1; t < T; ++t) {
+        if (counts[(size_t)t]) {
+            memmove(exc + total, exc + (int64_t)t * slice_cap,
+                    (size_t)counts[(size_t)t] * sizeof(int32_t));
+        }
+        total += counts[(size_t)t];
+    }
+    return total;
+}
+
 // qn8 wire: one byte per base = (qual & 0x7F) | (is_N << 7), then
 // len_le32|valid|pad3 (W = L + 8).  ASCII quality is always <= 126 so
 // bit 7 is free to carry the N flag — the only thing the filter/edit
@@ -635,6 +795,6 @@ int64_t hpgq_concat_spans(const uint8_t* buf, const int64_t* starts,
     return total;
 }
 
-int hpgq_abi_version(void) { return 7; }
+int hpgq_abi_version(void) { return 8; }
 
 }  // extern "C"

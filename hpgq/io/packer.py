@@ -300,6 +300,97 @@ def wire_bitpack2c_np(codes, quals, lens, valid):
     return row, exc_pad(exc, B, L)
 
 
+def wire_bitpack2u_np(codes, quals, lens, valid):
+    """Numpy reference of the bitpack2u (uniform) wire:
+    ``(buf, exc, pal, n_valid)`` with rows = two bare 2-bit planes
+    [codes2 | qidx2], each padded to whole even bytes (W = 4*ceil(Lu/8)).
+    Applies when every VALID row has the same length Lu and the
+    block-wide union of qual values fits one ascending 4-entry palette;
+    lengths/validity/palette travel as the per-batch sidecar.  N/OTHER
+    positions pack as 0 with exceptions ((row * Lp + pos) << 1)|is_other,
+    Lp = 8*ceil(Lu/8).  Returns None when the block misses the tier.
+    Differential oracle for ``hpgq_pack_bitwire2u``."""
+    from .native import bitwire2u_width, exc_pad
+
+    v = np.asarray(valid, dtype=bool)
+    lens_a = np.asarray(lens)
+    n = int(v.sum())
+    if n == 0:
+        return None
+    vlens = lens_a[v]
+    Lu = int(vlens[0])
+    if Lu <= 0 or not (vlens == Lu).all():
+        return None
+    # valid rows must be a prefix (the packers' padding contract)
+    if not v[:n].all():
+        return None
+    B, L = np.asarray(quals).shape
+    Lp = 8 * ((Lu + 7) // 8)
+    if B * Lp >= (1 << 30) or Lu > L:
+        return None
+    c = np.where(v[:, None], np.asarray(codes, dtype=np.uint8), np.uint8(0))
+    q = np.where(v[:, None], np.asarray(quals, dtype=np.uint8) & 0x7F,
+                 np.uint8(0))
+    qv = q[:n, :Lu]
+    palette = np.unique(qv)
+    if palette.size > 4:
+        return None
+    pal = np.zeros(4, dtype=np.uint8)
+    pal[: palette.size] = palette
+    # unused upper slots repeat the max so index-by-rank maps every value
+    pal = np.maximum.accumulate(pal)
+    qidx = np.zeros((B, Lp), dtype=np.uint8)
+    qidx[:n, :Lu] = (qv[:, :, None] > pal[None, None, :3]).sum(axis=2)
+    cw = np.zeros((B, Lp), dtype=np.uint8)
+    cu = c[:n, :Lu]
+    is_exc = cu >= 4
+    er, ep = np.nonzero(is_exc)
+    exc = ((er.astype(np.int64) * Lp + ep) * 2
+           + (cu[er, ep] == 5)).astype(np.int32)
+    cw[:n, :Lu] = np.where(is_exc, np.uint8(0), cu)
+    row = np.concatenate([_bitpack_np(cw & 3, 2), _bitpack_np(qidx & 3, 2)],
+                         axis=1)
+    assert row.shape[1] == bitwire2u_width(Lu), (row.shape, Lu)
+    return row, exc_pad(exc, B, Lp), pal, n
+
+
+_WIRE2U_MAX_L = 2048
+
+
+def try_pack_block_2u(block, pad_reads_to: int = 0):
+    """The uniform-tier pack alone: ``(buf, exc, pal, n_valid, Lu)`` or
+    None when the block misses the tier or it is disabled
+    (HPGQ_WIRE2U=0; it also requires the 2c machinery enabled)."""
+    import os
+
+    if not wire2c_enabled() \
+            or os.environ.get("HPGQ_WIRE2U", "1") in ("0", "off"):
+        return None
+    n = block.num_reads
+    if n == 0:
+        return None
+    lens = block.seq_lens
+    Lu = int(lens[0])
+    if Lu <= 0 or Lu > _WIRE2U_MAX_L or not (lens == Lu).all():
+        return None
+    nrows = max(int(pad_reads_to), n) if pad_reads_to else n
+
+    from . import native
+
+    if native.available():
+        out = native.pack_bitwire2u(
+            block.arr, block.starts[:, 1], block.starts[:, 3],
+            lens, Lu, nrows, num_threads=_NUM_THREADS,
+        )
+    else:
+        out = wire_bitpack2u_np(*pack_block(block, max_len=round_up(Lu, 8),
+                                            pad_reads_to=nrows))
+    if out is None:
+        return None
+    buf, exc, pal, n_valid = out
+    return buf, exc, pal, n_valid, Lu
+
+
 def wire2c_enabled() -> bool:
     """The 2c tier is on unless HPGQ_WIRE2C=0 disables it specifically,
     HPGQ_QPAL=0 disables the palette machinery it builds on, or

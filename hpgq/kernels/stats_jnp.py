@@ -691,6 +691,76 @@ def wire_unbits2c(buf, exc):
     return codes, quals, lens, valid
 
 
+def wire_unbits2u(buf, exc, pal, n_valid, *, L: int):
+    """Device-side decoder of the bitpack2u (uniform) wire (see
+    ``hpgq.io.packer.wire_bitpack2u_np``) -> (codes, quals, lens, valid).
+
+    ``buf`` is two bare 2-bit planes [codes2 | qidx2] of W = 4*ceil(L/8)
+    bytes; lengths (all == ``L``, static), validity (rows < ``n_valid``)
+    and the 4-entry ascending qual palette arrive as the per-batch
+    sidecar instead of 12+ bytes per row.  ``exc`` scatter-restores
+    exact N/OTHER codes (entries stride Lp = 8*ceil(L/8), the padded
+    field count); beyond-length and invalid positions come out as
+    codes 5 / quals 0, matching ``pack_block`` byte-for-byte."""
+    B, W = buf.shape
+    Lp = 2 * W  # fields per row: W bytes * 8 bits / (2+2 bits shared)...
+    # two planes of W/2 bytes each -> Lp = (W/2)*4 = 2W fields per plane
+    c2 = W // 2
+    codes2 = _bit_fields(buf[:, :c2].reshape(B, Lp // 8, 2), 2, 3
+                         ).reshape(B, Lp)
+    idx = exc >> 1
+    val = ((exc & 1) + 4).astype(jnp.uint8)
+    codes = (
+        codes2.reshape(-1)
+        .at[idx].max(val, mode="drop", unique_indices=True,
+                     indices_are_sorted=True)
+        .reshape(B, Lp)
+    )
+    qidx = _bit_fields(buf[:, c2:].reshape(B, Lp // 8, 2), 2, 3
+                       ).reshape(B, Lp)
+    lo = jnp.where(qidx == 0, pal[0], pal[1])
+    hi = jnp.where(qidx == 2, pal[2], pal[3])
+    q = jnp.where(qidx < 2, lo, hi)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) < n_valid
+    lens = jnp.where(valid, jnp.int32(L), 0)
+    mask = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1) < lens[:, None]
+    quals = jnp.where(mask, q, jnp.uint8(0))
+    codes = jnp.where(mask, codes, jnp.uint8(5)).astype(jnp.int8)
+    return codes, quals, lens, valid
+
+
+def make_stats_step2u(
+    lcap: int,
+    phred: int,
+    kmers_on: bool,
+    crit,
+    L: int,
+    engine: Optional[str] = None,
+    jit: bool = True,
+):
+    """Jitted per-batch stats update over the bitpack2u (uniform) wire:
+    ``step(acc, buf, exc, pal, n_valid) -> acc'``.  ``L`` (the uniform
+    read length) is static — the wire width alone cannot recover it.
+    Cached process-wide like :func:`make_stats_step`."""
+    cache_key = ("2u", lcap, phred, kmers_on, _crit_key(crit),
+                 resolve_engine(engine), L)
+    if jit and cache_key in _STEP_CACHE:
+        return _STEP_CACHE[cache_key]
+    inner = make_stats_step(lcap, phred, kmers_on, crit, jit=False,
+                            donate=False, engine=engine, wire=None)
+
+    def step(acc, buf, exc, pal, n_valid):
+        codes, quals, lens, valid = wire_unbits2u(buf, exc, pal, n_valid,
+                                                  L=L)
+        codes, quals = pad_wire_cols(codes, quals, lcap)
+        return inner(acc, codes, quals, lens, valid)
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+        _STEP_CACHE[cache_key] = step
+    return step
+
+
 def resolve_engine(engine: Optional[str] = None) -> str:
     """'pallas' | 'jnp' | 'pallas_interpret'. Auto: pallas on TPU, else jnp.
     Overridable via HPGQ_ENGINE."""

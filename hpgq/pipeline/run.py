@@ -159,8 +159,18 @@ def _iter_packed(reader, sess, batch_reads: int, timers, depth: int = 0,
         wire = getattr(sess.acc, "wire", None)
         rows = bucket_rows(block.num_reads, batch_reads)
         if wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_wire, wire_len
+            from ..io.packer import (
+                pack_block_wire,
+                try_pack_block_2u,
+                wire_len,
+            )
 
+            if wire == "bitpack":
+                u = try_pack_block_2u(block, pad_reads_to=rows)
+                if u is not None:
+                    buf, exc, pal, n_valid, Lu = u
+                    dbuf, dexc, dpal = jax.device_put((buf, exc, pal))
+                    return block, (("2u", dbuf, dexc, dpal, n_valid, Lu),)
             buf = pack_block_wire(block, wire, wire_len(block.max_len(), L),
                                   pad_reads_to=rows, allow6=True,
                                   allow2c=True)

@@ -82,8 +82,13 @@ class StatsSession:
         if not self._warned_big:
             self._warned_big = warn_device_batch(rows, self.lcap)
         if wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_wire
+            from ..io.packer import pack_block_wire, try_pack_block_2u
 
+            if wire == "bitpack":
+                u = try_pack_block_2u(block, pad_reads_to=rows)
+                if u is not None:
+                    self.acc.update_uniform(u)
+                    return
             self.acc.update(pack_block_wire(
                 block, wire, wire_len(block.max_len(), self.lcap),
                 pad_reads_to=rows, allow6=True, allow2c=True))
@@ -95,9 +100,18 @@ class StatsSession:
     def feed_packed(self, codes, quals=None, lens=None, valid=None):
         # quals carry the logical L; a lone wire buffer encodes L in its
         # row width (fused4: W = L/2 + L + 8; bitpack: W = 10L/8 + 8; a
-        # (buf, exc) tuple is the 2c tier with its exception sidecar).
-        # Wire widths may be trimmed below lcap (io.packer.wire_len); the
-        # device cap itself always stays 128-lane rounded.
+        # (buf, exc) tuple is the 2c tier with its exception sidecar; a
+        # ("2u", buf, exc, pal, n_valid, Lu) tagged tuple is the uniform
+        # tier whose L travels out-of-band).  Wire widths may be trimmed
+        # below lcap (io.packer.wire_len); the device cap itself always
+        # stays 128-lane rounded.
+        if isinstance(codes, tuple) and len(codes) \
+                and isinstance(codes[0], str) and codes[0] == "2u":
+            _, buf, exc, pal, n_valid, Lu = codes
+            if Lu > self.lcap:
+                self._grow(round_up(Lu, 128))
+            self.acc.update_uniform((buf, exc, pal, n_valid, Lu))
+            return
         if quals is None:
             from ..kernels.stats_jnp import bitwire_logical_len, fused_logical_len
 

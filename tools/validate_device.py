@@ -536,6 +536,54 @@ def check_wire2c(n):
             "tiered sharded all equal; exact-N restoration verified" % n)
 
 
+def check_wire2u(n):
+    """The bitpack2u (uniform) wire tier on the live backend: a uniform-
+    length RTA3-binned N-containing corpus rides the bare-bit-plane wire
+    (52 B per 100 bp read) through the stats engine — all counters must
+    equal the oracle, and the tier must actually carry batches."""
+    import dataclasses
+
+    import hpgq.io.packer as packer_mod
+    from hpgq.options import FilterCriteria, StatsOptions
+    from hpgq.oracle import spec
+    from hpgq.pipeline.run import run_stats
+
+    bins = (2, 12, 23, 37)
+    fq = corpus(n, "bin2u", qual_bins=bins, n_prob=0.02, min_len=100,
+                max_len=100)
+    kw = dict(min_read_quality=18, max_read_quality=40, max_N=2)
+
+    hits = {"n": 0}
+    orig = packer_mod.try_pack_block_2u
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        hits["n"] += int(out is not None)
+        return out
+
+    packer_mod.try_pack_block_2u = spy
+    try:
+        o = StatsOptions()
+        o.in_filename = fq
+        o.out_dirname = tempfile.mkdtemp(prefix="devval_")
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 131072
+        o.criteria = FilterCriteria(**kw)
+        o.filter_on = True
+        eng = run_stats(o)
+    finally:
+        packer_mod.try_pack_block_2u = orig
+    assert hits["n"] > 0, "2u tier never engaged on the uniform corpus"
+    orc = spec.stats_of_file(spec.iter_seq_qual(fq),
+                             criteria=FilterCriteria(**kw), phred=33)
+    bad = counters_equal(eng, orc)
+    assert not bad, "2u stats counters differ: %s" % bad
+    assert eng.num_Ns == orc.num_Ns and eng.num_Ns > 0
+    return ("2u uniform wire: %d reads (Ns present) — engaged on %d "
+            "batches, all counters equal" % (n, hits["n"]))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=100_000)
@@ -558,7 +606,8 @@ def main():
                   (check_coalesced, args.reads // 2),
                   (check_quality_window, args.reads // 2),
                   (check_binned_palette, args.reads // 2),
-                  (check_wire2c, args.reads // 2)):
+                  (check_wire2c, args.reads // 2),
+                  (check_wire2u, args.reads // 2)):
         t0 = time.perf_counter()
         try:
             msg = fn(n)
