@@ -1004,7 +1004,11 @@ def main():
                 phase_s[_cur["name"]] = round(now - _cur["t0"], 1)
             _cur["name"], _cur["t0"] = name, now
 
-        budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "520"))
+        # 600 s default (was 520): the full-size paired/gz oracles made the
+        # modes phase ~320 s, and the 75 s headline-extension reserve must
+        # survive it — the driver artifact showed extension 0.0 s twice at
+        # 520.  Every phase stays under the SIGTERM/alarm/watchdog guards.
+        budget = float(os.environ.get("HPGQ_BENCH_BUDGET_S", "600"))
         # guard from the very start: if an external timeout (or the alarm)
         # fires at ANY point, emit whatever is already measured — the
         # best provisional headline if one exists, else an explicit

@@ -761,6 +761,43 @@ def make_stats_step2u(
     return step
 
 
+def make_paired_stats_step2u(
+    lcap: int,
+    phred: int,
+    kmers_on: bool,
+    crit,
+    L1: int,
+    L2: int,
+    engine: Optional[str] = None,
+    jit: bool = True,
+):
+    """Fused paired step over the bitpack2u (uniform) wire — BOTH mates'
+    bare bit-planes + sidecars in one dispatch:
+    ``step(acc1, acc2, b1, e1, p1, nv1, b2, e2, p2, nv2) -> (acc1', acc2')``.
+    ``L1``/``L2`` (the mates' uniform read lengths) are static.  Cached
+    process-wide like :func:`make_paired_stats_step`."""
+    cache_key = ("p2u", lcap, phred, kmers_on, _crit_key(crit),
+                 resolve_engine(engine), L1, L2)
+    if jit and cache_key in _STEP_CACHE:
+        return _STEP_CACHE[cache_key]
+    inner = make_paired_stats_step(lcap, phred, kmers_on, crit, jit=False,
+                                   engine=engine, wire=None)
+
+    def step(a1, a2, b1, e1, p1, nv1, b2, e2, p2, nv2):
+        def dec(b, e, p, nv, L):
+            c, q, l, v = wire_unbits2u(b, e, p, nv, L=L)
+            c, q = pad_wire_cols(c, q, lcap)
+            return c, q, l, v
+
+        return inner(a1, a2, dec(b1, e1, p1, nv1, L1),
+                     dec(b2, e2, p2, nv2, L2))
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0, 1))
+        _STEP_CACHE[cache_key] = step
+    return step
+
+
 def resolve_engine(engine: Optional[str] = None) -> str:
     """'pallas' | 'jnp' | 'pallas_interpret'. Auto: pallas on TPU, else jnp.
     Overridable via HPGQ_ENGINE."""

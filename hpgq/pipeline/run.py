@@ -232,9 +232,17 @@ def _iter_packed_paired(pairs, sess, timers, workers: int = 0):
     def transform(pair):
         b1, b2 = pair
         in1, in2 = sess.pack_pair(b1, b2)
-        # device_put handles both the bare wire buffer and the
-        # (codes, quals, lens, valid) tuple (pytree)
-        return b1, b2, jax.device_put(in1), jax.device_put(in2)
+
+        def dput(x):
+            # device_put handles the bare wire buffer, the 2c
+            # (buf, exc) pair, and the (codes, quals, lens, valid)
+            # tuple; the 2u tagged tuple carries a str + host ints that
+            # must stay host-side
+            if isinstance(x, tuple) and x and isinstance(x[0], str):
+                return (x[0],) + tuple(jax.device_put(x[1:4])) + x[4:]
+            return jax.device_put(x)
+
+        return b1, b2, dput(in1), dput(in2)
 
     workers = workers or _pack_workers()
     it = prefetched(iter(pairs), depth=workers + 2, transform=transform,

@@ -195,8 +195,16 @@ class PairedStatsSession:
         if not self._warned_big:
             self._warned_big = warn_device_batch(rows, L, mates=2)
         if self.wire in ("bitpack", "fused4"):
-            from ..io.packer import pack_block_wire
+            from ..io.packer import pack_block_wire, try_pack_block_2u
 
+            if self.wire == "bitpack":
+                # uniform tier, both mates (each with its own palette and
+                # uniform length — mates may differ): the fused 2u step
+                u1 = try_pack_block_2u(b1, pad_reads_to=rows)
+                u2 = (try_pack_block_2u(b2, pad_reads_to=rows)
+                      if u1 is not None else None)
+                if u2 is not None:
+                    return ("2u",) + u1, ("2u",) + u2
             wl = wire_len(max(b1.max_len(), b2.max_len()), L)
             in1 = pack_block_wire(b1, self.wire, wl, pad_reads_to=rows,
                                   allow6=True, allow2c=True)
@@ -214,14 +222,18 @@ class PairedStatsSession:
 
     def _packed_len(self, in1) -> int:
         # wire mode packs each mate to ONE uint8 buffer (a (buf, exc)
-        # 2-tuple for the 2c tier); the plain/pack4 modes pass the
-        # (codes, quals, lens, valid) tuple
+        # 2-tuple for the 2c tier; a ("2u", buf, exc, pal, n_valid, Lu)
+        # tagged tuple for the uniform tier); the plain/pack4 modes pass
+        # the (codes, quals, lens, valid) tuple
         if self.wire in ("bitpack", "fused4"):
             from ..kernels.stats_jnp import (
                 bitwire_logical_len,
                 fused_logical_len,
             )
 
+            if isinstance(in1, tuple) and in1 \
+                    and isinstance(in1[0], str) and in1[0] == "2u":
+                return int(in1[5])
             W = (in1[0] if isinstance(in1, tuple) else in1).shape[1]
             return (bitwire_logical_len if self.wire == "bitpack"
                     else fused_logical_len)(W)
@@ -231,10 +243,22 @@ class PairedStatsSession:
         """One fused step over a prepacked pair (``pack_pair`` output,
         possibly already device_put by a transform pool).  Never syncs on
         the device — tallies stay in the device accumulators."""
-        L = self._packed_len(in1)
+        L = max(self._packed_len(in1), self._packed_len(in2))
         if L > self.lcap:
             self._grow(round_up(L, 128))
-        self._acc1, self._acc2 = self._step(self._acc1, self._acc2, in1, in2)
+        if isinstance(in1, tuple) and in1 and isinstance(in1[0], str):
+            from ..kernels.stats_jnp import make_paired_stats_step2u
+
+            _, b1, e1, p1, nv1, L1 = in1
+            _, b2, e2, p2, nv2, L2 = in2
+            step = make_paired_stats_step2u(
+                self.lcap, self.phred, self.kmers_on, self.crit, L1, L2,
+                engine=self.engine)
+            self._acc1, self._acc2 = step(self._acc1, self._acc2,
+                                          b1, e1, p1, nv1, b2, e2, p2, nv2)
+        else:
+            self._acc1, self._acc2 = self._step(self._acc1, self._acc2,
+                                                in1, in2)
         self._since_flush += 1
         if self._since_flush >= self.flush_every:
             self.flush()

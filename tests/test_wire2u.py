@@ -105,6 +105,60 @@ def test_decode_round_trip_exact(tmp_path, length):
             np.testing.assert_array_equal(valid, ref[3], err_msg="valid")
 
 
+def test_paired_2u_equals_plain(tmp_path, monkeypatch):
+    """Fused paired step over the uniform wire (mates with DIFFERENT
+    uniform lengths, each its own palette/sidecar) == the wire-off run;
+    a spy proves the 2u pair path engaged."""
+    import dataclasses
+
+    import hpgq.io.packer as packer_mod
+    from hpgq.options import FilterCriteria, StatsOptions
+    from hpgq.pipeline.run import run_stats
+
+    p1 = str(tmp_path / "m1.fq")
+    p2 = str(tmp_path / "m2.fq")
+    make_fastq(p1, 4000, min_len=100, max_len=100, n_prob=0.02, seed=25,
+               qual_bins=(2, 12, 23, 37))
+    make_fastq(p2, 4000, min_len=80, max_len=80, n_prob=0.02, seed=26,
+               qual_bins=(2, 12, 23, 37))
+    crit = FilterCriteria(min_read_quality=20, max_read_quality=60, max_N=2)
+
+    hits = {"n": 0}
+    orig = packer_mod.try_pack_block_2u
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        hits["n"] += int(out is not None)
+        return out
+
+    monkeypatch.setattr(packer_mod, "try_pack_block_2u", spy)
+
+    def run(wire):
+        monkeypatch.setenv("HPGQ_WIRE", wire)
+        o = StatsOptions()
+        o.in_filename, o.in_filename2 = p1, p2
+        o.out_dirname = str(tmp_path / ("out_" + wire))
+        o.quality_encoding_value = 33
+        o.quality_encoding_name = "phred33"
+        o.batch_size = 1500
+        o.criteria = dataclasses.replace(crit)
+        o.filter_on = True
+        return run_stats(o, report=False)
+
+    w1, w2 = run("bitpack")
+    assert hits["n"] > 0, "2u pair path never engaged"
+    o1, o2 = run("off")
+    for got, want in ((w1, o1), (w2, o2)):
+        assert got.num_passed == want.num_passed
+        assert got.num_failed == want.num_failed
+        assert got.num_reads == want.num_reads
+        assert (got.num_As, got.num_Ns) == (want.num_As, want.num_Ns)
+        np.testing.assert_array_equal(got.base_per_nt, want.base_per_nt)
+        np.testing.assert_array_equal(got.quality_hist, want.quality_hist)
+        np.testing.assert_array_equal(got.acc_quality_per_nt,
+                                      want.acc_quality_per_nt)
+
+
 def test_engine_2u_equals_oracle(tmp_path, monkeypatch):
     """End-to-end stats+filter through the uniform wire == the numpy
     oracle (jnp engine, forced bitpack wire), with a spy proving the 2u
