@@ -301,6 +301,14 @@ def run_headline_interleaved(path, opath, batch_size, batch_reads,
             on_round(e_best, o_best, forensics)
         if time.perf_counter() - t_start > budget_s:
             break
+        # dying-link bail: two consecutive rounds far below the session's
+        # best mean the tunnel has degenerated (a measured session spent
+        # 290 s on rounds decaying 223k -> 5k reads/s) — stop burning
+        # budget the modes and extension can still use
+        ee = [r["engine_rps"] for r in forensics]
+        if len(ee) >= 4 and ee[-1] < 0.3 * max(ee) \
+                and ee[-2] < 0.3 * max(ee):
+            break
     return e_best, o_best, e_total, forensics
 
 
@@ -1356,14 +1364,16 @@ def main():
                     lambda: run_cgr_oracle(ocorpus, 5_000)[0])
 
         # paired and gz first: they are the historically tightest ratios
-        # (VERDICT r4 #2/#3) — a budget squeeze must not starve them
+        # (VERDICT r4 #2/#3) — a budget squeeze must not starve them.
+        # cgr next: it is the cheapest mode and a dying-tunnel session
+        # once budget-skipped it entirely when it ran last.
         mode_line("paired", "paired_stats_filter_reads_per_sec",
                   setup_paired)
         mode_line("gz", "stats_gz_reads_per_sec", setup_gz)
+        mode_line("cgr", "cgr_reads_per_sec", setup_cgr)
         mode_line("filter", "filter_reads_per_sec", setup_filter)
         mode_line("edit", "edit_reads_per_sec", setup_edit)
         mode_line("bgzf", "stats_bgzf_reads_per_sec", setup_bgzf)
-        mode_line("cgr", "cgr_reads_per_sec", setup_cgr)
 
         import shutil
 
@@ -1389,9 +1399,13 @@ def main():
             # cost, which a real production stream amortizes to nothing).
             # The child self-limits rounds to the timeout (scaling budget
             # env), so a tight headroom degrades to fewer rounds.
+            sc_timeout = max(20.0, min(110.0, headroom - ext_reserve))
+            # a squeezed timeout can't finish a 786k round — fall back to
+            # the 393k corpus (eff 0.80-0.86 there) rather than lose the
+            # metric line to a timeout kill
+            sc_reads = 786_432 if sc_timeout >= 70.0 else 393_216
             sc = run_scaling_subprocess(
-                min(786_432, args.reads),
-                timeout_s=max(20.0, min(110.0, headroom - ext_reserve)))
+                min(sc_reads, args.reads), timeout_s=sc_timeout)
             if sc:
                 _emit(sc)
         # leftover-budget headline extension (VERDICT r4 #1b): instead of

@@ -73,6 +73,7 @@ def one_round(rng, rnd: int) -> dict:
         # fallback ladder is drawn.
         "wire6": str(rng.choice(["0", "1"])),
         "wire2c": str(rng.choice(["0", "1"])),
+        "wire2u": str(rng.choice(["0", "1"])),
         "qshape": str(rng.choice(["uniform", "uniform", "binned", "wide"])),
         "batch_size": int(rng.choice([37, 250, 1000, 10000])),
         "coalesce": int(rng.choice([0, 777, 131072])),
@@ -106,7 +107,10 @@ def one_round(rng, rnd: int) -> dict:
         import jax
 
         cfg["ndev"] = len(jax.devices())
-    cfg["max_len"] = cfg["min_len"] + int(rng.integers(0, 200))
+    # ~1/4 of rounds are uniform-length (delta 0) so the 2u tier's
+    # conditions get real coverage, not a 1/200 fluke
+    cfg["max_len"] = cfg["min_len"] + int(rng.choice(
+        [0, int(rng.integers(1, 200))], p=[0.25, 0.75]))
     crit_draw = {
         "min_read_quality": int(rng.choice([-1, 18, 35])),
         "max_read_quality": int(rng.choice([-1, 40, 60])),
@@ -229,13 +233,14 @@ def _run_round(cfg, crit_kw, filter_on, make_kw):
     from hpgq.pipeline.run import run_filter, run_stats
 
     knobs = ("HPGQ_WIRE", "HPGQ_QN_WIRE", "HPGQ_COALESCE", "HPGQ_WIRE6",
-             "HPGQ_WIRE2C")
+             "HPGQ_WIRE2C", "HPGQ_WIRE2U")
     saved_env = {k: os.environ.get(k) for k in knobs}
     os.environ["HPGQ_WIRE"] = cfg["wire"]
     os.environ["HPGQ_QN_WIRE"] = cfg["qn"]
     os.environ["HPGQ_COALESCE"] = str(cfg["coalesce"])
     os.environ["HPGQ_WIRE6"] = cfg.get("wire6", "1")
     os.environ["HPGQ_WIRE2C"] = cfg.get("wire2c", "1")
+    os.environ["HPGQ_WIRE2U"] = cfg.get("wire2u", "1")
     try:
         tmp = tempfile.mkdtemp(prefix="fuzz_")
         f1 = os.path.join(tmp, "a.fq")
