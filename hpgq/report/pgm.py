@@ -60,11 +60,19 @@ def write_pgm(path: str, table: np.ndarray, k: int, norm: float) -> str:
 
 
 def fq_norm_value(word_count: int, k: int) -> float:
-    """128 / (words per cell) — ``old/chaos_game.c:330-338,430-438``."""
+    """128 / (words per cell) — ``old/chaos_game.c:330-338,430-438``.
+
+    Zero counted words (every read shorter than k, or every window broken
+    by N) returns norm 0.0 — the table is all-zero anyway, so the PGMs
+    come out black and the diff reduces to the (negated) reference
+    signature.  The reference divides by zero here (float inf, then
+    0*inf = NaN cast to unsigned — UB garbage pixels); an all-zero image
+    is the sane documented deviation (caught by the config fuzzer on
+    uniform reads shorter than k)."""
     mem = 1 << (2 * k)
     norm = word_count / mem
     if norm <= 0.0:
-        raise ValueError("no words counted — cannot normalize CGR table")
+        return 0.0
     return 128.0 / norm
 
 

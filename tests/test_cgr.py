@@ -296,3 +296,22 @@ def test_cgr_other_bytes_treated_as_N():
     # deviation is real on this corpus, not vacuous
     rts, _, rw = fill_tables_loop(codes, quals, lens, valid, k, 33)
     assert rw != ow or not np.array_equal(rts, ots)
+
+
+def test_cgr_zero_words_graceful(tmp_path):
+    """Every read shorter than k: zero counted words must yield all-zero
+    (black) PGMs and rc 0 — the reference divides by zero here (UB
+    garbage pixels); the all-zero image is the documented sane deviation
+    (found by the config fuzzer on uniform short reads)."""
+    from hpgq.cli.main import main as cli_main
+
+    fq = str(tmp_path / "short.fq")
+    make_fastq(fq, 100, min_len=3, max_len=3, n_prob=0.0, seed=6)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    rc = cli_main(["cgr", "-f", fq, "-o", out, "--k", "7", "--write-gs"])
+    assert rc in (0, None)
+    for suffix in ("_FG.pgm", "_QQ.pgm"):
+        path = os.path.join(out, "short.fq_k=7" + suffix)
+        body = open(path, "rb").read().split(b"\n", 3)[3]
+        assert set(body) == {0}, suffix
