@@ -1369,11 +1369,16 @@ def main():
         # once budget-skipped it entirely when it ran last.
         mode_line("paired", "paired_stats_filter_reads_per_sec",
                   setup_paired)
-        mode_line("gz", "stats_gz_reads_per_sec", setup_gz)
+        # no warmup pass for gz/bgzf: they run the same run_stats jits the
+        # headline already compiled, and a warmup through a tunnel that
+        # died mid-session is an unbounded (uninterruptible) stall — a
+        # measured session spent 285 s on one dead-link gz pass
+        mode_line("gz", "stats_gz_reads_per_sec", setup_gz, warmup=False)
         mode_line("cgr", "cgr_reads_per_sec", setup_cgr)
         mode_line("filter", "filter_reads_per_sec", setup_filter)
         mode_line("edit", "edit_reads_per_sec", setup_edit)
-        mode_line("bgzf", "stats_bgzf_reads_per_sec", setup_bgzf)
+        mode_line("bgzf", "stats_bgzf_reads_per_sec", setup_bgzf,
+                  warmup=False)
 
         import shutil
 
