@@ -1453,6 +1453,16 @@ def main():
         signal.alarm(0)
         wd.cancel()
         _emit({"bench_phase_seconds": phase_s}, err=True)
+        if state["headline"] is None:
+            # every measurement failed (dead tunnel from the first pass)
+            # yet the run completed before any signal: the final line must
+            # still be a parsable headline, same as the _bail fallback
+            state["headline"] = {
+                "metric": "stats_filter_reads_per_sec", "value": 0.0,
+                "unit": "reads/s", "vs_baseline": 0.0,
+                "qual_shape": QUAL_SHAPE,
+                "error": "no measurement succeeded",
+            }
         _emit(state["headline"])
         return
 

@@ -395,6 +395,11 @@ class ShardedStatsSession:
         sent = np.int32((rpd * wl) << 1)  # OOB for the device's shard
         gexc = np.full(ldev * edev, sent, dtype=np.int32)
         for d, p in enumerate(parts):
+            # loud guard: a slice exceeding the voted bucket would spill
+            # into the NEXT device's sidecar (silent counter corruption);
+            # the voted bound is sound only while every rank shares
+            # batch_reads — assert the invariant instead of trusting it
+            assert p.size <= edev, (p.size, edev, d)
             gexc[d * edev : d * edev + p.size] = p
         gbuf, gexc = make_global_batch(self.mesh, self._sharding,
                                        (buf, gexc))

@@ -635,6 +635,14 @@ int64_t hpgq_pack_bitwire2u(const uint8_t* buf, const int64_t* seq_starts,
                 uint64_t bit = 1ull << (v & 63);
                 if (v & 64) m1 |= bit; else m0 |= bit;
             }
+            // early bail: a single slice exceeding 4 distinct quals
+            // already sinks the block-wide union — without this, every
+            // batch of a uniform-length UNBINNED corpus (a very common
+            // shape) paid a full n*Lu discovery scan per tier attempt
+            if (__builtin_popcountll(m0) + __builtin_popcountll(m1) > 4) {
+                fail = 1;
+                break;
+            }
         }
         s0[(size_t)t] = m0;
         s1[(size_t)t] = m1;

@@ -30,9 +30,13 @@ def main():
         ("sh4_b262", {"HPGQ_READ_SHARDS": "4"}, 262144),
         ("sh2_b262", {"HPGQ_READ_SHARDS": "2"}, 262144),
     ]
+    # snapshot the ORIGINAL environment before any config mutates it —
+    # per-config snapshots taken mid-loop record the previous config's
+    # values and the restore loop then leaves mid-run overrides behind
+    all_keys = sorted({k for _, env, _ in cfgs for k in env})
+    saved = {k: os.environ.get(k) for k in all_keys}
     passes = {}
     for name, env, br in cfgs:
-        saved = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
         one = _engine_pass_factory(path, br, br)
         t0 = time.perf_counter()
@@ -40,22 +44,21 @@ def main():
         print(json.dumps({"cfg": name,
                           "warmup_s": round(time.perf_counter() - t0, 2)}),
               flush=True)
-        passes[name] = (one, env, saved)
+        passes[name] = (one, env)
     for r in range(args.rounds):
         row = {"round": r}
         for name, env, br in cfgs:
-            one, e, saved = passes[name]
+            one, e = passes[name]
             os.environ.update(e)
             t0 = time.perf_counter()
             n = one()
             row[name] = round(n / (time.perf_counter() - t0))
         print(json.dumps(row), flush=True)
-    for name, (one, e, saved) in passes.items():
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
 
 
 if __name__ == "__main__":
