@@ -823,10 +823,13 @@ def run_cgr_oracle(path: str, n_reads: int, k: int = 7):
 
 def _h2d_history_update(now_mb_s: float):
     """Append this session's serial-h2d MB/s to the cross-run history file
-    and return the median of the PAST entries (None when no history).
-    Powers the headline's ``link_degraded`` proof: a single bench session
-    cannot tell a slow tunnel phase from a slow engine, but a session far
-    below the best-known link rate can say so machine-readably."""
+    and return the BEST past entry (None when no history).  Powers the
+    headline's ``link_degraded`` proof: a single bench session cannot
+    tell a slow tunnel phase from a slow engine, but a session far below
+    the best-known link rate can say so machine-readably.  (Best, not
+    median: hours-long degraded stretches would drag a median down until
+    degradation stopped being detectable — measured on a day the link
+    sat at 8-15 MB/s for most of a session.)"""
     hist_path = os.path.join(BENCH_DIR, "h2d_history.json")
     hist = []
     try:
@@ -836,8 +839,8 @@ def _h2d_history_update(now_mb_s: float):
             hist = []
     except Exception:
         hist = []
-    past = sorted(h.get("mb_s", 0.0) for h in hist
-                  if isinstance(h, dict) and h.get("mb_s"))
+    past = [h.get("mb_s", 0.0) for h in hist
+            if isinstance(h, dict) and h.get("mb_s")]
     if now_mb_s:
         hist.append({"ts": round(time.time(), 1),
                      "mb_s": round(now_mb_s, 1)})
@@ -847,7 +850,7 @@ def _h2d_history_update(now_mb_s: float):
                 json.dump(hist[-50:], fh)
         except OSError:
             pass
-    return past[len(past) // 2] if past else None
+    return max(past) if past else None
 
 
 import threading as _threading
@@ -1442,13 +1445,13 @@ def main():
             bpr = getattr(run_headline_interleaved, "h2d_bytes_per_read", 0.0)
             now_mb = (h2ds[len(h2ds) // 2] * bpr / 1e6) if h2ds and bpr \
                 else 0.0
-            hist_med = _h2d_history_update(now_mb)
+            hist_best = _h2d_history_update(now_mb)
             if now_mb:
                 state["headline"]["h2d_mb_s"] = round(now_mb, 1)
-            if hist_med and now_mb and now_mb < 0.5 * hist_med:
+            if hist_best and now_mb and now_mb < 0.5 * hist_best:
                 state["headline"]["link_degraded"] = {
                     "h2d_now_mb_s": round(now_mb, 1),
-                    "h2d_median_mb_s": round(hist_med, 1),
+                    "h2d_best_known_mb_s": round(hist_best, 1),
                 }
         signal.alarm(0)
         wd.cancel()
