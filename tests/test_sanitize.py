@@ -56,6 +56,14 @@ int32_t hpgq_pack_bitwire6(const uint8_t*, const int64_t*, const int64_t*,
 int32_t hpgq_pack_bitwire2q(const uint8_t*, const int64_t*, const int64_t*,
                             const int32_t*, int64_t, int64_t, int64_t,
                             int64_t, const int8_t*, uint8_t*, int);
+int64_t hpgq_pack_bitwire2c(const uint8_t*, const int64_t*, const int64_t*,
+                            const int32_t*, int64_t, int64_t, int64_t,
+                            int64_t, const int8_t*, uint8_t*, int32_t*,
+                            int64_t, int);
+int64_t hpgq_pack_bitwire2u(const uint8_t*, const int64_t*, const int64_t*,
+                            const int32_t*, int64_t, int64_t, int64_t,
+                            const int8_t*, uint8_t*, int32_t*, int64_t,
+                            uint8_t*, int);
 }
 
 // replicate native.bitwire2q_width (incl. 7-/6-bit collision bumps)
@@ -168,7 +176,7 @@ int main() {
                    return 1; }
     }
 
-    // bitpack2q happy path: RTA3-binned quals (4 distinct values)
+    // bitpack2q + 2c + 2u happy paths: RTA3-binned quals (4 distinct)
     {
         std::vector<uint8_t> bq = buf;
         for (int64_t i = 0; i < n; ++i)
@@ -182,6 +190,53 @@ int main() {
                 n, L, rows, w2of(L), lut, w2.data(), 4);
             if (!ok2) { fprintf(stderr, "bitwire2q misfit on binned quals\n");
                         return 1; }
+            // 2c: same qual criterion + N/OTHER exception sidecar; width
+            // replicates native.bitwire2c_width (bump past 7/6/2q)
+            int64_t wc = 4 * L / 8 + 12;
+            for (;;) {
+                int64_t L6 = ((wc - 8) * 8 / 9) / 8 * 8;
+                bool c7 = is7w(wc);
+                bool c6 = L6 > 0 && w6of(L6) == wc;
+                bool c2 = false;
+                for (int64_t mm = (wc - 12) / 5; mm >= (wc - 12) / 5 - 1; --mm)
+                    if (mm >= 1 && w2of(8 * mm) == wc) c2 = true;
+                if (!c7 && !c6 && !c2) break;
+                ++wc;
+            }
+            std::vector<uint8_t> cw(rows * wc);
+            std::vector<int32_t> exc(1 << 16);
+            int64_t ec = hpgq_pack_bitwire2c(
+                bq.data(), seq_starts.data(), q_starts.data(), lens.data(),
+                n, L, rows, wc, lut, cw.data(), exc.data(),
+                (int64_t)exc.size(), 4);
+            if (ec < 0) { fprintf(stderr, "bitwire2c misfit: %lld\n",
+                                  (long long)ec); return 1; }
+        }
+        // 2u: non-uniform lens must bail (-3); a uniform-lens override
+        // with binned quals must pack (exceptions from N/other bases)
+        {
+            int64_t rows = n + 32;
+            int64_t Lu = 64;
+            std::vector<uint8_t> ub(rows * (4 * ((Lu + 7) / 8)));
+            std::vector<int32_t> exc(1 << 16);
+            uint8_t pal[4];
+            int64_t rc = hpgq_pack_bitwire2u(
+                bq.data(), seq_starts.data(), q_starts.data(), lens.data(),
+                n, Lu, rows, lut, ub.data(), exc.data(),
+                (int64_t)exc.size(), pal, 4);
+            if (rc != -3) { fprintf(stderr, "2u non-uniform rc=%lld\n",
+                                    (long long)rc); return 1; }
+            int32_t lmin = lens[0];
+            for (int64_t i = 1; i < n; ++i)
+                if (lens[i] < lmin) lmin = lens[i];
+            std::vector<int32_t> ul(n, lmin);
+            std::vector<uint8_t> ub2(rows * (4 * ((lmin + 7) / 8)));
+            rc = hpgq_pack_bitwire2u(
+                bq.data(), seq_starts.data(), q_starts.data(), ul.data(),
+                n, lmin, rows, lut, ub2.data(), exc.data(),
+                (int64_t)exc.size(), pal, 4);
+            if (rc < 0) { fprintf(stderr, "2u uniform rc=%lld\n",
+                                  (long long)rc); return 1; }
         }
     }
 
