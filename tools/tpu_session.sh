@@ -27,8 +27,8 @@ import jax
 x = np.random.randint(0, 255, (16 << 20,), np.uint8)  # 16 MB
 f = jax.jit(lambda a: a[0].astype('int32') + a[-1])
 t0 = time.time()
-v = int(f(jax.device_put(x)))  # true transfer: >=20 MB/s passes
-assert time.time() - t0 < 0.8, time.time() - t0
+v = int(f(jax.device_put(x)))  # true transfer: >=10 MB/s passes
+assert time.time() - t0 < 1.6, time.time() - t0
 " >/dev/null 2>&1; then
     echo "$(date +%H:%M:%S) phase good, attempt $i" >> "$LOG"
     if [ "$ran_val" = "0" ]; then
