@@ -245,6 +245,11 @@ def wire_bitpack2c_np(codes, quals, lens, valid):
     """Numpy reference of the bitpack2c wire: ``(buf, exc)`` with rows
     [codes2 | qidx2 | len_le32 | valid | palette4 (ascending) | pad3
     (+ pad columns from ``native.bitwire2c_width``'s collision bumps)].
+
+    The information carried is exactly the reference's ``fastq_read_t``
+    per-read payload (sequence + quality + length, field access
+    ``src/stats_fastq.c:353-360``) at 4.1 bits/base instead of the
+    reference's 16 (two char arrays).
     Bases pack as 2-bit codes (A..T = 0..3); N/OTHER positions pack as 0
     and are listed in the exception sidecar ``exc`` (int32, row-major,
     ``((row * L + pos) << 1) | is_other``, padded to the EXC_BUCKET grid
@@ -304,6 +309,11 @@ def wire_bitpack2u_np(codes, quals, lens, valid):
     """Numpy reference of the bitpack2u (uniform) wire:
     ``(buf, exc, pal, n_valid)`` with rows = two bare 2-bit planes
     [codes2 | qidx2], each padded to whole even bytes (W = 4*ceil(Lu/8)).
+
+    Same ``fastq_read_t`` payload as the other wire tiers
+    (``src/stats_fastq.c:353-360``) at ~4.2 bits/base: the per-row
+    len/valid/palette tail collapses into a per-batch sidecar because
+    production Illumina runs are uniform-length.
     Applies when every VALID row has the same length Lu and the
     block-wide union of qual values fits one ascending 4-entry palette;
     lengths/validity/palette travel as the per-batch sidecar.  N/OTHER
