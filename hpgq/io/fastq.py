@@ -45,7 +45,13 @@ class ReadaheadFile:
     reference's in-thread ``gzFile`` reads (gzip-capable ``fastq_fopen``,
     src/stats_fastq.c:425)."""
 
-    def __init__(self, fh, chunk_bytes: int = 8 << 20, depth: int = 6):
+    def __init__(self, fh, chunk_bytes: int = _CHUNK, depth: int = 4):
+        # chunk_bytes matches the block reader's _CHUNK so gzip inputs
+        # yield the SAME block sizes (and therefore the same bucketed
+        # dispatch shapes) as plain files — 8 MB pieces made every gz
+        # pass dispatch 49152-row buckets no other input shape compiles,
+        # which cost a ~90-160 s first-pass jit through the tunnel
+        # (measured: gz pass 1 188.7 s, pass 2 warm 1.6 s)
         self._fh = fh
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._cur = memoryview(b"")
