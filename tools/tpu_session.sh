@@ -43,34 +43,48 @@ assert time.time() - t0 < 1.6, time.time() - t0
       echo "$(date +%H:%M:%S) ab rc=$rc" >> "$LOG"
     fi
     timeout 900 python bench.py > /tmp/bench_try.out 2> /tmp/bench_try.err
-    read -r v r <<EOF
+    mkdir -p /tmp/ladders
+    cp /tmp/bench_try.out "/tmp/ladders/attempt_$i.out"
+    cp /tmp/bench_try.err "/tmp/ladders/attempt_$i.err"
+    read -r v r ok <<EOF
 $(python - <<'PY'
 import json
 v = r = 0.0
+modes = []
+lines = 0
 try:
     for ln in open('/tmp/bench_try.out'):
         try:
             o = json.loads(ln)
         except ValueError:
             continue
-        if o.get('metric') == 'stats_filter_reads_per_sec':
+        if 'metric' not in o:
+            continue
+        lines += 1
+        if o['metric'] == 'stats_filter_reads_per_sec':
             v = o.get('value', 0.0)
             r = o.get('vs_baseline', 0.0)
+        elif not o['metric'].startswith('device_step'):
+            modes.append(o.get('vs_baseline', 0.0))
 except OSError:
     pass
-print(v, r)
+# completeness first: a ladder with every mode line >= 1 beats a
+# higher-ratio ladder that lost a mode to a phase stall
+ok = 1 if (lines >= 10 and modes and min(modes) >= 1.0) else 0
+print(v, r, ok)
 PY
 )
 EOF
-    echo "$(date +%H:%M:%S) attempt $i headline=$v vs_baseline=$r" >> "$LOG"
-    if python -c "import sys; sys.exit(0 if (float('$r'), float('$v')) > (float('$best_r'), float('$best_v')) else 1)"; then
+    echo "$(date +%H:%M:%S) attempt $i headline=$v vs_baseline=$r all_modes_ge1=$ok" >> "$LOG"
+    if python -c "import sys; sys.exit(0 if (int('$ok'), float('$r'), float('$v')) > (int('${best_ok:-0}'), float('$best_r'), float('$best_v')) else 1)"; then
+      best_ok=$ok
       best_r=$r
       best_v=$v
       cp /tmp/bench_try.out /tmp/bench_session_best.out
       cp /tmp/bench_try.err /tmp/bench_session_best.err
     fi
     lines=$(grep -c '"metric"' /tmp/bench_try.out)
-    if python -c "import sys; sys.exit(0 if $lines >= 10 and float('$r') >= 10.0 else 1)"; then
+    if python -c "import sys; sys.exit(0 if $lines >= 10 and float('$r') >= 10.0 and int('$ok') == 1 else 1)"; then
       echo "$(date +%H:%M:%S) >=10x full ladder, done" >> "$LOG"
       break
     fi
