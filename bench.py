@@ -823,7 +823,8 @@ def run_cgr_oracle(path: str, n_reads: int, k: int = 7):
 
 def _h2d_history_update(now_mb_s: float):
     """Append this session's serial-h2d MB/s to the cross-run history file
-    and return the BEST past entry (None when no history).  Powers the
+    and return the BEST known link rate (a checked-in measured floor when
+    no history file survives — see below).  Powers the
     headline's ``link_degraded`` proof: a single bench session cannot
     tell a slow tunnel phase from a slow engine, but a session far below
     the best-known link rate can say so machine-readably.  (Best, not
@@ -850,7 +851,13 @@ def _h2d_history_update(now_mb_s: float):
                 json.dump(hist[-50:], fh)
         except OSError:
             pass
-    return max(past) if past else None
+    # Checked-in floor for "best known": the best honestly-measured
+    # true-transfer rate on this rig (round 5, PERF.md "True link rate:
+    # ~25-42 MB/s").  BENCH_DIR is gitignored, so a fresh checkout loses
+    # the history file and a degraded session could otherwise never
+    # carry the link_degraded evidence the headline promises.
+    seed_best = 42.0
+    return max(past + [seed_best]) if past else seed_best
 
 
 import threading as _threading
