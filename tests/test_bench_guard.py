@@ -88,3 +88,29 @@ def test_bench_tiny_budget_completes_with_headline(tmp_path):
     assert head.get("qual_shape") == "rta3"
     phases = _phase_dicts(r)
     assert phases and phases[-1]["bench_phase_seconds"]
+
+
+def test_h2d_history_seeded_floor(tmp_path):
+    """link_degraded evidence must survive a lost/fresh .bench dir
+    (it is gitignored): with NO history file, _h2d_history_update returns
+    the checked-in measured floor, and degraded sessions can never raise
+    the floor above a genuinely-measured best."""
+    import importlib.util
+
+    env_dir = str(tmp_path / "benchdir")
+    os.environ["HPGQ_BENCH_DIR"] = env_dir
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "bench_for_floor", os.path.join(REPO, "bench.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        floor = mod._h2d_history_update(0.0)
+        assert floor and floor >= 42.0
+        # a degraded session records itself but cannot lower best-known
+        mod._h2d_history_update(7.0)
+        assert mod._h2d_history_update(0.0) == floor
+        # a faster measured session raises it
+        mod._h2d_history_update(100.0)
+        assert mod._h2d_history_update(0.0) == 100.0
+    finally:
+        os.environ.pop("HPGQ_BENCH_DIR", None)
